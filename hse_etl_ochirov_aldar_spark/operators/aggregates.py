@@ -1,0 +1,64 @@
+"""Aggregation operators (SURVEY.md §2.4 A1, A3-A5, A7-A8).
+
+All are plain ``groupBy().agg()`` programs: Catalyst plans them as
+partial (map-side combine) + final aggregation, so the shuffle carries
+pre-aggregated state, not raw rows — the property that makes these
+scale-safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_avg(
+    df: DataFrame,
+    day_col: str = "day",
+    value_col: str = "value",
+    scale: int = 2,
+) -> DataFrame:
+    """A1: ``SELECT day, AVG(v) ... GROUP BY day``
+    (HW-3/airflow/dags/iot_temperature.py:75-78), plus a reading count.
+
+    Rounded to ``scale`` decimals like the reference's mart aggregates —
+    this also pins down float determinism for oracle comparison.
+    """
+    return df.groupBy(day_col).agg(
+        F.round(F.avg(value_col), scale).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_readings"),
+    )
+
+
+def mode_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """A7: per-group mode (most frequent value) via count + rank.
+
+    Reference: build_analytical_marts.py:41-49 —
+    ``ROW_NUMBER() OVER (PARTITION BY user,month ORDER BY COUNT(*) DESC)``
+    then keep rn=1. The reference has NO tie-break (nondeterministic,
+    SURVEY §4 caution 3); we add ``value ASC`` so results are stable and
+    oracle-comparable — an intentional semantics-tightening deviation.
+
+    Two shuffles: groupBy(group+value) with map-side combine, then a
+    window partitioned by the (already aggregated, small) group keys.
+    The window input is |distinct(group,value)| rows, not raw rows, so
+    the rank stage is cheap even at 100 TB raw input.
+    """
+    out_col = out_col or f"top_{value_col}"
+    counted = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("cnt"), F.asc(value_col))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(*group_cols, F.col(value_col).alias(out_col))
+    )
+
+
+def conditional_count(predicate: Column) -> Column:
+    """A4: ``COUNT(*) FILTER (WHERE pred)`` (build_analytical_marts.py:113-116)."""
+    return F.count(F.when(predicate, F.lit(1)))

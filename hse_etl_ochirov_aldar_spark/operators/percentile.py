@@ -1,0 +1,66 @@
+"""Global percentile computation + trim (SURVEY.md A2 + J1 + P4).
+
+Reference semantics: HW-3/airflow/dags/iot_temperature.py:64-72 —
+
+    WITH p AS (SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY v) p5,
+                      percentile_cont(0.95) WITHIN GROUP (ORDER BY v) p95
+               FROM base)
+    ... FROM base CROSS JOIN p WHERE v BETWEEN p.p5 AND p.p95
+
+Spark-first design
+------------------
+``percentile()`` is Spark's exact ordered-set aggregate with the same
+linear interpolation as Postgres ``percentile_cont``. It aggregates via
+per-partition digests and a single-row merge — a map-side-combined
+aggregation, not a global sort, so it scales to 100 TB inputs (the merge
+state is O(distinct values) per partition; for truly unbounded domains
+swap in ``approx_percentile`` with a documented error bound).
+
+The one-row percentile frame is attached with ``crossJoin(broadcast(p))``
+— a broadcast-nested-loop of a 1-row build side, i.e. free. No driver
+``collect()``: the scalar stays in the plan, so the whole pipeline remains
+one job and Catalyst can reuse the scan of ``df`` for both the aggregate
+and the probe side (exchange reuse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_percentile_bounds(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """1-row DataFrame with exact [lower, upper] percentiles of value_col."""
+    return df.agg(
+        F.percentile(F.col(value_col), F.lit(lower)).alias("p_lo"),
+        F.percentile(F.col(value_col), F.lit(upper)).alias("p_hi"),
+    )
+
+
+def percentile_trim(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    bounds_over: DataFrame | None = None,
+) -> DataFrame:
+    """Keep rows whose value lies within the *global* [p_lo, p_hi] band.
+
+    ``bounds_over`` lets the incremental pipeline compute percentiles over
+    ALL data while trimming only a window (HW-4 docstring invariant,
+    HW-4/airflow/dags/iot_temperature.py:109-113).
+    """
+    bounds = global_percentile_bounds(bounds_over if bounds_over is not None else df,
+                                      value_col, lower, upper)
+    out = df.crossJoin(F.broadcast(bounds))
+    out = out.where(F.col(value_col).between(F.col("p_lo"), F.col("p_hi")))
+    return out.drop("p_lo", "p_hi")
+
+
+def trim_predicate(value_col: str) -> Column:
+    return F.col(value_col).between(F.col("p_lo"), F.col("p_hi"))
