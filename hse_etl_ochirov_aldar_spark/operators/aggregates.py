@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import avg_units_expr, units_sum
+
 
 def daily_avg(
     df: DataFrame,
@@ -21,12 +23,21 @@ def daily_avg(
     """A1: ``SELECT day, AVG(v) ... GROUP BY day``
     (HW-3/airflow/dags/iot_temperature.py:75-78), plus a reading count.
 
-    Rounded to ``scale`` decimals like the reference's mart aggregates —
-    this also pins down float determinism for oracle comparison.
+    Rounded to ``scale`` decimals like the reference's mart aggregates.
+    The average runs in exact integer units (functions/exact.py) so the
+    rounded value is engine-independent — no float half-case drift.
     """
-    return df.groupBy(day_col).agg(
-        F.round(F.avg(value_col), scale).alias("avg_value"),
-        F.count(F.lit(1)).alias("n_readings"),
+    return (
+        df.groupBy(day_col)
+        .agg(
+            units_sum(value_col).alias("_s_value"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            day_col,
+            avg_units_expr("_s_value", "n_readings", 2, scale).alias("avg_value"),
+            "n_readings",
+        )
     )
 
 

@@ -20,6 +20,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.cleaning import month_of, normalized_eq
+from .functions.exact import (
+    as_value,
+    avg_units_expr,
+    oracle_avg_units,
+    oracle_avg_value,
+    oracle_sum_value,
+    oracle_units,
+    oracle_units_sum,
+    units,
+    units_sum,
+)
 from .operators.aggregates import conditional_count, daily_avg, mode_by_group
 from .operators.dedup import dedup_keep_first
 from .operators.percentile import percentile_trim
@@ -35,48 +46,65 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-scan multi-metric aggregation over lineitem (A1/A3 at scale).
 
     One shuffle carrying 4-ish grouped rows thanks to partial aggregation;
-    the scan reads only the 8 referenced columns (column pruning).
+    the scan reads only the 8 referenced columns (column pruning). All
+    money math runs in exact integer units (functions/exact.py) so the
+    result is bit-identical to any oracle regardless of summation order.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    e2 = units("l_extendedprice")          # cents
+    d_pct = 100 - units("l_discount")      # (1 - d) in 1e-2 units
+    t_pct = 100 + units("l_tax")           # (1 + t) in 1e-2 units
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(units("l_quantity", 0)).alias("s_qty"),
+            units_sum("l_extendedprice").alias("s_price"),
+            F.sum(e2 * d_pct).alias("s_disc4"),
+            F.sum(e2 * d_pct * t_pct).alias("s_charge6"),
+            units_sum("l_discount").alias("s_disc2"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            as_value("s_qty", 0).alias("sum_qty"),
+            as_value("s_price", 2).alias("sum_base_price"),
+            as_value("s_disc4", 4).alias("sum_disc_price"),
+            as_value("s_charge6", 6).alias("sum_charge"),
+            avg_units_expr("s_qty", "count_order", 0, 2).alias("avg_qty"),
+            avg_units_expr("s_price", "count_order", 2, 2).alias("avg_price"),
+            avg_units_expr("s_disc2", "count_order", 2, 4).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-ORACLE_PRICING_SUMMARY = """
+ORACLE_PRICING_SUMMARY = f"""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum({oracle_units('l_quantity', 0)}) AS s_qty,
+         {oracle_units_sum('l_extendedprice')} AS s_price,
+         sum({oracle_units('l_extendedprice')} * (100 - {oracle_units('l_discount')})) AS s_disc4,
+         sum({oracle_units('l_extendedprice')} * (100 - {oracle_units('l_discount')})
+             * (100 + {oracle_units('l_tax')})) AS s_charge6,
+         {oracle_units_sum('l_discount')} AS s_disc2,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 2)                                        AS avg_qty,
-       round(avg(l_extendedprice), 2)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)                                                         AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(s_qty AS DOUBLE) / 1.0 AS sum_qty,
+       CAST(s_price AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(s_disc4 AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(s_charge6 AS DOUBLE) / 1000000.0 AS sum_charge,
+       {oracle_avg_units('s_qty', 'count_order', 0, 2)} AS avg_qty,
+       {oracle_avg_units('s_price', 'count_order', 2, 2)} AS avg_price,
+       {oracle_avg_units('s_disc2', 'count_order', 2, 4)} AS avg_disc,
+       count_order
+FROM g
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -134,14 +162,18 @@ def q_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_avg(q_clean_percentile_trim(spark, sf_dir))
 
 
+_ORACLE_DAILY_SELECT = (
+    f"SELECT day, {oracle_avg_value('value')} AS avg_value, "
+    "count(*) AS n_readings FROM clean GROUP BY day"
+)
+
 ORACLE_DAILY_AVG = f"""
 WITH base AS ({_ORACLE_EVENTS_BASE}),
 p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
              quantile_cont(value, 0.95) AS p_hi FROM base),
 clean AS (SELECT base.* FROM base CROSS JOIN p
           WHERE value BETWEEN p.p_lo AND p.p_hi)
-SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n_readings
-FROM clean GROUP BY day
+{_ORACLE_DAILY_SELECT}
 """
 
 
@@ -157,8 +189,7 @@ p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
              quantile_cont(value, 0.95) AS p_hi FROM base),
 clean AS (SELECT base.* FROM base CROSS JOIN p
           WHERE value BETWEEN p.p_lo AND p.p_hi),
-daily AS (SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n_readings
-          FROM clean GROUP BY day),
+daily AS ({_ORACLE_DAILY_SELECT}),
 hot AS (SELECT *, CAST(row_number() OVER (ORDER BY avg_value DESC, day ASC) AS INT) AS rank,
                'hot' AS kind
         FROM daily ORDER BY avg_value DESC, day ASC LIMIT 5),
@@ -194,8 +225,332 @@ p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
 cut AS (SELECT max(day) - 7 AS cutoff FROM base),
 clean AS (SELECT base.* FROM base CROSS JOIN p CROSS JOIN cut
           WHERE day >= cutoff AND value BETWEEN p.p_lo AND p.p_hi)
-SELECT day, round(avg(value), 2) AS avg_value, count(*) AS n_readings
-FROM clean GROUP BY day
+{_ORACLE_DAILY_SELECT}
+"""
+
+# ---------------------------------------------------------------------------
+# Q5: keyed dedup with deterministic keep-first (A6/S6/S9).
+# Reference: Mongo $group/$first dedup, mongo_to_postgres_replication.py:35-39.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One event per (user_id, event_type), keeping the earliest event_id.
+
+    The reference keeps an arbitrary doc; we rank by event_id for a
+    deterministic, oracle-comparable keep-first (SURVEY §4 caution 3).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("date").alias("day"), "value"
+    )
+    return dedup_keep_first(ev, ["user_id", "event_type"], ["event_id"])
+
+
+ORACLE_DEDUP_BY_KEY = """
+SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q6/Q7: clean layers with derived columns + anomaly filters.
+# sessions_clean <- orders + lineitem counts (duration/num_pages analogue,
+# mongo_to_postgres_replication.py:218-237); tickets_clean <- lineitem-grain
+# monotonicity + resolution duration (:254-269).
+# ---------------------------------------------------------------------------
+
+
+def q_sessions_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection + A8 counting + P3/P5-style anomaly filters.
+
+    The lineitem aggregate is pre-shuffled on the join key, so the join
+    with orders is a single co-partitioned shuffle; AQE converts it to
+    broadcast when the aggregated side is small.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("num_items"),
+        F.sum(units("l_quantity", 0)).cast("double").alias("total_qty"),
+    )
+    return (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            month_of("o_orderdate").alias("report_month"),
+            F.col("o_totalprice").alias("total_price"),
+            F.coalesce(F.col("num_items"), F.lit(0)).alias("num_items"),
+            F.coalesce(F.col("total_qty"), F.lit(0.0)).alias("total_qty"),
+        )
+        .where(
+            (F.col("total_price") > 0)
+            & F.col("num_items").between(1, 7)
+            & F.col("order_date").isNotNull()
+        )
+    )
+
+
+ORACLE_SESSIONS_CLEAN = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS num_items,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_custkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
+       o_totalprice AS total_price,
+       coalesce(num_items, 0) AS num_items,
+       coalesce(total_qty, 0.0) AS total_qty
+FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+WHERE o_totalprice > 0 AND coalesce(num_items, 0) BETWEEN 1 AND 7
+  AND o_orderdate IS NOT NULL
+"""
+
+
+def q_tickets_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6 monotonicity + bounded-duration filters with F5-style
+    derived resolution duration, at lineitem grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    res_days = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        joined.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_orderpriority").alias("issue_type"),
+            F.col("o_orderstatus").alias("status"),
+            res_days.alias("resolution_days"),
+        )
+        .where((F.col("resolution_days") >= 0) & (F.col("resolution_days") < 365))
+    )
+
+
+ORACLE_TICKETS_CLEAN = """
+SELECT l_orderkey, l_linenumber,
+       o_orderpriority AS issue_type,
+       o_orderstatus AS status,
+       date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS resolution_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 0
+  AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 365
+"""
+
+# ---------------------------------------------------------------------------
+# Q8/Q9: analytical marts.
+# Reference: build_analytical_marts.py:28-92 (user activity: multi-metric
+# agg + 3 per-group modes via window rank + left joins) and :102-124
+# (support efficiency: FILTER counts + min/avg/max).
+# ---------------------------------------------------------------------------
+
+
+def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 multi-metric agg + A7 mode-by-group (x2) + J2 composite-key
+    left joins. The lineitem-side mode rides the orders->lineitem fan-out,
+    the analogue of the reference's LATERAL UNNEST mode branches.
+
+    Plan shape: the orders scan feeds both session_stats and the priority
+    mode (exchange reuse); each mode input is pre-aggregated before its
+    window, so no raw-row windows anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "report_month", month_of("o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    stats = (
+        orders.groupBy("o_custkey", "report_month")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            units_sum("o_totalprice").alias("_s_total"),
+        )
+        .select(
+            "o_custkey",
+            "report_month",
+            "num_orders",
+            as_value("_s_total").alias("sum_total"),
+            avg_units_expr("_s_total", "num_orders", 2, 2).alias("avg_total"),
+        )
+    )
+    top_priority = mode_by_group(
+        orders, ["o_custkey", "report_month"], "o_orderpriority", "top_priority"
+    )
+    exploded = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_custkey", "report_month", "l_returnflag"
+    )
+    top_flag = mode_by_group(
+        exploded, ["o_custkey", "report_month"], "l_returnflag", "top_returnflag"
+    )
+    return (
+        stats.join(top_priority, ["o_custkey", "report_month"], "left")
+        .join(top_flag, ["o_custkey", "report_month"], "left")
+    )
+
+
+ORACLE_MART_USER_ACTIVITY = f"""
+WITH orders_m AS (
+  SELECT *, CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month FROM orders
+),
+stats AS (
+  SELECT o_custkey, report_month,
+         count(*) AS num_orders,
+         {oracle_sum_value('o_totalprice')} AS sum_total,
+         {oracle_avg_value('o_totalprice')} AS avg_total
+  FROM orders_m GROUP BY o_custkey, report_month
+),
+prio_counts AS (
+  SELECT o_custkey, report_month, o_orderpriority, count(*) AS cnt
+  FROM orders_m GROUP BY o_custkey, report_month, o_orderpriority
+),
+top_prio AS (
+  SELECT o_custkey, report_month, o_orderpriority AS top_priority
+  FROM prio_counts
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, report_month
+                             ORDER BY cnt DESC, o_orderpriority ASC) = 1
+),
+flag_counts AS (
+  SELECT o_custkey, report_month, l_returnflag, count(*) AS cnt
+  FROM orders_m JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, report_month, l_returnflag
+),
+top_flag AS (
+  SELECT o_custkey, report_month, l_returnflag AS top_returnflag
+  FROM flag_counts
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, report_month
+                             ORDER BY cnt DESC, l_returnflag ASC) = 1
+)
+SELECT s.o_custkey, s.report_month, s.num_orders, s.sum_total, s.avg_total,
+       p.top_priority, f.top_returnflag
+FROM stats s
+LEFT JOIN top_prio p USING (o_custkey, report_month)
+LEFT JOIN top_flag f USING (o_custkey, report_month)
+"""
+
+
+def q_mart_support_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 conditional counts (FILTER) + A5 min/avg/max + T3 sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("report_month", month_of("o_orderdate"))
+        .groupBy("report_month", F.col("o_orderpriority").alias("issue_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            conditional_count(F.col("o_orderstatus") == "O").alias("n_open"),
+            conditional_count(F.col("o_orderstatus") == "F").alias("n_done"),
+            conditional_count(F.col("o_orderstatus") == "P").alias("n_partial"),
+            F.min("o_totalprice").alias("min_price"),
+            units_sum("o_totalprice").alias("_s_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "report_month",
+            "issue_type",
+            "n_total",
+            "n_open",
+            "n_done",
+            "n_partial",
+            "min_price",
+            avg_units_expr("_s_price", "n_total", 2, 2).alias("avg_price"),
+            "max_price",
+        )
+        .orderBy("report_month", "issue_type")
+    )
+
+
+ORACLE_MART_SUPPORT_EFFICIENCY = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
+       o_orderpriority AS issue_type,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+       min(o_totalprice) AS min_price,
+       {oracle_avg_value('o_totalprice')} AS avg_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q10a: semi-structured JSON extraction (S3/F9) over events.props.
+# Reference: JSONB payload parse, sources_to_linear.py:28-33; nested field
+# access mongo_to_postgres_replication.py:92-97.
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd from_json (no inference, JVM-side) -> typed field -> agg."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_s", F.from_json(F.col("props"), "k INT")
+    ).withColumn("k", F.col("props_s.k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            avg_units_expr("sum_k", "n_events", 0, 2).alias("avg_k"),
+            "max_k",
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT_AGG = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       {oracle_avg_units("CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT)", "count(*)", 0, 2)} AS avg_k,
+       max(CAST(props->>'$.k' AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q10b/J3: lateral-unnest analogue — explode + per-group top-k words.
+# Reference: LATERAL UNNEST(pages_visited), build_analytical_marts.py:57-58.
+# ---------------------------------------------------------------------------
+
+
+def q_explode_words_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 explode -> A7-style rank: top-3 words per language.
+
+    explode() is generator-based codegen, no Python; the window input is
+    already aggregated (lang x word counts), never raw exploded rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+ORACLE_EXPLODE_WORDS_TOPK = """
+WITH words AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (
+  SELECT lang, word, count(*) AS cnt FROM words WHERE word <> ''
+  GROUP BY lang, word
+)
+SELECT lang, word, cnt,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS INT) AS rank
+FROM counts
+QUALIFY rank <= 3
 """
 
 # ---------------------------------------------------------------------------
@@ -208,6 +563,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
     "incremental_window_rebuild": q_incremental_window_rebuild,
+    "dedup_by_key": q_dedup_by_key,
+    "sessions_clean": q_sessions_clean,
+    "tickets_clean": q_tickets_clean,
+    "mart_user_activity": q_mart_user_activity,
+    "mart_support_efficiency": q_mart_support_efficiency,
+    "json_extract_agg": q_json_extract_agg,
+    "explode_words_topk": q_explode_words_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -216,6 +578,13 @@ ORACLES: dict[str, str] = {
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
     "incremental_window_rebuild": ORACLE_INCREMENTAL_WINDOW_REBUILD,
+    "dedup_by_key": ORACLE_DEDUP_BY_KEY,
+    "sessions_clean": ORACLE_SESSIONS_CLEAN,
+    "tickets_clean": ORACLE_TICKETS_CLEAN,
+    "mart_user_activity": ORACLE_MART_USER_ACTIVITY,
+    "mart_support_efficiency": ORACLE_MART_SUPPORT_EFFICIENCY,
+    "json_extract_agg": ORACLE_JSON_EXTRACT_AGG,
+    "explode_words_topk": ORACLE_EXPLODE_WORDS_TOPK,
 }
 
 # Headline queries timed by bench.py (kept representative, not exhaustive).
