@@ -1,0 +1,134 @@
+"""Text analysis expression library (north-star ops, BASELINE.json).
+
+Everything here is built from ``pyspark.sql.functions`` — JVM-side,
+codegen-eligible, no Python UDFs. Operates on the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+
+Design for 100 TB: all functions are per-row (embarrassingly parallel,
+no shuffle); arrays stay bounded by document length; nothing collects
+to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small multilingual stopword profile per language, used by both the
+# heuristic language detector and quality scoring. Deliberately tiny and
+# public-knowledge (top function words).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+    "zh": ["de", "le", "shi", "he", "zai", "you", "wo"],
+}
+
+# BPE-ish token boundary: word chars, numbers, or single punctuation —
+# a public regex approximation of subword pre-tokenization.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Subword-ish tokens via regexp_extract_all (letters / digits /
+    single punctuation) — the usual pre-tokenizer approximation for
+    token-count estimation without a real BPE vocab."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(whitespace_tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def stopword_count(col: Column | str, stopwords: list[str]) -> Column:
+    """Number of tokens that are stopwords (with multiplicity)."""
+    toks = whitespace_tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS["en"]
+    n = token_count(col)
+    return F.when(n > 0, stopword_count(col, sw) / n).otherwise(F.lit(0.0))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit scores for heuristic language ID."""
+    return {lang: stopword_count(col, words) for lang, words in STOPWORDS.items()}
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax language by stopword-profile score; deterministic
+    tie-break = lexicographically smallest language code. Falls back to
+    'und' when no profile matches at all."""
+    scores = lang_scores(col)
+    # build struct array (score, lang), take max by (score, reversed lang)
+    pairs = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            for lang, s in sorted(scores.items())
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (the MinHash/Jaccard input set).
+
+    transform over an index sequence + slice keeps this a pure array
+    expression; short documents yield the whole-document shingle.
+    """
+    toks = whitespace_tokens(col)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def char_fingerprint(col: Column | str, modulus: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the document's characters (base 31,
+    prime modulus) — a deterministic whole-document fingerprint, the
+    building block for content-defined chunking / winnowing.
+
+    Pure fold over the char array; identical algorithm is expressible in
+    the DuckDB oracle via list_reduce, so this stays hash-checkable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % modulus,
+    )

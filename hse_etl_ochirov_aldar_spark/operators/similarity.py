@@ -1,0 +1,136 @@
+"""Embedding similarity search (north-star ops, BASELINE.json).
+
+Two paths over an ``array<float>`` embedding column:
+
+- brute-force cosine top-k: the exact baseline. Query set is broadcast;
+  each partition scores its rows and keeps a local top-k via window
+  rank on the (already small) per-query candidate sets.
+- IVF-style bucketed search: a coarse quantizer (here: the clustering
+  label column, standing in for k-means cell ids) restricts scoring to
+  the probe's cell — the classic inverted-file trade of recall for a
+  |cells|-fold cost cut. At 100 TB this is the difference between
+  scanning everything per query and scanning one shard.
+
+All vector math is sequential folds over zipped arrays (JVM codegen,
+double precision) — deterministic, hence oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (query_id, embedding) is broadcast — the corpus streams
+    once regardless of query count. Ranking uses the cosine rounded to
+    ``scale`` decimals with id tie-break, making order deterministic
+    across engines. Self-matches are excluded when ids collide.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    query_id_col: str = "query_id",
+    scale: int = 6,
+) -> DataFrame:
+    """IVF-bucketed top-k: score only corpus rows in the query's cell.
+
+    The cell assignment here is the precomputed ``label`` column (the
+    coarse quantizer's output); in a full system the quantizer is a
+    k-means fit + nearest-centroid assignment, and multi-probe extends
+    the join to the p nearest cells. The equi-join on cell id replaces
+    the cross join — shuffle-partitioned by cell, broadcast when the
+    query side is small.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(cell_col).alias("q_cell"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(cell_col).alias("c_cell"),
+        )
+        .join(q, F.col("c_cell") == F.col("q_cell"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,236 @@
+"""Document deduplication families (north-star ops, BASELINE.json).
+
+Four strategies, all pure DataFrame programs (no Python in the row
+path), each returning either a deduped corpus or candidate duplicate
+pairs:
+
+- exact:       hash-groupBy on normalized text (one shuffle)
+- MinHash+LSH: shingle -> k minhashes -> bands -> bucket join (shuffles
+               on band buckets only; no O(n^2) cross join)
+- SimHash:     per-token hash bit-vote -> bucketed hamming check
+- n-gram Jaccard: exact set similarity, verified on LSH candidates only
+
+Scale notes (100 TB): every strategy avoids the quadratic pair space by
+bucketing (LSH bands / simhash prefixes); the only all-pairs work
+happens within buckets, whose size is bounded by collision probability.
+AQE skew handling splits pathological buckets (e.g. boilerplate shingle
+sets). Candidate verification (exact Jaccard) touches only
+bucket-cojoined pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens, word_shingles
+from .dedup import dedup_keep_first
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text; keeps the smallest id per group
+    (deterministic). One hash shuffle on a 128-bit text digest — we
+    group on md5(text), not the text itself, so shuffle rows carry 16
+    bytes instead of whole documents."""
+    with_key = df.withColumn("__k", F.md5(F.lower(F.trim(F.col(text_col)))))
+    return dedup_keep_first(with_key, ["__k"], [id_col]).drop("__k")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Adds ``minhash`` (array<int> of length num_hashes).
+
+    minhash_j(doc) = min over shingles of hash(shingle, seed_j), with
+    Spark's built-in xxhash64 keyed by seed — per-row array math, no
+    shuffle, no UDF.
+    """
+    shingles = word_shingles(F.col(text_col), shingle_n)
+
+    # NB: default-arg closures (lambda s, j=j: ...) are wrong here —
+    # PySpark's higher-order functions bind lambda params by arity, so a
+    # second parameter receives the element-index column, not the default.
+    def _minhash_for_seed(j: int):
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+
+    sig = F.array(*[_minhash_for_seed(j) for j in range(num_hashes)])
+    return df.withColumn("minhash", sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    Docs agreeing on ALL hashes within >=1 band land in the same bucket;
+    a self-join per band yields candidates. The join key is
+    (band_index, hash of the band slice) so the shuffle carries one
+    64-bit key per doc per band — n*bands rows total, never n^2.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n).select(
+        F.col(id_col).alias("id"), "minhash"
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("minhash"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (verification stage).
+
+    Joins each side's shingle set to the candidate list, then computes
+    |A ∩ B| / |A ∪ B| with array expressions. Only candidate pairs pay
+    the set math — the LSH stage already killed the quadratic blowup.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    joined = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dedup: LSH candidates -> Jaccard verify ->
+    connected-to-minimum representative -> filter.
+
+    Representative assignment is one round of min-propagation (keep a
+    doc unless a verified duplicate with a smaller id exists). For
+    transitive chains a full connected-components (iterate to fixpoint)
+    can be layered on; single-round matches the common near-dup-removal
+    semantics of keeping the first seen of each dup cluster.
+    """
+    verified = ngram_jaccard_pairs(
+        df, minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs),
+        id_col, text_col, threshold=threshold,
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Adds a ``simhash`` BIGINT column: per-token xxhash64 bit-vote.
+
+    bit_i(doc) = 1 if sum over tokens of (+1 if hash bit set else -1) > 0.
+    Expressed as one fold per bit over the token-hash array — wide but
+    branch-free codegen; no shuffle.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # arity-safe closure (see minhash_signatures note)
+    def _vote_for_bit(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    votes = [F.aggregate(hashes, F.lit(0), _vote_for_bit(i)) for i in range(bits)]
+    sim = None
+    for i, v in enumerate(votes):
+        term = F.when(v > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return df.withColumn("simhash", sim)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    Bucketing: docs are joined only within equal high-``prefix_bits``
+    of the simhash (a standard multi-probe simplification of the
+    Charikar rotation scheme); hamming distance computed via
+    bit_count(xor). Shuffle key is the prefix — no cross join.
+    """
+    s = simhash(df, text_col, bits).select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.shiftright(F.col("simhash"), bits - prefix_bits).alias("bucket"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )

@@ -31,9 +31,26 @@ from .functions.exact import (
     units,
     units_sum,
 )
+from .functions.text import (
+    BPE_TOKEN_REGEX,
+    STOPWORDS,
+    bpe_token_count,
+    char_fingerprint,
+    predicted_lang,
+    stopword_count,
+    token_count,
+)
 from .operators.aggregates import conditional_count, daily_avg, mode_by_group
 from .operators.dedup import dedup_keep_first
 from .operators.percentile import percentile_trim
+from .operators.similarity import brute_force_topk, ivf_topk
+from .operators.text_dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
 from .operators.topk import topk_extremes
 from .sources.readers import load_table
 
@@ -554,6 +571,279 @@ QUALIFY rank <= 3
 """
 
 # ---------------------------------------------------------------------------
+# North-star: LLM-data-pipeline operators over documents / embeddings
+# (BASELINE.json north_star; beyond the reference's own surface).
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup via md5 hash-groupBy, keep smallest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_EXACT_DEDUP_DOCS = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id) = 1
+"""
+
+
+def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality profile: token counts, punctuation ratio,
+    stopword ratio. Ratios are single divisions of exact BIGINT sums
+    (numerator/denominator aggregated separately) — deterministic across
+    engines without rounding tricks."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        token_count(text).alias("n_tokens"),
+        F.length(text).alias("n_chars_total"),
+        F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        stopword_count(text, STOPWORDS["en"]).alias("n_stop"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars_total").alias("total_chars"),
+            F.sum("n_punct").alias("total_punct"),
+            F.sum("n_stop").alias("total_stop"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            avg_units_expr("total_tokens", "n_docs", 0, 2).alias("avg_tokens"),
+            F.round(F.col("total_punct") / F.col("total_chars"), 6).alias("punct_ratio"),
+            F.round(F.col("total_stop") / F.col("total_tokens"), 6).alias("stopword_ratio"),
+        )
+    )
+
+
+ORACLE_TEXT_QUALITY_STATS = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars_total,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> list_contains({STOPWORDS['en']!r}, lower(x)))) AS n_stop
+  FROM documents
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars_total) AS BIGINT) AS total_chars,
+         CAST(sum(n_punct) AS BIGINT) AS total_punct,
+         CAST(sum(n_stop) AS BIGINT) AS total_stop
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       {oracle_avg_units('total_tokens', 'n_docs', 0, 2)} AS avg_tokens,
+       round(CAST(total_punct AS DOUBLE) / total_chars, 6) AS punct_ratio,
+       round(CAST(total_stop AS DOUBLE) / total_tokens, 6) AS stopword_ratio
+FROM g
+"""
+
+
+def q_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting per language (the
+    token-budget estimator of a training-data pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_ws_tokens",
+            "total_bpe_tokens",
+            avg_units_expr("total_bpe_tokens", "n_docs", 0, 2).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+ORACLE_TOKEN_COUNT_STATS = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+         len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}', 0)) AS bpe_tokens
+  FROM documents
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, total_ws_tokens, total_bpe_tokens,
+       {oracle_avg_units('total_bpe_tokens', 'n_docs', 0, 2)} AS avg_bpe_tokens
+FROM g
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID -> confusion counts
+    (true lang x predicted lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predicted_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', {words!r})".replace('"', "'") for lang, words in sorted(STOPWORDS.items())
+)
+
+ORACLE_LANG_ID_CONFUSION = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS t
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, v.pl,
+         len(list_filter(t, x -> list_contains(v.sw, x))) AS sc
+  FROM toks, (VALUES {_SW_VALUES}) v(pl, sw)
+),
+best AS (
+  SELECT doc_id, lang, CASE WHEN sc > 0 THEN pl ELSE 'und' END AS predicted
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, pl ASC) = 1
+)
+SELECT lang, predicted, count(*) AS n FROM best GROUP BY lang, predicted
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (base-31, prime-modulus) whole-document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", char_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+# --- near-duplicate detection (rows-only driver check; invariants in tests) --
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str, n_dups: int = 20) -> DataFrame:
+    """Corpus + deterministic injected near-duplicates (first n docs with
+    a token appended, ids offset by 1,000,000) — mirrors the reference's
+    deliberately seeded duplicates testbed (seed_mongo.py:130-133)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dups = docs.where(F.col("doc_id") < n_dups).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearduplicate tail")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 19).alias("n_chars"),
+    )
+    return docs.unionByName(dups)
+
+
+def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup over the dup-injected corpus; survivors
+    per language. Non-SQL-expressible -> rows-only driver check; exact
+    invariants (injected dups all removed) asserted in tests/."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    kept = minhash_dedup(corpus, threshold=0.6)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucketed near-pair detection over the dup-injected corpus."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return simhash_near_pairs(corpus, max_hamming=6, prefix_bits=4)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard (>= 0.6)."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    cands = minhash_lsh_candidates(corpus)
+    return ngram_jaccard_pairs(corpus, cands, threshold=0.6)
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 broadcast query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _ann_queries(spark, sf_dir), k=5)
+
+
+_ORACLE_COS = (
+    "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+ORACLE_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_ORACLE_COS} AS cos_sim
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed top-5: only the query's coarse cell is scored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _ann_queries(spark, sf_dir), k=5)
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_ORACLE_COS} AS cos_sim
+  FROM q JOIN embeddings c ON c.label = q.label
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -570,6 +860,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mart_support_efficiency": q_mart_support_efficiency,
     "json_extract_agg": q_json_extract_agg,
     "explode_words_topk": q_explode_words_topk,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "text_quality_stats": q_text_quality_stats,
+    "token_count_stats": q_token_count_stats,
+    "lang_id_confusion": q_lang_id_confusion,
+    "doc_fingerprint": q_doc_fingerprint,
+    "near_dedup_minhash": q_near_dedup_minhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -585,6 +885,15 @@ ORACLES: dict[str, str] = {
     "mart_support_efficiency": ORACLE_MART_SUPPORT_EFFICIENCY,
     "json_extract_agg": ORACLE_JSON_EXTRACT_AGG,
     "explode_words_topk": ORACLE_EXPLODE_WORDS_TOPK,
+    "exact_dedup_docs": ORACLE_EXACT_DEDUP_DOCS,
+    "text_quality_stats": ORACLE_TEXT_QUALITY_STATS,
+    "token_count_stats": ORACLE_TOKEN_COUNT_STATS,
+    "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    # near_dedup_minhash / simhash_near_pairs / ngram_jaccard_pairs are
+    # non-SQL-expressible (LSH banding) -> rows-only driver check.
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
 }
 
 # Headline queries timed by bench.py (kept representative, not exhaustive).
