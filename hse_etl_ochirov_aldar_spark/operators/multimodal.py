@@ -1,0 +1,104 @@
+"""Multimodal column plumbing (north-star op, BASELINE.json).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with a
+typed metadata struct, processed by Arrow-batched ``mapInPandas``
+pipelines — the canonical Spark pattern for media feature extraction:
+
+    media table (id, payload binary, meta struct)
+      -> mapInPandas(decode_and_extract, schema)   # per-batch Python
+      -> typed feature columns (JVM side again)
+
+The actual decoders (PIL/librosa/ffmpeg) are NOT in this container, so
+``decode_image`` raises NotImplementedError behind a clearly-marked
+gate, and ``fake_decode_features`` provides a deterministic stand-in so
+the Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signature — is real and tested end-to-end.
+
+Scale notes: payloads never pass through Python row-by-row; Arrow moves
+columnar batches. ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds batch memory (media payloads are big — set it low, e.g. 64, in
+a real deployment). Feature extraction is embarrassingly parallel; no
+shuffle until the downstream aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_FEATURES_SCHEMA = (
+    "media_id LONG, kind STRING, n_bytes INT, checksum LONG, "
+    "width INT, height INT, duration_s DOUBLE"
+)
+
+_HAVE_REAL_DECODERS = False  # PIL / librosa / ffmpeg not in this container
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decoder gate. Replace the body when PIL is available."""
+    if not _HAVE_REAL_DECODERS:
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow, not present in this "
+            "environment; use fake_decode_features for plumbing tests"
+        )
+
+
+def fake_decode_features(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in for decode+feature-extract: derives
+    pseudo width/height/duration from a byte checksum. Same signature
+    and output schema as a real decoder would produce."""
+    checksum = 0
+    for b in payload:
+        checksum = (checksum * 131 + b) % 1_000_000_007
+    return {
+        "n_bytes": len(payload),
+        "checksum": checksum,
+        "width": 16 + checksum % 1024 if kind == "image" else None,
+        "height": 16 + (checksum // 7) % 1024 if kind == "image" else None,
+        "duration_s": round((checksum % 36000) / 100.0, 2) if kind in ("audio", "video") else None,
+    }
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas pipeline over (media_id, kind, payload) -> features.
+
+    The per-batch function works on pandas DataFrames (Arrow transfer);
+    output conforms to MEDIA_FEATURES_SCHEMA so downstream stays typed
+    and JVM-side.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                fake_decode_features(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "checksum": [f["checksum"] for f in feats],
+                    "width": pd.array([f["width"] for f in feats], dtype="Int32"),
+                    "height": pd.array([f["height"] for f in feats], dtype="Int32"),
+                    "duration_s": pd.array(
+                        [f["duration_s"] for f in feats], dtype="float64"
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(process, MEDIA_FEATURES_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Test fixture builder: wraps document text bytes as fake media
+    payloads (deterministic), preserving the real media-table shape."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )

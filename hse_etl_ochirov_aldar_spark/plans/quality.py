@@ -1,0 +1,54 @@
+"""Data-quality gates (SURVEY.md P9, A9, I6).
+
+The reference's only correctness machinery: non-empty row-count gates
+that fail the DAG (mongo_to_postgres_replication.py:274-287,
+build_analytical_marts.py:130-138) and a CHECK constraint
+(rating BETWEEN 1 AND 5, final-module-3/init/init.sql:67).
+
+Spark has no constraints; these are explicit validation actions. Each
+is a single job (count / limited aggregation) — cheap relative to the
+pipeline they gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class QualityError(RuntimeError):
+    """Raised when a gate fails — the DAG-failure analogue."""
+
+
+def expect_nonempty(df: DataFrame, name: str = "dataset") -> DataFrame:
+    """A9/I6: fail unless the dataset has at least one row."""
+    if df.limit(1).count() == 0:
+        raise QualityError(f"{name}: expected non-empty result")
+    return df
+
+
+def violation_count(df: DataFrame, predicate: Column) -> int:
+    """P9: rows violating a domain check (e.g. ``rating BETWEEN 1 AND 5``)."""
+    return df.where(~predicate).count()
+
+
+def expect_check(df: DataFrame, predicate: Column, name: str = "check") -> DataFrame:
+    """CHECK-constraint analogue: fail if any row violates the predicate."""
+    bad = violation_count(df, predicate)
+    if bad:
+        raise QualityError(f"{name}: {bad} rows violate the constraint")
+    return df
+
+
+def expect_unique_key(df: DataFrame, key_cols: list[str], name: str = "pk") -> DataFrame:
+    """PK analogue: fail if the key is not unique."""
+    dupes = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dupes:
+        raise QualityError(f"{name}: duplicate keys on {key_cols}")
+    return df

@@ -787,6 +787,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, cands, threshold=0.6)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched mapInPandas feature extraction
+    -> per-kind aggregate. Decode is a deterministic fake (real decoders
+    absent in this environment, see operators/multimodal.py); the Spark
+    plumbing (schema, batching, partition parallelism) is real.
+    Non-SQL-expressible -> rows-only driver check."""
+    from .operators.multimodal import documents_as_media, extract_media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs, "image").unionByName(
+        documents_as_media(docs.where(F.col("doc_id") % 3 == 0), "audio").withColumn(
+            "media_id", F.col("media_id") + 10_000_000
+        )
+    )
+    feats = extract_media_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("checksum").alias("checksum_total"),
+    )
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -870,6 +892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,0 +1,81 @@
+"""Structured Streaming extension (SURVEY.md §2.9).
+
+The reference has no true streaming — its `@daily` Airflow schedule
+re-runs a batch (HW-4/airflow/dags/iot_temperature.py:271). The
+Spark-native reading of that contract is a Structured Streaming job
+with:
+
+- ``trigger(availableNow=True)``: process everything available, then
+  stop — exactly a scheduled batch run, but incremental via the
+  checkpoint (only new files are read on the next run; the reference
+  re-downloads and recomputes everything every day).
+- watermark + tumbling 1-day window: the principled late-data story the
+  reference lacks (its only late-data handling is the last-7-days
+  rebuild window, I2).
+
+At scale: state is bounded by (watermark horizon x days) aggregate rows;
+file-source listing is incremental; output mode ``update``/``append``
+writes only changed windows per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_daily_avg(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """readStream over a parquet directory of events -> watermarked
+    1-day tumbling-window average of ``value`` (streaming twin of
+    operators.aggregates.daily_avg / SURVEY Q2)."""
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            F.round(F.col("avg_value"), 2).alias("avg_value"),
+            "n_readings",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, checkpoint_dir: str, query_name: str = "daily_avg_stream"
+):
+    """Run to completion with availableNow (the scheduled-batch analogue)
+    into an in-memory sink; returns the finished StreamingQuery."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,70 @@
+"""JSON/XML payload normalization (SURVEY Q10) on self-contained
+fixtures shaped like the reference's payloads (optional favFoods field,
+attributed XML elements)."""
+
+from __future__ import annotations
+
+from hse_etl_ochirov_aldar_spark.operators.normalize import (
+    normalize_nutrition_xml,
+    normalize_pets_json,
+)
+
+PETS_PAYLOAD = """
+{"pets": [
+  {"name": "Rex", "species": "dog", "favFoods": ["kibble", "cheese"],
+   "birthYear": 2019, "photo": "rex.jpg"},
+  {"name": "Purrseus", "species": "cat", "favFoods": ["tuna"],
+   "birthYear": 2021, "photo": "cat.jpg"},
+  {"name": "Goldie", "species": "fish", "birthYear": 2023, "photo": "g.jpg"}
+]}
+"""
+
+NUTRITION_PAYLOAD = """
+<nutrition>
+  <daily_values>
+    <total_fat units="g">70</total_fat>
+    <sodium units="mg">2400</sodium>
+  </daily_values>
+  <food>
+    <name>Avocado Dip</name>
+    <serving units="g">29</serving>
+    <calories total="110" fat="100"/>
+    <vitamins><a>0</a><c>0</c></vitamins>
+  </food>
+  <food>
+    <name>Bagels</name>
+    <serving units="g">104</serving>
+    <calories total="300" fat="35"/>
+    <vitamins><a>0</a><c>10</c></vitamins>
+  </food>
+</nutrition>
+"""
+
+
+def test_pets_json_normalization(spark):
+    payloads = spark.createDataFrame([(PETS_PAYLOAD,)], ["payload"])
+    pets, favfoods = normalize_pets_json(payloads)
+    prows = {r.name: r for r in pets.collect()}
+    assert set(prows) == {"Rex", "Purrseus", "Goldie"}
+    assert prows["Rex"].fav_foods_joined == "kibble;cheese"
+    # optional favFoods absent -> empty join string, no child rows
+    assert prows["Goldie"].fav_foods_joined == ""
+    frows = favfoods.collect()
+    assert len(frows) == 3  # kibble, cheese, tuna
+    assert {r.food for r in frows} == {"kibble", "cheese", "tuna"}
+    # surrogate keys dense 1..n by array position
+    assert sorted(r.pet_id for r in pets.collect()) == [1, 2, 3]
+
+
+def test_nutrition_xml_normalization(spark):
+    payloads = spark.createDataFrame([(NUTRITION_PAYLOAD,)], ["payload"])
+    foods, dv = normalize_nutrition_xml(payloads)
+    frows = {r.name: r for r in foods.collect()}
+    assert set(frows) == {"Avocado Dip", "Bagels"}
+    assert frows["Avocado Dip"].serving_amount == 29
+    assert frows["Avocado Dip"].serving_units == "g"
+    assert frows["Bagels"].calories_total == 300
+    assert frows["Bagels"].vitamin_c == 10
+    d = dv.collect()[0]
+    assert d.total_fat == 70 and d.total_fat_units == "g"
+    assert d.sodium == 2400 and d.sodium_units == "mg"

@@ -1,0 +1,105 @@
+"""Streaming extension + incremental-engine invariants.
+
+- streaming daily avg over the events table == batch daily avg on the
+  same data (the availableNow scheduled-batch contract)
+- HW-4's design invariant (HW-4/airflow/dags/iot_temperature.py:109-113):
+  incremental window rebuild with global percentiles == the same window
+  of a full rebuild
+- sinks: dynamic partition overwrite touches only the written window;
+  upsert keeps newest per key
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hse_etl_ochirov_aldar_spark.operators.percentile import percentile_trim
+from hse_etl_ochirov_aldar_spark.operators.aggregates import daily_avg
+from hse_etl_ochirov_aldar_spark.queries import (
+    _events_base,
+    q_daily_avg,
+    q_incremental_window_rebuild,
+)
+from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+from hse_etl_ochirov_aldar_spark.sources.sinks import (
+    overwrite_window,
+    upsert_keep_newest,
+    write_partitioned,
+)
+from hse_etl_ochirov_aldar_spark.streaming.daily import (
+    run_available_now,
+    streaming_daily_avg,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="spark_engine_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_daily_avg_equals_batch(spark, sf_dir, tmpdir):
+    # stage events as a stream-source directory
+    ev = load_table(spark, sf_dir, "events")
+    src = f"{tmpdir}/events_src"
+    ev.write.parquet(src)
+
+    result = streaming_daily_avg(spark, src)
+    run_available_now(result, f"{tmpdir}/ckpt", "t_stream_daily")
+    got = {
+        (str(r.day)): (r.avg_value, r.n_readings)
+        for r in spark.table("t_stream_daily").collect()
+    }
+
+    expected = {
+        str(r.day): (r.avg_value, r.n_readings)
+        for r in daily_avg(
+            ev.select(F.col("ts").cast("date").alias("day"), "value")
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for day, (avg_s, n_s) in got.items():
+        avg_b, n_b = expected[day]
+        assert n_s == n_b, day
+        assert abs(avg_s - avg_b) < 0.011, (day, avg_s, avg_b)
+
+
+def test_incremental_equals_full_window(spark, sf_dir):
+    # HW-4 invariant: incremental (global percentiles, windowed rebuild)
+    # must equal the corresponding window of the full pipeline
+    full = q_daily_avg(spark, sf_dir)
+    incr = q_incremental_window_rebuild(spark, sf_dir)
+    base = _events_base(spark, sf_dir)
+    cutoff = base.agg(F.date_sub(F.max("day"), 7)).collect()[0][0]
+    full_window = {str(r.day): (r.avg_value, r.n_readings)
+                   for r in full.where(F.col("day") >= F.lit(cutoff)).collect()}
+    incr_rows = {str(r.day): (r.avg_value, r.n_readings) for r in incr.collect()}
+    assert incr_rows == full_window
+
+
+def test_dynamic_partition_overwrite(spark, tmpdir):
+    path = f"{tmpdir}/t"
+    df1 = spark.createDataFrame(
+        [(1, "2024-01"), (2, "2024-02")], ["v", "month"]
+    )
+    write_partitioned(df1, path, "month")
+    # rewrite only 2024-02 with new data
+    df2 = spark.createDataFrame([(99, "2024-02")], ["v", "month"])
+    overwrite_window(spark, df2, path, "month")
+    rows = {(r.month, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {("2024-01", 1), ("2024-02", 99)}
+
+
+def test_upsert_keep_newest(spark, tmpdir):
+    path = f"{tmpdir}/u"
+    first = spark.createDataFrame([("a", 1, 10.0), ("b", 1, 20.0)], ["k", "ver", "val"])
+    upsert_keep_newest(spark, first, path, ["k"], "ver")
+    second = spark.createDataFrame([("b", 2, 25.0), ("c", 1, 30.0)], ["k", "ver", "val"])
+    upsert_keep_newest(spark, second, path, ["k"], "ver")
+    rows = {(r.k, r.ver, r.val) for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 1, 10.0), ("b", 2, 25.0), ("c", 1, 30.0)}
