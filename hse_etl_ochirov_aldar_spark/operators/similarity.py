@@ -43,6 +43,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The stream side of a broadcast/nested-loop join runs one task PER
+    INPUT PARTITION — a small corpus read from one parquet file does
+    the whole O(n*q) / O(n^2) scoring on a single core (measured 18x
+    slower at sf0.1). One cheap row-shuffle before the join spreads the
+    quadratic work across the cluster; at real scale the input already
+    has many partitions and this is a near-no-op safeguard."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,7 +77,11 @@ def brute_force_topk(
         )
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            )
+        )
         .crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -83,6 +99,69 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_near_dup_ids(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Ids of embedding-cosine near-duplicates (north-star dedup op).
+
+    A vector is a duplicate iff some vector with a SMALLER id has
+    cosine >= ``threshold`` against it (keep-first semantics, matching
+    the reference's dedup-keeps-one contract,
+    mongo_to_postgres_replication.py:35-39 — here 'first' = lowest id,
+    deterministic). Non-iterative by design: unlike connected-component
+    clustering this is one self-join, SQL-expressible, and
+    oracle-comparable.
+
+    ``block_col=None`` compares all pairs (exact, O(n^2) — the
+    correctness baseline). At scale pass a coarse-quantizer cell column
+    (e.g. ``label``) to only compare within cells — the same
+    recall-for-cost trade as IVF search; true near-dups land in the
+    same cell for any sane quantizer.
+    """
+    left = _spread(
+        vectors.select(
+            F.col(id_col).alias("_a_id"),
+            F.col(vec_col).alias("_a_vec"),
+            *([F.col(block_col).alias("_a_cell")] if block_col else []),
+        )
+    )
+    right = vectors.select(
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_vec"),
+        *([F.col(block_col).alias("_b_cell")] if block_col else []),
+    )
+    cond = F.col("_a_id") < F.col("_b_id")
+    if block_col:
+        pairs = left.join(right, (F.col("_a_cell") == F.col("_b_cell")) & cond)
+    else:
+        pairs = left.crossJoin(right).where(cond)
+    return (
+        pairs.where(
+            F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), scale) >= threshold
+        )
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+
+
+def embedding_near_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Drop embedding-cosine near-duplicates, keeping the lowest id of
+    each duplicate group (left-anti join against the dup-id set)."""
+    dups = embedding_near_dup_ids(vectors, threshold, id_col, vec_col, block_col)
+    return vectors.join(dups, on=id_col, how="left_anti")
 
 
 def ivf_topk(
@@ -112,10 +191,12 @@ def ivf_topk(
         )
     )
     scored = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.col(cell_col).alias("c_cell"),
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                F.col(cell_col).alias("c_cell"),
+            )
         )
         .join(q, F.col("c_cell") == F.col("q_cell"))
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -38,27 +38,37 @@ def exact_dedup(
     return dedup_keep_first(with_key, ["__k"], [id_col]).drop("__k")
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Adds ``minhash`` (array<int> of length num_hashes).
+    """Adds ``minhash`` (array<bigint> of length num_hashes).
 
-    minhash_j(doc) = min over shingles of hash(shingle, seed_j), with
-    Spark's built-in xxhash64 keyed by seed — per-row array math, no
-    shuffle, no UDF.
+    minhash_j(doc) = min over shingles of hash_j(shingle). Computed as
+    ONE fold over the shingle-hash array: each shingle STRING is
+    xxhash64'd exactly once, and the j-th family member is the cheap
+    long-hash xxhash64(h, j). The naive form — num_hashes separate
+    array_min(transform(shingles, xxhash64(s, j))) expressions — gets
+    inlined by CollapseProject into num_hashes full re-tokenizations +
+    string re-hashes per row (~60x slower measured at sf0.1); the
+    single-fold shape is what keeps this linear.
+
+    Per-row array math, no shuffle, no UDF.
     """
-    shingles = word_shingles(F.col(text_col), shingle_n)
-
-    # NB: default-arg closures (lambda s, j=j: ...) are wrong here —
-    # PySpark's higher-order functions bind lambda params by arity, so a
-    # second parameter receives the element-index column, not the default.
-    def _minhash_for_seed(j: int):
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
-
-    sig = F.array(*[_minhash_for_seed(j) for j in range(num_hashes)])
+    seeds = F.array(*[F.lit(j) for j in range(num_hashes)])
+    shingle_hashes = F.transform(
+        word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+    )
+    sig = F.aggregate(
+        shingle_hashes,
+        F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, seeds, lambda m, j: F.least(m, F.xxhash64(h, j))),
+    )
     return df.withColumn("minhash", sig)
 
 
@@ -67,27 +77,35 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
-    Docs agreeing on ALL hashes within >=1 band land in the same bucket;
-    a self-join per band yields candidates. The join key is
-    (band_index, hash of the band slice) so the shuffle carries one
-    64-bit key per doc per band — n*bands rows total, never n^2.
+    Docs agreeing on ALL hashes within >=1 band land in the same
+    bucket. Buckets are built in one expression per row (band structs
+    derived from a single materialized signature), then pairs are
+    emitted per bucket via groupBy + collect_list + in-array
+    combination — the corpus is scanned ONCE and the shuffle carries
+    (band, bucket-hash, id) rows, n*bands total, never n^2. The only
+    quadratic work is inside a bucket, whose size is bounded by LSH
+    collision probability; pathological buckets (boilerplate corpora)
+    are the documented skew caveat — AQE splits the oversized shuffle
+    partitions, and a bucket-size cap can be layered on for 100 TB
+    runs.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_n).select(
         F.col(id_col).alias("id"), "minhash"
     )
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
+    banded = (
+        sigs.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
                         F.xxhash64(
                             F.concat_ws(
                                 ",",
@@ -101,22 +119,32 @@ def minhash_lsh_candidates(
                                 ),
                             )
                         ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+                    ),
+                )
+            ).alias("bb"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("id", "bb.band", "bb.bucket")
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return pairs
@@ -180,23 +208,34 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """Adds a ``simhash`` BIGINT column: per-token xxhash64 bit-vote.
 
     bit_i(doc) = 1 if sum over tokens of (+1 if hash bit set else -1) > 0.
-    Expressed as one fold per bit over the token-hash array — wide but
-    branch-free codegen; no shuffle.
+    ONE fold over the token-hash array carrying a ``bits``-wide vote
+    vector (zip_with against a bit-index array) — each token is hashed
+    exactly once. The per-bit-fold form re-hashes every token ``bits``
+    times once CollapseProject inlines the shared subexpressions (see
+    minhash_signatures). No shuffle.
     """
     toks = whitespace_tokens(F.col(text_col))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    # arity-safe closure (see minhash_signatures note)
-    def _vote_for_bit(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    votes = [F.aggregate(hashes, F.lit(0), _vote_for_bit(i)) for i in range(bits)]
-    sim = None
-    for i, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
+    bit_val = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_val,
+            lambda a, mask: a
+            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_val,
+            lambda v, mask: F.when(v > 0, mask).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.withColumn("simhash", sim)
 
 

@@ -43,7 +43,7 @@ from .functions.text import (
 from .operators.aggregates import conditional_count, daily_avg, mode_by_group
 from .operators.dedup import dedup_keep_first
 from .operators.percentile import percentile_trim
-from .operators.similarity import brute_force_topk, ivf_topk
+from .operators.similarity import brute_force_topk, embedding_near_dedup, ivf_topk
 from .operators.text_dedup import (
     exact_dedup,
     minhash_dedup,
@@ -775,9 +775,13 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash bucketed near-pair detection over the dup-injected corpus."""
+    """SimHash bucketed near-pair detection over the dup-injected
+    corpus, summarized as a hamming-distance histogram (raw pair lists
+    grow quadratically in dense corpora — the histogram is the stable,
+    scale-independent surface)."""
     corpus = _docs_with_near_dups(spark, sf_dir)
-    return simhash_near_pairs(corpus, max_hamming=6, prefix_bits=4)
+    pairs = simhash_near_pairs(corpus, max_hamming=3, prefix_bits=4)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,6 +869,186 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+def q_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: 20 scaled copies (cosine = 1.0)
+    are injected with offset ids; dedup keeps the lowest id of each
+    near-dup group (cos >= 0.95; natural max in this corpus is ~0.51,
+    so exactly the injected copies are dropped). Survivors per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.unionByName(dups)
+    kept = embedding_near_dedup(corpus, threshold=0.95)
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+ORACLE_EMBEDDING_NEAR_DEDUP = """
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)),
+         label
+  FROM embeddings WHERE vec_id < 20
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+)
+SELECT label, count(*) AS n_vecs
+FROM corpus
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+GROUP BY label
+"""
+
+
+# --- semi-structured normalization (SURVEY Q10: S3/S4, J4, F8, F10) ---------
+
+
+def q_json_normalize_pets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10a: a JSON payload (pets array, built deterministically
+    from `part`) goes through a REAL serialize -> from_json -> explode
+    normalization (S3 + J4 + F8); the oracle computes the expected
+    normalized table directly from the base columns."""
+    from .operators.normalize import normalize_pets_json
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 50)
+    keyed_pet = F.struct(
+        F.col("p_partkey").alias("k"),
+        F.struct(
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("species"),
+            F.split("p_type", " ").alias("favFoods"),
+            F.col("p_size").cast("int").alias("birthYear"),
+            F.lit(None).cast("string").alias("photo"),
+        ).alias("pet"),
+    )
+    payload = part.agg(
+        F.to_json(
+            F.struct(
+                F.transform(
+                    F.array_sort(F.collect_list(keyed_pet)), lambda s: s["pet"]
+                ).alias("pets")
+            )
+        ).alias("payload")
+    )
+    pets, _favfoods = normalize_pets_json(payload)
+    return pets
+
+
+ORACLE_JSON_NORMALIZE_PETS = """
+SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS pet_id,
+       p_name AS name,
+       p_brand AS species,
+       CAST(p_size AS INT) AS birth_year,
+       array_to_string(string_split(p_type, ' '), ';') AS fav_foods_joined
+FROM part WHERE p_partkey <= 50
+"""
+
+
+def q_xml_normalize_foods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10b: an XML nutrition payload (attributed elements, built
+    deterministically from `part`) is parsed with schema'd from_xml
+    (F10: attributes as _-prefixed fields, element text as _VALUE) and
+    normalized to a foods table; oracle from the base columns."""
+    from .operators.normalize import normalize_nutrition_xml
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 30)
+    food_xml = F.concat(
+        F.lit("<food><name>"),
+        F.col("p_name"),
+        F.lit('</name><serving units="g">'),
+        F.col("p_size").cast("string"),
+        F.lit('</serving><calories total="'),
+        F.floor("p_retailprice").cast("string"),
+        F.lit('" fat="'),
+        (F.col("p_size") * 10).cast("string"),
+        F.lit('"/><vitamins><a>'),
+        F.length("p_name").cast("string"),
+        F.lit("</a><c>"),
+        (F.col("p_size") % 7).cast("string"),
+        F.lit("</c></vitamins></food>"),
+    )
+    payload = part.agg(
+        F.concat(
+            F.lit(
+                '<root><daily_values><total_fat units="g">65</total_fat>'
+                '<sodium units="mg">2400</sodium></daily_values>'
+            ),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("p_partkey").alias("k"), food_xml.alias("x"))
+                        )
+                    ),
+                    lambda s: s["x"],
+                ),
+            ),
+            F.lit("</root>"),
+        ).alias("payload")
+    )
+    foods, _daily = normalize_nutrition_xml(payload)
+    return foods
+
+
+ORACLE_XML_NORMALIZE_FOODS = """
+SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS food_id,
+       p_name AS name,
+       CAST(p_size AS BIGINT) AS serving_amount,
+       'g' AS serving_units,
+       CAST(floor(p_retailprice) AS BIGINT) AS calories_total,
+       CAST(p_size * 10 AS BIGINT) AS calories_fat,
+       CAST(length(p_name) AS BIGINT) AS vitamin_a,
+       CAST(p_size % 7 AS BIGINT) AS vitamin_c
+FROM part WHERE p_partkey <= 30
+"""
+
+
+# --- streaming (SURVEY §2.9 Spark-native extension) -------------------------
+
+_STREAM_RUN_SEQ = iter(range(1, 1_000_000))
+
+
+def q_streaming_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of daily_avg: events parquet replayed
+    through readStream + watermark + 1-day tumbling window with an
+    availableNow trigger (the reference's @daily batch, Spark-native).
+    The finished in-memory sink table is returned as the result."""
+    import os
+    import tempfile
+
+    from .streaming.daily import run_available_now, streaming_daily_avg
+
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="hse_stream_")
+    src = os.path.join(tmp, "src")
+    events.write.mode("overwrite").parquet(src)
+    name = f"stream_daily_avg_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        streaming_daily_avg(spark, src), os.path.join(tmp, "ckpt"), query_name=name
+    )
+    return spark.table(name)
+
+
+ORACLE_STREAMING_DAILY_AVG = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       round(avg(value), 2) AS avg_value,
+       count(*) AS n_readings
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -893,6 +1077,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "embedding_near_dedup": q_embedding_near_dedup,
+    "json_normalize_pets": q_json_normalize_pets,
+    "xml_normalize_foods": q_xml_normalize_foods,
+    "streaming_daily_avg": q_streaming_daily_avg,
 }
 
 ORACLES: dict[str, str] = {
@@ -917,6 +1105,10 @@ ORACLES: dict[str, str] = {
     # non-SQL-expressible (LSH banding) -> rows-only driver check.
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,
+    "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
+    "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
+    "streaming_daily_avg": ORACLE_STREAMING_DAILY_AVG,
 }
 
 # Headline queries timed by bench.py (kept representative, not exhaustive).
@@ -926,4 +1118,13 @@ BENCH_QUERIES: list[str] = [
     "daily_avg",
     "topk_extremes",
     "incremental_window_rebuild",
+    "sessions_clean",
+    "mart_user_activity",
+    "mart_support_efficiency",
+    "exact_dedup_docs",
+    "text_quality_stats",
+    "near_dedup_minhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_near_dedup",
 ]
