@@ -223,14 +223,16 @@ def q_incremental_window_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HW-4/airflow/dags/iot_temperature.py:109-113, 160-216).
 
     The cutoff is data-relative (max(day) - 7) rather than wall-clock so
-    the query is deterministic (F12 testability note). Both the global
-    bounds and the cutoff ride the same broadcast — no driver collect.
+    the query is deterministic (F12 testability note). It is collected
+    to the driver (one tiny aggregate action, the reference computes
+    its cutoff driver-side too, HW-4/...:114) and inlined as a LITERAL
+    predicate: a cross-joined 1-row cutoff leaves `day >= cutoff` stuck
+    above a nested-loop join, while the literal reaches the scan as a
+    DataFilter and prunes partitions on a date-partitioned source (P8).
     """
     base = _events_base(spark, sf_dir)
-    cutoff = base.agg(F.date_sub(F.max("day"), 7).alias("cutoff"))
-    windowed = base.crossJoin(F.broadcast(cutoff)).where(
-        F.col("day") >= F.col("cutoff")
-    ).drop("cutoff")
+    cutoff = base.agg(F.date_sub(F.max("day"), 7).alias("cutoff")).first()["cutoff"]
+    windowed = base.where(F.col("day") >= F.lit(cutoff))
     trimmed = percentile_trim(windowed, "value", bounds_over=base)
     return daily_avg(trimmed)
 
