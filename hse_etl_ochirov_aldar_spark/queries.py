@@ -196,7 +196,7 @@ clean AS (SELECT base.* FROM base CROSS JOIN p
 
 def q_topk_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q3: top-5 hot + top-5 cold days, ranked, unioned
-    (W1 + T1 + U2), via TakeOrderedAndProject not a global window."""
+    (W1 + T1 + U2), in one pass over the daily aggregate."""
     return topk_extremes(q_daily_avg(spark, sf_dir))
 
 
@@ -871,6 +871,97 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+def q_raw_typing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q1's front-end exactly as the reference sees it: an
+    ALL-STRING raw layer (S1 TEXT staging) typed back via F1
+    multi-format timestamp fallback parse, F2 decimal-comma + NULLIF('')
+    normalization, F3 case/whitespace normalization, P2/P3 filters,
+    then the daily aggregate. The raw strings are built
+    deterministically from `events` in-plan (two timestamp formats by
+    parity, comma decimals, padded uppercase kinds, empty-string gaps),
+    so the oracle computes the expected result from the original
+    columns."""
+    from .functions.cleaning import coalesce_multi_format_timestamp, decimal_comma_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    even = F.col("event_id") % 2 == 0
+    raw = ev.select(
+        "event_id",
+        F.when(even, F.date_format("ts", "dd-MM-yyyy HH:mm:ss"))
+        .otherwise(F.date_format("ts", "dd-MM-yyyy HH:mm"))
+        .alias("noted_date"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(""))
+        .otherwise(F.regexp_replace(F.col("value").cast("string"), "[.]", ","))
+        .alias("temp"),
+        F.when(even, F.upper(F.concat(F.lit("  "), F.col("event_type"), F.lit(" "))))
+        .otherwise(F.col("event_type"))
+        .alias("out_in"),
+    )
+    parsed = raw.select(
+        coalesce_multi_format_timestamp(
+            "noted_date", "dd-MM-yyyy HH:mm:ss", "dd-MM-yyyy HH:mm"
+        )
+        .cast("date")
+        .alias("day"),
+        decimal_comma_to_double("temp").alias("value"),
+        F.lower(F.trim(F.col("out_in"))).alias("event_type"),
+    ).where(
+        F.col("event_type").isin(*_EVENT_KINDS)
+        & F.col("value").isNotNull()
+        & F.col("day").isNotNull()
+    )
+    return daily_avg(parsed)
+
+
+ORACLE_RAW_TYPING_ROUNDTRIP = f"""
+WITH clean AS (
+  SELECT CAST(ts AS DATE) AS day, value
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL AND ts IS NOT NULL AND event_id % 97 <> 0
+)
+{_ORACLE_DAILY_SELECT}
+"""
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact-to-dim join (operators/skew.py): events salted
+    over 16 buckets against a 16x-replicated customer dim, aggregated
+    to per-segment exact-units totals. Result is provably identical to
+    the unsalted join, so the plain-SQL oracle applies."""
+    from .operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).where(F.col("value").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, ["user_id"], salt_buckets=16, how="inner")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            units_sum("value").alias("s_value"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_events",
+            as_value("s_value", 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_SKEW_JOIN_SALTED = f"""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       {oracle_sum_value('value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.value IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
 def q_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: 20 scaled copies (cosine = 1.0)
     are injected with offset ids; dedup keeps the lowest id of each
@@ -1080,6 +1171,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "embedding_near_dedup": q_embedding_near_dedup,
+    "raw_typing_roundtrip": q_raw_typing_roundtrip,
+    "skew_join_salted": q_skew_join_salted,
     "json_normalize_pets": q_json_normalize_pets,
     "xml_normalize_foods": q_xml_normalize_foods,
     "streaming_daily_avg": q_streaming_daily_avg,
@@ -1108,6 +1201,8 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,
+    "raw_typing_roundtrip": ORACLE_RAW_TYPING_ROUNDTRIP,
+    "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
     "streaming_daily_avg": ORACLE_STREAMING_DAILY_AVG,
