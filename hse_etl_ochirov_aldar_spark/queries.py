@@ -871,6 +871,58 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-frame analytics (W-extension: frames are free Spark API
+    surface the reference never exercises, SURVEY §2.5): per event-type
+    7-row trailing average and cumulative count over the daily series.
+    Partitioned by event_type — parallel windows, no global sort."""
+    daily = (
+        _events_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(units_sum("value").alias("s_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type", "day", as_value("s_value", 2).alias("day_value"), "n"
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.avg("day_value").over(w7), 4).alias("avg_7d"),
+        F.sum("n").over(wcum).alias("cum_readings"),
+    )
+
+
+ORACLE_ROLLING_7D_AVG = """
+WITH clean AS (
+  SELECT event_id, CAST(ts AS DATE) AS day, value,
+         lower(trim(event_type)) AS event_type
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS day_value,
+         count(*) AS n
+  FROM clean GROUP BY event_type, day
+)
+SELECT event_type, day,
+       round(avg(day_value) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d,
+       sum(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_readings
+FROM daily
+"""
+
+
 def q_raw_typing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q1's front-end exactly as the reference sees it: an
     ALL-STRING raw layer (S1 TEXT staging) typed back via F1
@@ -1106,6 +1158,47 @@ FROM part WHERE p_partkey <= 30
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (2h gap) of the event stream, batch
+    flavor (streaming/sessionize.py; the applyInPandasWithState twin is
+    exercised in tests). Lag-gap flag -> running-sum session ids ->
+    per-session aggregate; per-user windows, no global sort."""
+    from .streaming.sessionize import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return sessionize_batch(ev, gap_seconds=7200)
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+WITH e AS (
+  SELECT user_id, ts, value FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 7200000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sid AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM sid
+GROUP BY user_id, session_id
+"""
+
+
 # --- streaming (SURVEY §2.9 Spark-native extension) -------------------------
 
 _STREAM_RUN_SEQ = iter(range(1, 1_000_000))
@@ -1171,10 +1264,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "embedding_near_dedup": q_embedding_near_dedup,
+    "rolling_7d_avg": q_rolling_7d_avg,
     "raw_typing_roundtrip": q_raw_typing_roundtrip,
     "skew_join_salted": q_skew_join_salted,
     "json_normalize_pets": q_json_normalize_pets,
     "xml_normalize_foods": q_xml_normalize_foods,
+    "sessionize_events": q_sessionize_events,
     "streaming_daily_avg": q_streaming_daily_avg,
 }
 
@@ -1201,10 +1296,12 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,
+    "rolling_7d_avg": ORACLE_ROLLING_7D_AVG,
     "raw_typing_roundtrip": ORACLE_RAW_TYPING_ROUNDTRIP,
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
     "streaming_daily_avg": ORACLE_STREAMING_DAILY_AVG,
 }
 
@@ -1224,4 +1321,7 @@ BENCH_QUERIES: list[str] = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dedup",
+    "sessionize_events",
+    "rolling_7d_avg",
+    "skew_join_salted",
 ]

@@ -1,0 +1,157 @@
+"""Gap-based sessionization — batch and stateful-streaming twins.
+
+The reference has no sessionization, but its session-table domain
+(user_sessions with start/end times, final-module-3/airflow/dags/
+seed_mongo.py:113-133) makes it the natural custom STATEFUL operator
+for the Spark-native streaming extension (SURVEY §2.9): group events
+by user, close a session when the gap to the next event exceeds
+``gap_seconds``.
+
+- ``sessionize_batch``: lag-gap flag + running sum over a per-user
+  window -> session ids -> per-session aggregate. Pure DataFrame ops,
+  two shuffles on user_id (window + groupBy share the same hash
+  partitioning, so Catalyst reuses the exchange). SQL-expressible,
+  oracle-checked.
+- ``sessionize_stream``: the same semantics as an
+  ``applyInPandasWithState`` operator — per-user state carries the
+  open session across micro-batches; closed sessions are emitted in
+  append mode. This is the piece plain watermarked windows cannot
+  express (session windows have data-driven, unaligned boundaries).
+
+Scale notes: state per user is one fixed-size tuple — memory is
+O(active users), not O(events). At 100 TB the batch variant's window
+is per-user (parallel, no global sort); the stream variant shuffles
+each micro-batch once on user_id. Production hardening would add an
+event-time timeout (GroupStateTimeout.EventTimeTimeout) to evict
+users idle past the watermark; the availableNow replay used in tests
+processes time-ordered files, which the in-batch sort covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user gap sessions: (user_id, session_start, session_end,
+    n_events, total_value), one row per session. ``total_value`` sums
+    in exact cent units to stay engine-independent."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    new_session = (
+        F.when(
+            us - F.lag(us).over(w) > gap_seconds * 1_000_000, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    with_sid = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    ).withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .drop("session_id")
+    )
+
+
+def _make_sessionizer(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def sessionize(key: tuple, pdfs: Iterator[Any], state: Any) -> Iterator[Any]:
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us, last_us, n, total = None, None, 0, 0.0
+        closed: list[tuple] = []
+        for ts, val in zip(rows["ts"], rows["value"]):
+            us = int(ts.value // 1_000)  # pandas ns -> us
+            if last_us is not None and us - last_us > gap_us:
+                closed.append((key[0], start_us, last_us, n, round(total, 2)))
+                start_us, n, total = None, 0, 0.0
+            if start_us is None:
+                start_us = us
+            last_us = us
+            n += 1
+            if val == val and val is not None:  # NaN/None guard
+                total += float(val)
+        state.update((start_us, last_us, n, total))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return sessionize
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Stateful-streaming sessionization over a (user_id, ts, value)
+    stream. Emits a session's row once a later event closes it; the
+    open tail session stays in state (see module docstring for the
+    production timeout story)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_sessionizer(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -103,3 +103,58 @@ def test_upsert_keep_newest(spark, tmpdir):
     upsert_keep_newest(spark, second, path, ["k"], "ver")
     rows = {(r.k, r.ver, r.val) for r in spark.read.parquet(path).collect()}
     assert rows == {("a", 1, 10.0), ("b", 2, 25.0), ("c", 1, 30.0)}
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmpdir):
+    """Closed sessions emitted by the applyInPandasWithState operator
+    must equal the batch sessionizer's output minus each user's open
+    (last) session."""
+    from pyspark.sql import types as T
+    from pyspark.sql import Window
+    from hse_etl_ochirov_aldar_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    src = f"{tmpdir}/sess_src"
+    ev.repartition(1).sortWithinPartitions("ts").write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=7200)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/sess_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+
+    batch = sessionize_batch(ev, gap_seconds=7200)
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    closed_batch = (
+        batch.withColumn("_rn", F.row_number().over(w_last)).where(F.col("_rn") > 1)
+    )
+    expected = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in closed_batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
