@@ -31,7 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each hash-checkable query.
 
-    Queries absent here (none yet) fall back to the driver's weaker
-    rows-only check — reserved for non-SQL-expressible ops.
+    Queries absent here fall back to the driver's weaker rows-only
+    check — reserved for non-SQL-expressible ops (LSH banding,
+    stateful streaming, mapInPandas multimodal plumbing).
     """
     return dict(ORACLES)

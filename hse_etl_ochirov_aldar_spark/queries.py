@@ -1158,6 +1158,56 @@ FROM part WHERE p_partkey <= 30
 """
 
 
+def q_layer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/U1: the reference's own verification query — per-table row
+    counts stacked with UNION ALL (final-module-3/README.md:47-54).
+    Each count is a 1-row partial-aggregated scan; the union is free."""
+    from functools import reduce
+
+    tables = ["region", "nation", "customer", "orders", "lineitem", "events"]
+    counts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in tables
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts)
+
+
+ORACLE_LAYER_COUNTS = """
+SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+UNION ALL SELECT 'nation', count(*) FROM nation
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'events', count(*) FROM events
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 latest-row select, Spark-first: ``max_by`` over a (ts,
+    event_id) tie-break struct — one partial-aggregated shuffle, no
+    window, no sort (the reference does ORDER BY id DESC LIMIT 1,
+    sources_to_linear.py:24)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.max_by("event_type", key).alias("last_event_type"),
+    )
+
+
+ORACLE_LATEST_EVENT_PER_USER = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type
+FROM events
+WHERE ts IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2h gap) of the event stream, batch
     flavor (streaming/sessionize.py; the applyInPandasWithState twin is
@@ -1269,6 +1319,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_salted": q_skew_join_salted,
     "json_normalize_pets": q_json_normalize_pets,
     "xml_normalize_foods": q_xml_normalize_foods,
+    "layer_counts": q_layer_counts,
+    "latest_event_per_user": q_latest_event_per_user,
     "sessionize_events": q_sessionize_events,
     "streaming_daily_avg": q_streaming_daily_avg,
 }
@@ -1301,6 +1353,8 @@ ORACLES: dict[str, str] = {
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
+    "layer_counts": ORACLE_LAYER_COUNTS,
+    "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
     "streaming_daily_avg": ORACLE_STREAMING_DAILY_AVG,
 }
