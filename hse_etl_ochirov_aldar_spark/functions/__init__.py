@@ -7,6 +7,15 @@ from .cleaning import (
     normalized_eq,
     safe_array_size,
 )
+from .text import (
+    bpe_token_count,
+    char_fingerprint,
+    predicted_lang,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    word_shingles,
+)
 
 __all__ = [
     "coalesce_multi_format_timestamp",
@@ -16,4 +25,11 @@ __all__ = [
     "month_of",
     "normalized_eq",
     "safe_array_size",
+    "bpe_token_count",
+    "char_fingerprint",
+    "predicted_lang",
+    "punct_ratio",
+    "stopword_ratio",
+    "token_count",
+    "word_shingles",
 ]

@@ -44,15 +44,20 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+    """Round-robin repartition up to the session's default parallelism,
+    only when the input has fewer partitions.
 
     The stream side of a broadcast/nested-loop join runs one task PER
     INPUT PARTITION — a small corpus read from one parquet file does
     the whole O(n*q) / O(n^2) scoring on a single core (measured 18x
     slower at sf0.1). One cheap row-shuffle before the join spreads the
     quadratic work across the cluster; at real scale the input already
-    has many partitions and this is a near-no-op safeguard."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    has more partitions than cores and the guard makes this a no-op
+    (never collapses a large scan)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def brute_force_topk(

@@ -41,6 +41,20 @@ def exact_dedup(
 _LONG_MAX = (1 << 63) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the default parallelism, only when
+    the input has fewer partitions. Signature folds are per-row CPU
+    work; a corpus read from one small parquet file is one partition,
+    which serializes the whole computation on a single core (measured
+    6.4x slower at sf0.1). At real scale inputs already carry more
+    partitions than cores and this is a no-op — the guard avoids
+    collapsing a large scan into defaultParallelism partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -95,35 +109,37 @@ def minhash_lsh_candidates(
     runs.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n).select(
+    sigs = minhash_signatures(_spread(df), text_col, num_hashes, shingle_n).select(
         F.col(id_col).alias("id"), "minhash"
     )
+    # Explode the band INDEX first, derive the bucket hash above the
+    # Generate: the Generate node is a projection barrier, so the
+    # signature is materialized once per doc. Banding below the explode
+    # (an array of per-band structs) lets CollapseProject inline the
+    # whole fold into every band slice — `bands`x recomputation.
     banded = (
         sigs.select(
             "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(
-                                        F.col("minhash"),
-                                        b * rows_per_band + 1,
-                                        rows_per_band,
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
+            "minhash",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        )
+        .select(
+            "id",
+            "band",
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            F.col("minhash"),
+                            F.col("band") * rows_per_band + 1,
+                            rows_per_band,
+                        ),
+                        lambda x: x.cast("string"),
                     ),
                 )
-            ).alias("bb"),
+            ).alias("bucket"),
         )
-        .select("id", "bb.band", "bb.bucket")
     )
     buckets = (
         banded.groupBy("band", "bucket")
@@ -164,7 +180,7 @@ def ngram_jaccard_pairs(
     |A ∩ B| / |A ∪ B| with array expressions. Only candidate pairs pay
     the set math — the LSH stage already killed the quadratic blowup.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
     joined = (
@@ -254,7 +270,7 @@ def simhash_near_pairs(
     Charikar rotation scheme); hamming distance computed via
     bit_count(xor). Shuffle key is the prefix — no cross join.
     """
-    s = simhash(df, text_col, bits).select(
+    s = simhash(_spread(df), text_col, bits).select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.shiftright(F.col("simhash"), bits - prefix_bits).alias("bucket"),

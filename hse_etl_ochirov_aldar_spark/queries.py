@@ -1158,6 +1158,69 @@ FROM part WHERE p_partkey <= 30
 """
 
 
+def q_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (engine surface beyond the reference, which
+    never uses COUNT(DISTINCT)): exact per-day unique users + event
+    count. Catalyst plans the distinct as a two-phase expand+aggregate;
+    the documented 100 TB escape hatch is approx_count_distinct (HLL,
+    one pass, no expand) at a stated error bound."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_DAILY_UNIQUE_USERS = """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (year -> month -> grand total) over
+    orders, exact-units money. Grouping-set aggregates are a single
+    expand+aggregate in Catalyst — one shuffle for all three levels,
+    not three scans."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.col("o_totalprice"),
+    )
+    return (
+        yearly.rollup("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            units_sum("o_totalprice").alias("s_total"),
+        )
+        .select(
+            "order_year",
+            "order_month",
+            "n_orders",
+            as_value("s_total", 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_SALES_ROLLUP = f"""
+SELECT year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       count(*) AS n_orders,
+       {oracle_sum_value('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+"""
+
+
 def q_layer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/U1: the reference's own verification query — per-table row
     counts stacked with UNION ALL (final-module-3/README.md:47-54).
@@ -1319,6 +1382,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_salted": q_skew_join_salted,
     "json_normalize_pets": q_json_normalize_pets,
     "xml_normalize_foods": q_xml_normalize_foods,
+    "daily_unique_users": q_daily_unique_users,
+    "sales_rollup": q_sales_rollup,
     "layer_counts": q_layer_counts,
     "latest_event_per_user": q_latest_event_per_user,
     "sessionize_events": q_sessionize_events,
@@ -1353,6 +1418,8 @@ ORACLES: dict[str, str] = {
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
+    "daily_unique_users": ORACLE_DAILY_UNIQUE_USERS,
+    "sales_rollup": ORACLE_SALES_ROLLUP,
     "layer_counts": ORACLE_LAYER_COUNTS,
     "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,

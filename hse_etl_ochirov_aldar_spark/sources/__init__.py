@@ -1,3 +1,20 @@
 from .readers import TABLES, load_table, load_tables, read_csv_all_string
+from .sinks import (
+    overwrite_window,
+    upsert_keep_newest,
+    write_bucketed,
+    write_overwrite,
+    write_partitioned,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "read_csv_all_string"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv_all_string",
+    "overwrite_window",
+    "upsert_keep_newest",
+    "write_bucketed",
+    "write_overwrite",
+    "write_partitioned",
+]

@@ -1,3 +1,9 @@
-from .daily import streaming_daily_avg, run_available_now
+from .daily import run_available_now, streaming_daily_avg
+from .sessionize import sessionize_batch, sessionize_stream
 
-__all__ = ["streaming_daily_avg", "run_available_now"]
+__all__ = [
+    "run_available_now",
+    "streaming_daily_avg",
+    "sessionize_batch",
+    "sessionize_stream",
+]
