@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the scale properties the engine claims
+(pushdown, pruning, broadcast selection, no accidental recompute) are
+checked against the optimizer's actual output, not just documented."""
+
+from __future__ import annotations
+
+from hse_etl_ochirov_aldar_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # the shipdate filter reaches the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # the 16-column lineitem scan is pruned to the 7 referenced columns
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_topk_extremes_single_daily_subtree(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_extremes")
+    # one scan per pipeline stage (percentile pass + clean pass), not
+    # re-executed per hot/cold direction (was 4 scans before the
+    # single-pass rewrite)
+    assert plan.count("events.parquet") == 2
+
+
+def test_percentile_bounds_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "clean_percentile_trim")
+    # the 1-row global-bounds side rides a broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_cutoff_is_literal_predicate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "incremental_window_rebuild")
+    # the day >= cutoff predicate is inlined as a literal (scan-level
+    # DataFilter), not a cross-joined 1-row dataframe
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # only the pctl bounds
+
+
+def test_ivf_topk_is_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_ivf_topk")
+    # cell blocking must plan as a hash equi-join, not a cartesian product
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mart_user_activity_broadcasts_mode_sides(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mart_user_activity")
+    # at least one of the small mode-result sides is broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_latest_event_has_no_window_or_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "latest_event_per_user")
+    # max_by formulation: one partial-aggregated shuffle, no window
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
