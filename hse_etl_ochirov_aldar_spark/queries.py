@@ -1158,6 +1158,64 @@ FROM part WHERE p_partkey <= 30
 """
 
 
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/A9/I6 as a first-class query: per-rule violation counts
+    (the reference's CHECK constraint + validation-gate pattern,
+    final-module-3/init/init.sql:67, mongo_to_postgres_replication.py:
+    274-287). One scan per table computes all of that table's rule
+    counts via conditional aggregation (A4); rules are then unpivoted.
+    Zero counts are asserted too — a gate that can't prove zero is no
+    gate."""
+
+    def melt(agg_df: DataFrame, names: list[str]) -> DataFrame:
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("rule_name"),
+                            F.col(n).alias("n_violations"),
+                        )
+                        for n in names
+                    ]
+                )
+            ).alias("r")
+        ).select("r.rule_name", "r.n_violations")
+
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        conditional_count(F.col("l_discount") > 0.08).alias("lineitem_discount_gt_8pct"),
+        conditional_count(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("lineitem_qty_out_of_domain"),
+    )
+    o = load_table(spark, sf_dir, "orders").agg(
+        conditional_count(F.col("o_totalprice") <= 0).alias("orders_nonpositive_total"),
+    )
+    ev = load_table(spark, sf_dir, "events").agg(
+        conditional_count(F.col("ts").isNull()).alias("events_null_ts"),
+        conditional_count(F.col("value") > 400).alias("events_value_above_400"),
+    )
+    return (
+        melt(li, ["lineitem_discount_gt_8pct", "lineitem_qty_out_of_domain"])
+        .unionByName(melt(o, ["orders_nonpositive_total"]))
+        .unionByName(melt(ev, ["events_null_ts", "events_value_above_400"]))
+    )
+
+
+ORACLE_QUALITY_REPORT = """
+SELECT 'lineitem_discount_gt_8pct' AS rule_name,
+       count(*) FILTER (l_discount > 0.08) AS n_violations FROM lineitem
+UNION ALL SELECT 'lineitem_qty_out_of_domain',
+       count(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem
+UNION ALL SELECT 'orders_nonpositive_total',
+       count(*) FILTER (o_totalprice <= 0) FROM orders
+UNION ALL SELECT 'events_null_ts',
+       count(*) FILTER (ts IS NULL) FROM events
+UNION ALL SELECT 'events_value_above_400',
+       count(*) FILTER (value > 400) FROM events
+"""
+
+
 def q_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (engine surface beyond the reference, which
     never uses COUNT(DISTINCT)): exact per-day unique users + event
@@ -1382,6 +1440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_salted": q_skew_join_salted,
     "json_normalize_pets": q_json_normalize_pets,
     "xml_normalize_foods": q_xml_normalize_foods,
+    "quality_report": q_quality_report,
     "daily_unique_users": q_daily_unique_users,
     "sales_rollup": q_sales_rollup,
     "layer_counts": q_layer_counts,
@@ -1418,6 +1477,7 @@ ORACLES: dict[str, str] = {
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
+    "quality_report": ORACLE_QUALITY_REPORT,
     "daily_unique_users": ORACLE_DAILY_UNIQUE_USERS,
     "sales_rollup": ORACLE_SALES_ROLLUP,
     "layer_counts": ORACLE_LAYER_COUNTS,
