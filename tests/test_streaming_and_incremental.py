@@ -158,3 +158,47 @@ def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmpdir):
     }
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmpdir):
+    """Streaming keyed dedup (S9 ON CONFLICT DO NOTHING, stream flavor):
+    dropDuplicates on event_id over a watermarked stream must reproduce
+    the batch distinct count."""
+    from pyspark.sql import types as T
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id", "value")
+    )
+    src = f"{tmpdir}/dedup_src"
+    ev.write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "10 days")
+        .dropDuplicates(["event_id"])
+        .groupBy()
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/dedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup_stream").collect()[0][0]
+    expected = ev.select("event_id").distinct().count()
+    assert got == expected
