@@ -220,3 +220,118 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# --- IVF with a real k-means coarse quantizer ------------------------------
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Fit the IVF coarse quantizer (pyspark.ml KMeans, fixed seed) and
+    return its centroids as a tiny (cell_id, centroid) DataFrame.
+
+    The centroid table is the entire 'index' — broadcastable state,
+    O(n_cells * dim). At 100 TB the fit runs on a sample
+    (`vectors.sample(...)`), which is standard IVF practice; assignment
+    (below) stays a full-data DataFrame op either way.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__fv").fit(feats)
+    spark = vectors.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cell_id INT, centroid ARRAY<DOUBLE>")
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast join + rank: each
+    vector gets its ``n_probe`` closest cells (one output row per
+    (vector, probe)). n_probe=1 labels a corpus; n_probe>1 implements
+    multi-probe search on the query side — the standard recall knob.
+    Deterministic tie-break on cell_id."""
+    from pyspark.sql import Window
+
+    scored = _spread(vectors).crossJoin(F.broadcast(centroids)).select(
+        "*", _l2sq(F.col(vec_col), F.col("centroid")).alias("__d2")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell_id"))
+    return (
+        scored.withColumn("__pr", F.row_number().over(w))
+        .where(F.col("__pr") <= n_probe)
+        .drop("centroid", "__d2", "__pr")
+    )
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end IVF search: fit quantizer -> label corpus (1 cell
+    each) -> multi-probe queries (n_probe cells each) -> score only
+    probed cells -> exact top-k within candidates.
+
+    Cost vs brute force: ~n_probe/n_cells of the corpus is scored per
+    query. Recall is data-dependent (asserted against the brute-force
+    baseline in tests); raise n_probe to trade cost back for recall.
+    """
+    cents = kmeans_centroids(corpus, n_cells, vec_col, seed)
+    labeled = assign_cells(corpus, cents, 1, id_col, vec_col).withColumnRenamed(
+        "cell_id", "c_cell"
+    )
+    probes = assign_cells(queries, cents, n_probe, query_id_col, vec_col)
+    q = F.broadcast(
+        probes.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("cell_id").alias("q_cell"),
+        )
+    )
+    scored = (
+        labeled.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "c_cell",
+        )
+        .join(q, F.col("c_cell") == F.col("q_cell"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -851,6 +851,21 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF: k-means coarse quantizer fit on the corpus, corpus
+    labeled with its nearest cell, queries multi-probed (2 of 8 cells),
+    exact top-5 within candidates. Recall vs brute force is asserted in
+    tests; the quantizer fit is non-SQL-expressible -> rows-only driver
+    check."""
+    from .operators.similarity import ivf_kmeans_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_kmeans_topk(emb, qs, k=5, n_cells=8, n_probe=2)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed top-5: only the query's coarse cell is scored."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1433,6 +1448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "multimodal_features": q_multimodal_features,
     "embedding_near_dedup": q_embedding_near_dedup,
     "rolling_7d_avg": q_rolling_7d_avg,

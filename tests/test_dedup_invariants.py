@@ -72,3 +72,29 @@ def test_simhash_finds_injected_near_pairs(spark, sf_dir):
     injected = pairs.where(F.col("id_b") - F.col("id_a") == 1_000_000).count()
     # simhash prefix bucketing trades recall for cost; expect most found
     assert injected >= int(N_DUPS * 0.5), f"simhash recall too low: {injected}"
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """The k-means IVF path must return complete top-k lists and keep a
+    material fraction of the exact neighbors while scoring only
+    n_probe/n_cells of the corpus."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_kmeans_topk,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_kmeans_topk(emb, qs, k=5, n_cells=8, n_probe=2)
+    ivf_rows = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert len(ivf_rows) == 50  # complete top-5 per query
+
+    bf = brute_force_topk(emb, qs, k=5)
+    bf_rows = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    recall = len(ivf_rows & bf_rows) / len(bf_rows)
+    assert recall >= 0.3, recall
