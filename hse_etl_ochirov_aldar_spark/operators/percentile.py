@@ -34,8 +34,26 @@ def global_percentile_bounds(
     value_col: str,
     lower: float = 0.05,
     upper: float = 0.95,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """1-row DataFrame with exact [lower, upper] percentiles of value_col."""
+    """1-row DataFrame with the [lower, upper] percentiles of value_col.
+
+    ``approx=True`` switches to ``approx_percentile`` (bounded-memory
+    t-digest style sketch, rank error <= 1/accuracy) — the 100 TB
+    escape hatch when the exact aggregate's per-partition value digest
+    would not fit executor memory. Default stays exact to match
+    Postgres ``percentile_cont`` bit-for-bit.
+    """
+    if approx:
+        return df.agg(
+            F.approx_percentile(
+                F.col(value_col), F.lit(lower), F.lit(accuracy)
+            ).alias("p_lo"),
+            F.approx_percentile(
+                F.col(value_col), F.lit(upper), F.lit(accuracy)
+            ).alias("p_hi"),
+        )
     return df.agg(
         F.percentile(F.col(value_col), F.lit(lower)).alias("p_lo"),
         F.percentile(F.col(value_col), F.lit(upper)).alias("p_hi"),
@@ -48,6 +66,7 @@ def percentile_trim(
     lower: float = 0.05,
     upper: float = 0.95,
     bounds_over: DataFrame | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Keep rows whose value lies within the *global* [p_lo, p_hi] band.
 
@@ -56,7 +75,7 @@ def percentile_trim(
     HW-4/airflow/dags/iot_temperature.py:109-113).
     """
     bounds = global_percentile_bounds(bounds_over if bounds_over is not None else df,
-                                      value_col, lower, upper)
+                                      value_col, lower, upper, approx=approx)
     out = df.crossJoin(F.broadcast(bounds))
     out = out.where(F.col(value_col).between(F.col("p_lo"), F.col("p_hi")))
     return out.drop("p_lo", "p_hi")

@@ -84,6 +84,7 @@ def upsert_keep_newest(
     path: str,
     key_cols: list[str],
     version_col: str,
+    partition_col: str | None = None,
 ) -> None:
     """S10/I3: ``ON CONFLICT (key) DO UPDATE`` == keep-newest-per-key.
 
@@ -91,23 +92,43 @@ def upsert_keep_newest(
     within key, keep rn=1, overwrite. On Delta/Iceberg this is a single
     ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` — swap this
     body, keep the signature.
+
+    With ``partition_col`` the upsert is PARTITION-SCOPED: only target
+    partitions present in ``df`` are read and dynamically overwritten —
+    upserting one day into a 100 TB table touches that day, not the
+    table. Requires the target to be laid out by ``partition_col``.
     """
-    try:
-        existing = spark.read.parquet(path)
-        merged = existing.unionByName(df, allowMissingColumns=True)
-    except Exception:  # first write: target does not exist yet
-        merged = df
+    if partition_col is not None:
+        touched = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+        try:
+            existing = spark.read.parquet(path).where(
+                F.col(partition_col).isin(touched)
+            )
+            merged = existing.unionByName(df, allowMissingColumns=True)
+        except Exception:  # first write: target does not exist yet
+            merged = df
+    else:
+        try:
+            existing = spark.read.parquet(path)
+            merged = existing.unionByName(df, allowMissingColumns=True)
+        except Exception:
+            merged = df
     w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
     result = (
         merged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    # Parquet can't overwrite a path while reading it — materialize via
-    # a temp view of collected partitions is wrong at scale; standard
-    # practice is write-to-new-then-swap. Locally we checkpoint through
-    # a staging dir.
+    # Parquet can't overwrite a path while reading it — standard
+    # practice is write-to-new-then-swap; locally we stage through a
+    # sibling dir.
     staging = path.rstrip("/") + "__staging"
     result.write.mode("overwrite").parquet(staging)
     final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(path)
+    if partition_col is not None:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        final.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    else:
+        final.write.mode("overwrite").parquet(path)

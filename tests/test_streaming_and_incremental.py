@@ -202,3 +202,38 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmpdir):
     got = spark.table("t_dedup_stream").collect()[0][0]
     expected = ev.select("event_id").distinct().count()
     assert got == expected
+
+
+def test_partition_scoped_upsert(spark, tmpdir):
+    """Upsert with partition_col only reads/overwrites touched
+    partitions; untouched partitions keep their rows."""
+    path = f"{tmpdir}/pu"
+    first = spark.createDataFrame(
+        [("a", 1, 10.0, "2024-01"), ("b", 1, 20.0, "2024-02")],
+        ["k", "ver", "val", "month"],
+    )
+    upsert_keep_newest(spark, first, path, ["k"], "ver", partition_col="month")
+    second = spark.createDataFrame(
+        [("b", 2, 25.0, "2024-02"), ("c", 1, 30.0, "2024-02")],
+        ["k", "ver", "val", "month"],
+    )
+    upsert_keep_newest(spark, second, path, ["k"], "ver", partition_col="month")
+    rows = {(r.k, r.ver, r.val, r.month) for r in spark.read.parquet(path).collect()}
+    assert rows == {
+        ("a", 1, 10.0, "2024-01"),
+        ("b", 2, 25.0, "2024-02"),
+        ("c", 1, 30.0, "2024-02"),
+    }
+
+
+def test_approx_percentile_bounds_close_to_exact(spark, sf_dir):
+    from hse_etl_ochirov_aldar_spark.operators.percentile import (
+        global_percentile_bounds,
+    )
+
+    base = _events_base(spark, sf_dir)
+    exact = global_percentile_bounds(base, "value").collect()[0]
+    approx = global_percentile_bounds(base, "value", approx=True).collect()[0]
+    spread = exact["p_hi"] - exact["p_lo"]
+    assert abs(approx["p_lo"] - exact["p_lo"]) < 0.05 * spread
+    assert abs(approx["p_hi"] - exact["p_hi"]) < 0.05 * spread
