@@ -102,3 +102,75 @@ def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
         F.lit(kind).alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id LONG, kind STRING, width INT, height INT, payload BINARY"
+)
+
+
+def resize_images(
+    media: DataFrame, target_width: int = 224, target_height: int = 224
+) -> DataFrame:
+    """Image resize as a mapInPandas stage: (media_id, kind, payload) ->
+    resized payload + new dims. The pixel work is a deterministic fake
+    (payload truncated/padded to a size proportional to the target
+    area — a real body would be PIL `Image.resize` per row, identical
+    plumbing). Output stays a binary column so further stages chain.
+    """
+    fake_len = max(16, (target_width * target_height) // 64)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p[:fake_len]).ljust(fake_len, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "width": pd.array([target_width] * len(pdf), dtype="Int32"),
+                    "height": pd.array([target_height] * len(pdf), dtype="Int32"),
+                    "payload": resized,
+                }
+            )
+
+    return media.mapInPandas(process, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame offset.
+
+    The frame OFFSETS and fan-out are pure DataFrame plumbing (explode
+    of an offset sequence — J3, JVM-side); only the frame decode would
+    touch Python, and it is stubbed to a deterministic byte-slice here
+    (a real body runs ffmpeg/PyAV inside a mapInPandas over this
+    exploded frame table). Duration comes from the feature extractor.
+    """
+    feats = extract_media_features(media).where(F.col("kind") == "video")
+    with_offsets = feats.join(
+        media.select("media_id", "payload"), "media_id"
+    ).select(
+        "media_id",
+        "duration_s",
+        "payload",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_frames - 1)),
+                lambda i: F.round(
+                    i * F.col("duration_s") / F.lit(n_frames), 2
+                ),
+            )
+        ).alias("frame_ts"),
+    )
+    # stubbed per-frame decode: a deterministic 32-byte slice keyed by
+    # the frame timestamp (real impl: mapInPandas seek+decode here)
+    return with_offsets.select(
+        "media_id",
+        "frame_ts",
+        F.substring(
+            "payload",
+            F.lit(1) + (F.col("frame_ts") * 10).cast("int") % 32,
+            32,
+        ).alias("frame_bytes"),
+    )

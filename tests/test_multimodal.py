@@ -45,3 +45,37 @@ def test_audio_kind_features(spark, sf_dir):
     rows = feats.collect()
     assert all(r.duration_s is not None for r in rows)
     assert all(r.width is None for r in rows)
+
+
+def test_resize_images_batch_shape(spark, sf_dir):
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        documents_as_media,
+        resize_images,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = documents_as_media(docs, "image")
+    out = resize_images(media, 64, 64).collect()
+    assert len(out) == 50
+    assert all(r.width == 64 and r.height == 64 for r in out)
+    assert len({len(r.payload) for r in out}) == 1  # uniform resized size
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = documents_as_media(docs, "video")
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 20 * 4  # one row per (video, frame)
+    per_media = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r.n == 4 for r in per_media)
+    assert all(r.frame_bytes is not None for r in rows)
