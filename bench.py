@@ -28,8 +28,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # one broken query must not kill the line
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: ERROR {exc}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
