@@ -793,6 +793,59 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, cands, threshold=0.6)
 
 
+def q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard >= 0.6 over the dup-injected
+    corpus — the brute-force ground truth the LSH pipeline approximates
+    (candidates from q_ngram_jaccard_pairs are verified against the same
+    metric). Fully SQL-expressible, so this one carries a value oracle."""
+    from .functions.text import word_shingles
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    sh = corpus.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh")
+    )
+    from .operators.text_dedup import _spread
+
+    a = _spread(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.6)
+    )
+
+
+ORACLE_JACCARD_EXACT_PAIRS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(a.s || b.s)), 4) >= 0.6
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched mapInPandas feature extraction
     -> per-kind aggregate. Decode is a deterministic fake (real decoders
@@ -1446,6 +1499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_minhash": q_near_dedup_minhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "jaccard_exact_pairs": q_jaccard_exact_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -1485,6 +1539,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     # near_dedup_minhash / simhash_near_pairs / ngram_jaccard_pairs are
     # non-SQL-expressible (LSH banding) -> rows-only driver check.
+    "jaccard_exact_pairs": ORACLE_JACCARD_EXACT_PAIRS,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,

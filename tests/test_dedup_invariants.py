@@ -98,3 +98,22 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
     bf_rows = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     recall = len(ivf_rows & bf_rows) / len(bf_rows)
     assert recall >= 0.3, recall
+
+
+def test_lsh_recall_matches_exact_jaccard(spark, sf_dir):
+    """On the deterministic corpus, LSH-candidate + verify recovers
+    EXACTLY the brute-force Jaccard >= 0.6 pair set (100% recall, no
+    false positives after verification)."""
+    from hse_etl_ochirov_aldar_spark.queries import (
+        q_jaccard_exact_pairs,
+        q_ngram_jaccard_pairs,
+    )
+
+    lsh = {
+        (r.id_a, r.id_b) for r in q_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b) for r in q_jaccard_exact_pairs(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
