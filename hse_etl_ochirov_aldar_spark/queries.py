@@ -1397,6 +1397,57 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event is matched to the
+    user's most recent order at or before the event time — one keyed
+    shuffle + per-key sort (the union-and-carry idiom), never a range
+    cross join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_totalprice").alias("last_order_price"),
+    )
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(
+        F.desc("last_order_key")
+    )
+    builds = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return asof_join(
+        ev,
+        builds,
+        key="user_id",
+        probe_ts="ts",
+        build_ts="o_orderdate",
+        attrs=["last_order_key", "last_order_price"],
+    )
+
+
+ORACLE_ASOF_LAST_ORDER = """
+WITH b AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         o_orderkey AS last_order_key, o_totalprice AS last_order_price
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, e.ts, e.value,
+       b.last_order_key, b.last_order_price
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE ts IS NOT NULL) e
+ASOF LEFT JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2h gap) of the event stream, batch
     flavor (streaming/sessionize.py; the applyInPandasWithState twin is
@@ -1515,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sales_rollup": q_sales_rollup,
     "layer_counts": q_layer_counts,
     "latest_event_per_user": q_latest_event_per_user,
+    "asof_last_order": q_asof_last_order,
     "sessionize_events": q_sessionize_events,
     "streaming_daily_avg": q_streaming_daily_avg,
 }
@@ -1553,6 +1605,7 @@ ORACLES: dict[str, str] = {
     "sales_rollup": ORACLE_SALES_ROLLUP,
     "layer_counts": ORACLE_LAYER_COUNTS,
     "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
+    "asof_last_order": ORACLE_ASOF_LAST_ORDER,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
     "streaming_daily_avg": ORACLE_STREAMING_DAILY_AVG,
 }
@@ -1574,6 +1627,7 @@ BENCH_QUERIES: list[str] = [
     "ann_ivf_topk",
     "embedding_near_dedup",
     "sessionize_events",
+    "asof_last_order",
     "rolling_7d_avg",
     "skew_join_salted",
 ]
