@@ -1448,6 +1448,57 @@ ASOF LEFT JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
 """
 
 
+def q_range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join (operators/range_join.py): events
+    matched to the user's orders whose 7-day window contains the event
+    time, via (key, time-bucket) equi-join with 2x build replication —
+    never an inequality nested loop. Per-event match stats."""
+    from .operators.range_join import range_join_bucketed
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & (F.lower(F.trim(F.col("event_type"))) == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("p_start"),
+            (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("p_end"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = range_join_bucketed(
+        ev, purchases, "user_id", "ts", "p_start", "p_end", 7 * 86400
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_purchase_windows"),
+        F.max("purchase_id").alias("max_purchase_id"),
+    )
+
+
+ORACLE_RANGE_JOIN_RECENT_ORDERS = """
+WITH p AS (
+  SELECT user_id, ts AS p_start, ts + INTERVAL 7 DAY AS p_end,
+         event_id AS purchase_id
+  FROM events
+  WHERE ts IS NOT NULL AND lower(trim(event_type)) = 'purchase'
+)
+SELECT e.event_id, count(*) AS n_purchase_windows,
+       max(p.purchase_id) AS max_purchase_id
+FROM events e JOIN p
+  ON e.user_id = p.user_id
+ AND e.ts >= p.p_start AND e.ts < p.p_end
+WHERE e.ts IS NOT NULL
+GROUP BY e.event_id
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2h gap) of the event stream, batch
     flavor (streaming/sessionize.py; the applyInPandasWithState twin is
@@ -1567,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layer_counts": q_layer_counts,
     "latest_event_per_user": q_latest_event_per_user,
     "asof_last_order": q_asof_last_order,
+    "range_join_recent_orders": q_range_join_recent_orders,
     "sessionize_events": q_sessionize_events,
     "streaming_daily_avg": q_streaming_daily_avg,
 }
@@ -1606,6 +1658,7 @@ ORACLES: dict[str, str] = {
     "layer_counts": ORACLE_LAYER_COUNTS,
     "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
     "asof_last_order": ORACLE_ASOF_LAST_ORDER,
+    "range_join_recent_orders": ORACLE_RANGE_JOIN_RECENT_ORDERS,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
     "streaming_daily_avg": ORACLE_STREAMING_DAILY_AVG,
 }
