@@ -846,6 +846,73 @@ WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """
 
 
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-training-data pipeline as ONE declarative query:
+    dup-injected corpus -> quality gate (token-count band + integer-
+    exact punctuation-ratio bound) -> exact dedup (md5 keep-first) ->
+    per-language token budget. Every stage is an engine operator used
+    elsewhere; composition adds no new shuffle beyond dedup + final agg.
+    The punct filter is `n_punct * 5 < n_chars` (ratio < 0.2 in exact
+    integer arithmetic) so both engines decide identically."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    text = F.col("text")
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        text.alias("text"),
+        token_count(text).alias("n_tokens"),
+        F.length(text).alias("n_chars"),
+        F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        bpe_token_count(text).alias("bpe_tokens"),
+    )
+    filtered = scored.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("n_punct") * 5 < F.col("n_chars"))
+    )
+    deduped = dedup_keep_first(
+        filtered.withColumn("__k", F.md5(F.lower(F.trim(text)))),
+        ["__k"],
+        ["doc_id"],
+    ).drop("__k")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+ORACLE_TRAINING_DATA_PREP = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+scored AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}', 0)) AS bpe_tokens
+  FROM corpus
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 10 AND n_tokens <= 1000 AND n_punct * 5 < n_chars
+),
+deduped AS (
+  SELECT * FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                             ORDER BY doc_id) = 1
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+FROM deduped GROUP BY lang
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched mapInPandas feature extraction
     -> per-kind aggregate. Decode is a deterministic fake (real decoders
@@ -1602,6 +1669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
+    "training_data_prep": q_training_data_prep,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -1644,6 +1712,7 @@ ORACLES: dict[str, str] = {
     # near_dedup_minhash / simhash_near_pairs / ngram_jaccard_pairs are
     # non-SQL-expressible (LSH banding) -> rows-only driver check.
     "jaccard_exact_pairs": ORACLE_JACCARD_EXACT_PAIRS,
+    "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,
@@ -1676,6 +1745,7 @@ BENCH_QUERIES: list[str] = [
     "exact_dedup_docs",
     "text_quality_stats",
     "near_dedup_minhash",
+    "training_data_prep",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dedup",
