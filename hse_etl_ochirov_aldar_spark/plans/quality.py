@@ -52,3 +52,35 @@ def expect_unique_key(df: DataFrame, key_cols: list[str], name: str = "pk") -> D
     if dupes:
         raise QualityError(f"{name}: duplicate keys on {key_cols}")
     return df
+
+
+def observed_checks(
+    df: DataFrame,
+    checks: dict[str, Column],
+    name: str = "observed",
+):
+    """Zero-extra-job gates via ``DataFrame.observe``: metrics are
+    accumulated DURING the write/action that consumes ``df``, instead
+    of re-running the pipeline once per gate (each ``expect_*`` above
+    costs a full job — fine for small gates, wasteful when the gated
+    frame is a 100 TB write).
+
+    ``checks`` maps metric name -> aggregate Column (e.g.
+    ``F.count(F.when(~pred, 1))`` for a violation count). Returns
+    ``(df, validate)`` where ``validate()`` must be called AFTER an
+    action on the returned df; it raises QualityError if any metric is
+    nonzero.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(n) for n, c in checks.items()])
+
+    def validate() -> dict:
+        got = obs.get
+        bad = {k: v for k, v in got.items() if v}
+        if bad:
+            raise QualityError(f"{name}: violations {bad}")
+        return got
+
+    return observed, validate

@@ -237,3 +237,35 @@ def test_approx_percentile_bounds_close_to_exact(spark, sf_dir):
     spread = exact["p_hi"] - exact["p_lo"]
     assert abs(approx["p_lo"] - exact["p_lo"]) < 0.05 * spread
     assert abs(approx["p_hi"] - exact["p_hi"]) < 0.05 * spread
+
+
+def test_streaming_checkpoint_incremental_restart(spark, sf_dir, tmpdir):
+    """availableNow + checkpoint = the reference's @daily batch without
+    re-reading history: a restarted query picks up ONLY files appended
+    since the last run, yet the complete-mode aggregate stays correct
+    over all data seen."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    first_half = ev.where(F.col("event_id") % 2 == 0)
+    second_half = ev.where(F.col("event_id") % 2 == 1)
+    src = f"{tmpdir}/inc_src"
+    ckpt = f"{tmpdir}/inc_ckpt"
+    first_half.write.parquet(src)
+
+    result = streaming_daily_avg(spark, src)
+    run_available_now(result, ckpt, "t_inc_1")
+    n1 = spark.table("t_inc_1").agg(F.sum("n_readings")).collect()[0][0]
+    assert n1 == first_half.count()
+
+    # append the second half; restart from the SAME checkpoint
+    second_half.write.mode("append").parquet(src)
+    result2 = streaming_daily_avg(spark, src)
+    run_available_now(result2, ckpt, "t_inc_2")
+    n2 = spark.table("t_inc_2").agg(F.sum("n_readings")).collect()[0][0]
+    assert n2 == ev.count()  # aggregate now covers everything
+
+    # the checkpoint recorded separate offsets per run — the second run
+    # resumed from the first's progress instead of reprocessing history
+    import glob
+
+    progress_files = sorted(glob.glob(f"{ckpt}/offsets/*"))
+    assert len(progress_files) >= 2  # one batch per run at minimum
