@@ -1,0 +1,111 @@
+"""Stream-stream join and foreachBatch upsert sink."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+from hse_etl_ochirov_aldar_spark.streaming.joins import (
+    view_purchase_attribution,
+    write_stream_upsert,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="spark_sj_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.lower(F.trim("event_type")).alias("event_type"),
+        )
+    )
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmpdir):
+    ev = _events(spark, sf_dir)
+    views_dir, purch_dir = f"{tmpdir}/views", f"{tmpdir}/purchases"
+    ev.where(F.col("event_type") == "view").write.parquet(views_dir)
+    ev.where(F.col("event_type") == "purchase").write.parquet(purch_dir)
+
+    vs = spark.readStream.schema(EVENT_SCHEMA).parquet(views_dir)
+    ps = spark.readStream.schema(EVENT_SCHEMA).parquet(purch_dir)
+    joined = view_purchase_attribution(vs, ps, window="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_attr")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/attr_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.view_id, r.purchase_id) for r in spark.table("t_attr").collect()
+    }
+
+    v = ev.where(F.col("event_type") == "view")
+    p = ev.where(F.col("event_type") == "purchase")
+    batch = v.alias("v").join(
+        p.alias("p"),
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("v.ts"))
+        & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    expected = {
+        (r["event_id"], r["p_event_id"])
+        for r in batch.select(
+            F.col("v.event_id").alias("event_id"),
+            F.col("p.event_id").alias("p_event_id"),
+        ).collect()
+    }
+    assert streamed == expected
+    assert len(expected) > 0
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmpdir):
+    ev = _events(spark, sf_dir).limit(0)  # schema only; use synthetic rows
+    src = f"{tmpdir}/up_src"
+    spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00", "view"),
+         (2, 100, "2024-01-01 11:00:00", "view"),
+         (3, 200, "2024-01-01 10:30:00", "view")],
+        ["event_id", "user_id", "ts_s", "event_type"],
+    ).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    latest = stream.select(
+        "user_id", F.col("event_id").alias("ver"), "ts"
+    )
+    target = f"{tmpdir}/up_target"
+    write_stream_upsert(
+        latest, target, f"{tmpdir}/up_ckpt", ["user_id"], "ver",
+        query_name="t_upsert",
+    )
+    rows = {(r.user_id, r.ver) for r in spark.read.parquet(target).collect()}
+    assert rows == {(100, 2), (200, 3)}  # newest per user kept
