@@ -371,20 +371,29 @@ def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     left joins. The lineitem-side mode rides the orders->lineitem fan-out,
     the analogue of the reference's LATERAL UNNEST mode branches.
 
-    Plan shape: the orders scan feeds both session_stats and the priority
-    mode (exchange reuse); each mode input is pre-aggregated before its
-    window, so no raw-row windows anywhere.
+    Plan shape: ONE orders scan feeds a (custkey, month, priority)
+    partial aggregate; the stats re-aggregate from that partial
+    (integer-units sums are associative) and the priority mode ranks
+    it — the naive form scanned and shuffled the raw orders twice.
+    Each mode input is pre-aggregated before its window, so no raw-row
+    windows anywhere.
     """
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "report_month", month_of("o_orderdate")
     )
     li = load_table(spark, sf_dir, "lineitem")
 
+    prio_partial = orders.groupBy(
+        "o_custkey", "report_month", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        units_sum("o_totalprice").alias("s_total"),
+    )
     stats = (
-        orders.groupBy("o_custkey", "report_month")
+        prio_partial.groupBy("o_custkey", "report_month")
         .agg(
-            F.count(F.lit(1)).alias("num_orders"),
-            units_sum("o_totalprice").alias("_s_total"),
+            F.sum("cnt").alias("num_orders"),
+            F.sum("s_total").alias("_s_total"),
         )
         .select(
             "o_custkey",
@@ -394,8 +403,17 @@ def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg_units_expr("_s_total", "num_orders", 2, 2).alias("avg_total"),
         )
     )
-    top_priority = mode_by_group(
-        orders, ["o_custkey", "report_month"], "o_orderpriority", "top_priority"
+    w_prio = Window.partitionBy("o_custkey", "report_month").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    top_priority = (
+        prio_partial.withColumn("__rn", F.row_number().over(w_prio))
+        .where(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            "report_month",
+            F.col("o_orderpriority").alias("top_priority"),
+        )
     )
     exploded = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
         "o_custkey", "report_month", "l_returnflag"
