@@ -1311,6 +1311,38 @@ FROM part WHERE p_partkey <= 30
 """
 
 
+def q_pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per month with one column per
+    status. Explicit pivot values keep the schema static and skip the
+    extra distinct-values job Spark otherwise runs — the rule for
+    production pivots. The reference builds the same shape by hand with
+    FILTER counts (build_analytical_marts.py:113-116)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "report_month", month_of("o_orderdate")
+    )
+    return (
+        o.groupBy("report_month")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "report_month",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+ORACLE_PIVOT_STATUS_BY_MONTH = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
+       count(*) FILTER (o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (o_orderstatus = 'P') AS n_partial
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9/A9/I6 as a first-class query: per-rule violation counts
     (the reference's CHECK constraint + validation-gate pattern,
@@ -1698,6 +1730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_salted": q_skew_join_salted,
     "json_normalize_pets": q_json_normalize_pets,
     "xml_normalize_foods": q_xml_normalize_foods,
+    "pivot_status_by_month": q_pivot_status_by_month,
     "quality_report": q_quality_report,
     "daily_unique_users": q_daily_unique_users,
     "sales_rollup": q_sales_rollup,
@@ -1739,6 +1772,7 @@ ORACLES: dict[str, str] = {
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
+    "pivot_status_by_month": ORACLE_PIVOT_STATUS_BY_MONTH,
     "quality_report": ORACLE_QUALITY_REPORT,
     "daily_unique_users": ORACLE_DAILY_UNIQUE_USERS,
     "sales_rollup": ORACLE_SALES_ROLLUP,

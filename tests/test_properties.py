@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): engine expressions vs plain-Python
+references on generated data. One Spark job per example batch — each
+property collects its generated rows into a single DataFrame pass."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hse_etl_ochirov_aldar_spark.functions.cleaning import (
+    coalesce_multi_format_timestamp,
+    decimal_comma_to_double,
+)
+from hse_etl_ochirov_aldar_spark.functions.text import token_count
+from hse_etl_ochirov_aldar_spark.operators.dedup import dedup_keep_first
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-10_000, max_value=10_000, places=3, allow_nan=False
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_decimal_comma_roundtrip(spark, values):
+    """F2: comma-rendered decimals parse back to the exact double."""
+    rows = [(str(v).replace(".", ","),) for v in values]
+    df = spark.createDataFrame(rows, ["raw"])
+    got = [
+        r[0] for r in df.select(decimal_comma_to_double("raw")).collect()
+    ]
+    expected = [float(v) for v in values]
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1990, 1, 1),
+            max_value=dt.datetime(2100, 1, 1),
+        ).map(lambda d: d.replace(microsecond=0)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_multiformat_timestamp_roundtrip(spark, stamps):
+    """F1: mixed dd-MM-yyyy HH:mm[:ss] strings parse back exactly
+    (seconds format) or to the minute (short format)."""
+    rows = [
+        (
+            d.strftime("%d-%m-%Y %H:%M:%S")
+            if i % 2 == 0
+            else d.strftime("%d-%m-%Y %H:%M"),
+            i,
+        )
+        for i, d in enumerate(stamps)
+    ]
+    df = spark.createDataFrame(rows, ["raw", "i"])
+    got = {
+        r["i"]: r["ts"]
+        for r in df.select(
+            "i",
+            coalesce_multi_format_timestamp(
+                "raw", "dd-MM-yyyy HH:mm:ss", "dd-MM-yyyy HH:mm"
+            ).alias("ts"),
+        ).collect()
+    }
+    for i, d in enumerate(stamps):
+        expected = d if i % 2 == 0 else d.replace(second=0)
+        assert got[i] == expected, (i, d)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=["Lu", "Ll", "Nd", "Zs", "Po"]
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_token_count_matches_python_split(spark, texts):
+    """Whitespace token count == Python's split() length."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", token_count("t").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == len(t.split()), (i, repr(t))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_keep_first_properties(spark, pairs):
+    """A6: output keys unique; each kept row is the min-ordered row of
+    its group; output is a subset of the input."""
+    df = spark.createDataFrame(pairs, ["k", "v"])
+    out = dedup_keep_first(df, ["k"], ["v"]).collect()
+    got = {(r.k, r.v) for r in out}
+    keys = [r.k for r in out]
+    assert len(keys) == len(set(keys))
+    expected = {}
+    for k, v in pairs:
+        if k not in expected or v < expected[k]:
+            expected[k] = v
+    assert got == {(k, v) for k, v in expected.items()}
