@@ -1311,6 +1311,41 @@ FROM part WHERE p_partkey <= 30
 """
 
 
+def q_customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface (EXISTS / NOT EXISTS): per market segment,
+    customers with and without any events. Both plans are one hash
+    join that never materializes the fan-out — the scalable form of
+    the 'has any child row' predicate."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    event_users = load_table(spark, sf_dir, "events").select("user_id")
+    active = (
+        cust.join(event_users, cust.c_custkey == event_users.user_id, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    inactive = (
+        cust.join(event_users, cust.c_custkey == event_users.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+    return active.join(inactive, "c_mktsegment", "outer").select(
+        "c_mktsegment",
+        F.coalesce("n_active", F.lit(0)).alias("n_active"),
+        F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+    )
+
+
+ORACLE_CUSTOMER_ORDER_PRESENCE = """
+SELECT c_mktsegment,
+       count(*) FILTER (EXISTS (SELECT 1 FROM events e
+                                WHERE e.user_id = c.c_custkey)) AS n_active,
+       count(*) FILTER (NOT EXISTS (SELECT 1 FROM events e
+                                    WHERE e.user_id = c.c_custkey)) AS n_inactive
+FROM customer c
+GROUP BY c_mktsegment
+"""
+
+
 def q_pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long -> wide): order counts per month with one column per
     status. Explicit pivot values keep the schema static and skip the
@@ -1730,6 +1765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_salted": q_skew_join_salted,
     "json_normalize_pets": q_json_normalize_pets,
     "xml_normalize_foods": q_xml_normalize_foods,
+    "customer_order_presence": q_customer_order_presence,
     "pivot_status_by_month": q_pivot_status_by_month,
     "quality_report": q_quality_report,
     "daily_unique_users": q_daily_unique_users,
@@ -1772,6 +1808,7 @@ ORACLES: dict[str, str] = {
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
+    "customer_order_presence": ORACLE_CUSTOMER_ORDER_PRESENCE,
     "pivot_status_by_month": ORACLE_PIVOT_STATUS_BY_MONTH,
     "quality_report": ORACLE_QUALITY_REPORT,
     "daily_unique_users": ORACLE_DAILY_UNIQUE_USERS,
