@@ -61,3 +61,29 @@ def test_latest_event_has_no_window_or_sort(spark, sf_dir):
     # max_by formulation: one partial-aggregated shuffle, no window
     assert "Window" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """S12: a month-partitioned clean layer read with a month predicate
+    scans only the matching partition directories (PartitionFilters in
+    the plan, not a post-scan filter)."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+    from hse_etl_ochirov_aldar_spark.sources.sinks import write_partitioned
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .withColumn("month", F.date_format("ts", "yyyy-MM"))
+    )
+    path = str(tmp_path / "clean_events")
+    write_partitioned(ev, path, "month")
+
+    months = [r.month for r in ev.select("month").distinct().collect()]
+    target = sorted(months)[0]
+    pruned = spark.read.parquet(path).where(F.col("month") == target)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan
+    # count matches the unpartitioned filter
+    assert pruned.count() == ev.where(F.col("month") == target).count()
