@@ -767,6 +767,95 @@ SELECT doc_id,
 FROM documents
 """
 
+_WINNOW_K, _WINNOW_W, _WINNOW_P = 8, 4, 1_000_000_007
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document: k=8 char grams,
+    window=4, base-31 polynomial — positional-robust document
+    fingerprint sets, summarized as (count, min, max) per doc.
+
+    RELATIONAL formulation: chars exploded with position, each gram
+    hash is an 8-term lead() polynomial (exact in BIGINT, one mod at
+    the end — same residue as the per-step-mod form the oracle runs),
+    winnowing is a 4-row sliding window MIN. Everything whole-stage
+    codegen; the array-expression form (slice+fold per gram) re-split
+    the text per gram — O(n^2) interpreted, measured 250x slower.
+    Short docs (< k chars) fingerprint as their whole-text hash.
+    """
+    from .functions.text import char_fingerprint
+
+    k, wsz, p = _WINNOW_K, _WINNOW_W, _WINNOW_P
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    long_docs = docs.where(F.col("n") >= k)
+    chars = long_docs.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.split("text", "")).alias("pos", "ch"),
+    ).withColumn("a", F.ascii("ch").cast("long"))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    gram_terms = [
+        (F.lead("a", j).over(w_ord) if j else F.col("a")) * (31 ** (k - 1 - j))
+        for j in range(k)
+    ]
+    gram_sum = gram_terms[0]
+    for t in gram_terms[1:]:
+        gram_sum = gram_sum + t
+    grams = chars.withColumn("gram", gram_sum % p).where(
+        F.col("pos") <= F.col("n") - k
+    )
+    # rowsBetween clips at the partition end, so docs with fewer than
+    # `wsz` grams still get one (shorter) window at pos 0 — matching
+    # the oracle's clipped slice.
+    w_win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wsz - 1)
+    winnowed = grams.withColumn("wmin", F.min("gram").over(w_win)).where(
+        F.col("pos") <= F.greatest(F.col("n") - k - (wsz - 1), F.lit(0))
+    )
+    long_fp = winnowed.groupBy("doc_id").agg(
+        F.countDistinct("wmin").alias("n_fp"),
+        F.min("wmin").alias("min_fp"),
+        F.max("wmin").alias("max_fp"),
+    )
+    short_fp = docs.where(F.col("n") < k).select(
+        "doc_id",
+        F.lit(1).cast("long").alias("n_fp"),
+        char_fingerprint(F.col("text")).alias("min_fp"),
+        char_fingerprint(F.col("text")).alias("max_fp"),
+    )
+    return long_fp.unionByName(short_fp)
+
+
+ORACLE_WINNOW_FINGERPRINTS = """
+WITH base AS (
+  SELECT doc_id, text, greatest(length(text) - 7, 1) AS ng FROM documents
+),
+grams AS (
+  SELECT doc_id, ng,
+         list_transform(range(1, ng + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      range(1, length(substr(text, CAST(i AS INT), 8)) + 1),
+                      j -> CAST(ascii(substr(substr(text, CAST(i AS INT), 8),
+                                             CAST(j AS INT), 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007)) AS gh
+  FROM base
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(ng - 3, 1) + 1),
+           i -> list_aggregate(gh[CAST(i AS INT):CAST(i + 3 AS INT)], 'min'))) AS fp
+  FROM grams
+)
+SELECT doc_id, len(fp) AS n_fp,
+       list_aggregate(fp, 'min') AS min_fp,
+       list_aggregate(fp, 'max') AS max_fp
+FROM winnowed
+"""
+
+
 # --- near-duplicate detection (rows-only driver check; invariants in tests) --
 
 
@@ -1750,6 +1839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_stats": q_token_count_stats,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "near_dedup_minhash": q_near_dedup_minhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1796,6 +1886,7 @@ ORACLES: dict[str, str] = {
     "token_count_stats": ORACLE_TOKEN_COUNT_STATS,
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
     # near_dedup_minhash / simhash_near_pairs / ngram_jaccard_pairs are
     # non-SQL-expressible (LSH banding) -> rows-only driver check.
     "jaccard_exact_pairs": ORACLE_JACCARD_EXACT_PAIRS,
