@@ -31,7 +31,12 @@ BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def whitespace_tokens(col: Column | str) -> Column:
-    """Whitespace tokenization, empty tokens removed."""
+    """Whitespace tokenization, empty tokens removed.
+
+    Whitespace = ASCII ``\\s`` (Java regex; RE2-compatible, so the
+    DuckDB oracles agree). Unicode space characters (U+2000 family)
+    are NOT separators — differs from Python's ``str.split()``.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
