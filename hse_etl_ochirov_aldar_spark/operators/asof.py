@@ -41,6 +41,11 @@ def asof_join(
     pre-deduplicated to one row per (key, build_ts) for deterministic
     results — enforce upstream with dedup_keep_first.
     """
+    clash = set(attrs) & set(probes.columns)
+    if clash:
+        # a probe column sharing an attr name would feed the ignoreNulls
+        # carry and silently corrupt the as-of values
+        raise ValueError(f"asof_join attrs collide with probe columns: {sorted(clash)}")
     p = probes.withColumn("__side", F.lit(1)).withColumn(
         "__t", F.col(probe_ts)
     )

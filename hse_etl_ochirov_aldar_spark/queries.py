@@ -1926,6 +1926,7 @@ BENCH_QUERIES: list[str] = [
     "text_quality_stats",
     "near_dedup_minhash",
     "training_data_prep",
+    "winnow_fingerprints",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dedup",

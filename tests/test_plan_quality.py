@@ -87,3 +87,19 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(month" in plan
     # count matches the unpartitioned filter
     assert pruned.count() == ev.where(F.col("month") == target).count()
+
+
+def test_asof_join_rejects_colliding_attrs(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0)], ["k", "ts_s", "price"]
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "price")
+    builds = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 7.0)], ["k", "bts_s", "price"]
+    ).select("k", F.to_timestamp("bts_s").alias("bts"), "price")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(probes, builds, "k", "ts", "bts", ["price"])
