@@ -103,3 +103,53 @@ def test_asof_join_rejects_colliding_attrs(spark):
     ).select("k", F.to_timestamp("bts_s").alias("bts"), "price")
     with pytest.raises(ValueError, match="collide"):
         asof_join(probes, builds, "k", "ts", "bts", ["price"])
+
+
+def test_range_join_left_keeps_unmatched_probes(spark):
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.range_join import (
+        range_join_bucketed,
+    )
+
+    probes = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-03-01 10:00:00"),
+         (2, "2024-01-01 10:00:00")],
+        ["k", "ts_s"],
+    ).select("k", F.to_timestamp("ts_s").alias("ts"))
+    builds = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "2024-01-01 11:00:00", "w1")],
+        ["k", "s_s", "e_s", "tag"],
+    ).select(
+        "k",
+        F.to_timestamp("s_s").alias("s"),
+        F.to_timestamp("e_s").alias("e"),
+        "tag",
+    )
+    out = range_join_bucketed(
+        probes, builds, "k", "ts", "s", "e", bucket_seconds=7200, how="left"
+    )
+    rows = {(r.k, str(r.ts), r.tag) for r in out.collect()}
+    assert rows == {
+        (1, "2024-01-01 10:00:00", "w1"),
+        (1, "2024-03-01 10:00:00", None),
+        (2, "2024-01-01 10:00:00", None),
+    }
+
+
+def test_bucketed_sorted_write(spark, sf_dir, tmp_path):
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+    from hse_etl_ochirov_aldar_spark.sources.sinks import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        write_bucketed(
+            li, "b_li_sorted", str(tmp_path / "ls"), ["l_orderkey"], 4,
+            sort_cols=["l_orderkey"],
+        )
+        agg = spark.table("b_li_sorted").groupBy("l_orderkey").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert agg.count() == li.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_sorted")
