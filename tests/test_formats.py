@@ -1,0 +1,70 @@
+"""Multi-format source/sink round-trips beyond parquet: ORC and
+JSON-lines (the reference's ingestion world is CSV/JSON/XML + tables;
+a Spark engine additionally speaks the warehouse formats natively)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+
+def _clean_events(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    ev = _clean_events(spark, sf_dir)
+    path = str(tmp_path / "ev_orc")
+    ev.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == ev.count()
+    assert dict(back.dtypes) == dict(ev.dtypes)
+    # predicate pushdown reaches the ORC scan
+    filtered = back.where(F.col("user_id") == 7)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in plan
+    assert filtered.count() == ev.where(F.col("user_id") == 7).count()
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    ev = _clean_events(spark, sf_dir)
+    path = str(tmp_path / "ev_jsonl")
+    # default JSON timestampFormat is millisecond-precision — pin a
+    # microsecond format on BOTH sides or the round-trip silently
+    # truncates (found by this test)
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.option("timestampFormat", fmt).json(path)
+    # schema-on-read, no inference pass (production contract)
+    back = spark.read.schema(ev.schema).option("timestampFormat", fmt).json(path)
+    assert back.count() == ev.count()
+    a = {tuple(str(v) for v in r) for r in ev.collect()}
+    b = {tuple(str(v) for v in r) for r in back.collect()}
+    assert a == b
+
+
+def test_csv_all_string_staging_roundtrip(spark, sf_dir, tmp_path):
+    """S1: CSV staged all-string (the reference's TEXT staging), typed
+    downstream — header + explicit column list."""
+    from hse_etl_ochirov_aldar_spark.sources.readers import read_csv_all_string
+
+    ev = _clean_events(spark, sf_dir).limit(100)
+    path = str(tmp_path / "ev_csv")
+    ev.select(
+        F.col("event_id").cast("string"),
+        F.col("value").cast("string"),
+        "event_type",
+    ).write.option("header", True).csv(path)
+    staged = read_csv_all_string(
+        spark, path, ["event_id", "value", "event_type"]
+    )
+    assert staged.count() == 100
+    assert all(t == "string" for _, t in staged.dtypes)
+    typed = staged.select(
+        F.col("event_id").cast("long"), F.col("value").cast("double")
+    )
+    assert typed.where(F.col("event_id").isNull()).count() == 0
