@@ -1,0 +1,132 @@
+"""Synthetic scale checks — NOT part of the driver bench.
+
+Generates multi-million-row inputs in-plan (spark.range + expressions,
+no disk) and times the engine's scale-critical operators, to verify
+the partitioning/shuffle design holds well past the test fixtures.
+Results are recorded in PERF.md.
+
+    python scale_check.py            # ~2-4 min on local[32]
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from hse_etl_ochirov_aldar_spark.session import get_spark
+
+
+def timed(label, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"check": label, "seconds": dt, "result": out}))
+    return dt
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1) sessionize 10M events over 100k users (window + agg, two
+    #    keyed shuffles)
+    def sessionize_10m():
+        from hse_etl_ochirov_aldar_spark.streaming.sessionize import (
+            sessionize_batch,
+        )
+
+        ev = spark.range(10_000_000).select(
+            (F.col("id") % 100_000).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.xxhash64("id") % 10_000_000)
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), 10000) / 100.0).alias("value"),
+        )
+        return sessionize_batch(ev, gap_seconds=600).count()
+
+    # 2) MinHash LSH candidates over 300k synthetic ~32-word docs
+    def minhash_300k():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            minhash_lsh_candidates,
+        )
+
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.concat(
+                F.lit("w"), (F.pmod(F.xxhash64(F.col("id"), i), 5000)).cast("string")
+            ),
+        )
+        docs = spark.range(300_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+        )
+        return minhash_lsh_candidates(docs).count()
+
+    # 3) hot-key join, 5M facts with 50% on one key: plain vs salted
+    def _skewed_sides():
+        facts = spark.range(5_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), 1000))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        return facts, dim
+
+    def skew_plain():
+        facts, dim = _skewed_sides()
+        # force a shuffle join so the skew actually lands on a reducer
+        return (
+            facts.hint("merge")
+            .join(dim.hint("merge"), "k")
+            .groupBy()
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+
+    def skew_salted():
+        from hse_etl_ochirov_aldar_spark.operators.skew import salted_join
+
+        facts, dim = _skewed_sides()
+        return (
+            salted_join(facts, dim, ["k"], salt_buckets=32)
+            .groupBy()
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+
+    # 4) blocked embedding near-dup over 200k 16-dim vectors in 1000
+    #    cells (the IVF-blocked scale path; exact would be 4e10 pairs)
+    def embedding_blocked_200k():
+        from hse_etl_ochirov_aldar_spark.operators.similarity import (
+            embedding_near_dedup,
+        )
+
+        vecs = spark.range(200_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 1000.0).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+            F.pmod(F.xxhash64("id", F.lit(99)), 1000).cast("int").alias("label"),
+        )
+        return embedding_near_dedup(
+            vecs, threshold=0.999, block_col="label"
+        ).count()
+
+    timed("sessionize_10m_events", sessionize_10m)
+    timed("minhash_lsh_300k_docs", minhash_300k)
+    timed("skewed_join_plain_5m", skew_plain)
+    timed("skewed_join_salted_5m", skew_salted)
+    timed("embedding_near_dedup_blocked_200k", embedding_blocked_200k)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
