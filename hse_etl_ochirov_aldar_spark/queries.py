@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.cleaning import month_of, normalized_eq
+from .functions.cleaning import month_of
 from .functions.exact import (
     as_value,
     avg_units_expr,
