@@ -137,3 +137,42 @@ def test_dedup_keep_first_properties(spark, pairs):
         if k not in expected or v < expected[k]:
             expected[k] = v
     assert got == {(k, v) for k, v in expected.items()}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=100_000), # ts offset seconds
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionize_batch_invariants(spark, rows):
+    """Sessions partition the events: counts sum to the input size,
+    start <= end, and consecutive sessions of a user are separated by
+    more than the gap."""
+    import datetime as dt
+
+    from hse_etl_ochirov_aldar_spark.streaming.sessionize import sessionize_batch
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), 1.0) for u, s in rows],
+        ["user_id", "ts", "value"],
+    )
+    gap = 600
+    sessions = sessionize_batch(df, gap_seconds=gap).collect()
+
+    assert sum(r.n_events for r in sessions) == len(rows)
+    per_user: dict[int, list] = {}
+    for r in sessions:
+        assert r.session_start <= r.session_end
+        per_user.setdefault(r.user_id, []).append(r)
+    for u, ss in per_user.items():
+        ss.sort(key=lambda r: r.session_start)
+        for prev, nxt in zip(ss, ss[1:]):
+            delta = (nxt.session_start - prev.session_end).total_seconds()
+            assert delta > gap, (u, prev, nxt)
