@@ -125,6 +125,64 @@ FROM g
 ORDER BY l_returnflag, l_linestatus
 """
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: revenue per nation for one year,
+    local suppliers only (customer and supplier share a nation). The
+    three dim tables broadcast; the two fact joins (orders-lineitem,
+    lineitem-supplier) hash-shuffle; revenue in exact integer units.
+    Exercises every testdata table the catalog hadn't touched yet."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dims = F.broadcast(
+        customer.join(
+            nation, customer.c_nationkey == nation.n_nationkey
+        ).join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    joined = (
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev4).alias("s_rev4"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "n_items",
+            as_value("s_rev4", 4).alias("revenue"),
+        )
+    )
+
+
+ORACLE_REGIONAL_REVENUE = f"""
+SELECT r_name, n_name, count(*) AS n_items,
+       CAST(sum({oracle_units('l_extendedprice')}
+                * (100 - {oracle_units('l_discount')})) AS DOUBLE) / 10000.0
+         AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE year(o_orderdate) = 1996 AND s_nationkey = c_nationkey
+GROUP BY r_name, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q1-Q4: the IoT pipeline re-hosted on `events` (FIXTURES.md §B).
 # events.ts -> noted_date, events.value -> temp,
@@ -1823,6 +1881,7 @@ GROUP BY 1
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
+    "regional_revenue": q_regional_revenue,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -1870,6 +1929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "regional_revenue": ORACLE_REGIONAL_REVENUE,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -1915,6 +1975,7 @@ ORACLES: dict[str, str] = {
 # Headline queries timed by bench.py (kept representative, not exhaustive).
 BENCH_QUERIES: list[str] = [
     "pricing_summary",
+    "regional_revenue",
     "clean_percentile_trim",
     "daily_avg",
     "topk_extremes",
