@@ -245,7 +245,9 @@ def kmeans_centroids(
     feats = vectors.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv")
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__fv").fit(feats)
+    # maxIter capped: a coarse quantizer converges enough in a few
+    # Lloyd iterations; full convergence buys no recall here
+    model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__fv").fit(feats)
     spark = vectors.sparkSession
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
