@@ -269,3 +269,74 @@ def test_streaming_checkpoint_incremental_restart(spark, sf_dir, tmpdir):
 
     progress_files = sorted(glob.glob(f"{ckpt}/offsets/*"))
     assert len(progress_files) >= 2  # one batch per run at minimum
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmpdir):
+    """Append-mode windowed aggregation with a watermark: an event
+    arriving after the watermark has passed its window is DROPPED (the
+    bounded-lateness contract the reference lacks entirely)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = f"{tmpdir}/late_src"
+    ckpt = f"{tmpdir}/late_ckpt"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, ["ts_s", "value"]).select(
+            F.to_timestamp("ts_s").alias("ts"), "value"
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    out = f"{tmpdir}/late_out"
+
+    def run(name):
+        # parquet sink: the append-mode sink that supports checkpoint
+        # recovery (memory sinks refuse to resume)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "total", "n")
+            .writeStream.format("parquet")
+            .queryName(name)
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            str(r.w_start): (r.total, r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # batch 1 establishes event time up to 12:00 -> watermark 11:00;
+    # the 08:00-09:00 window is closed and emitted
+    write_batch(
+        [("2024-01-01 08:10:00", 1.0), ("2024-01-01 08:20:00", 2.0),
+         ("2024-01-01 12:00:00", 10.0)],
+        "overwrite",
+    )
+    first = run("t_late_1")
+    assert first.get("2024-01-01 08:00:00") == (3.0, 2)
+
+    # batch 2: one event for the already-closed 08:00 window (LATE,
+    # must be dropped) and one fresh event advancing the stream
+    write_batch(
+        [("2024-01-01 08:30:00", 100.0), ("2024-01-01 14:00:00", 5.0)],
+        "append",
+    )
+    second = run("t_late_2")
+    # the file sink accumulates across runs: the 08:00 window keeps its
+    # run-1 value — the late +100 was dropped, never re-emitted
+    assert second.get("2024-01-01 08:00:00") == (3.0, 2)
+    # the 12:00 window closes once the watermark passes 13:00
+    assert second.get("2024-01-01 12:00:00") == (10.0, 1)
