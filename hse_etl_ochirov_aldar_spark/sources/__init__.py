@@ -1,4 +1,10 @@
-from .readers import TABLES, load_table, load_tables, read_csv_all_string
+from .readers import (
+    TABLES,
+    fetch_csv_to_staging,
+    load_table,
+    load_tables,
+    read_csv_all_string,
+)
 from .sinks import (
     overwrite_window,
     upsert_keep_newest,
@@ -9,6 +15,7 @@ from .sinks import (
 
 __all__ = [
     "TABLES",
+    "fetch_csv_to_staging",
     "load_table",
     "load_tables",
     "read_csv_all_string",

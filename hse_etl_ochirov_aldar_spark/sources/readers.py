@@ -68,3 +68,27 @@ def read_csv_all_string(spark: SparkSession, path: str, columns: list[str]) -> D
     """
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
     return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def fetch_csv_to_staging(url: str, dest_path: str, chunk_bytes: int = 1 << 20) -> int:
+    """S1 front half: stream a CSV over HTTP(S)/file URL to a local
+    staging file in bounded chunks, returning bytes written.
+
+    The reference buffers the ENTIRE download in memory before loading
+    (StringIO, HW-3/airflow/dags/iot_temperature.py:20-22) — fine for
+    97k rows, fatal at scale. This streams with O(chunk) memory; the
+    staged file then goes through ``read_csv_all_string`` into the
+    all-string raw layer. On a cluster the staging target is shared
+    storage (object store / DBFS) so executors can split the scan.
+    """
+    import urllib.request
+
+    written = 0
+    with urllib.request.urlopen(url) as resp, open(dest_path, "wb") as out:
+        while True:
+            chunk = resp.read(chunk_bytes)
+            if not chunk:
+                break
+            out.write(chunk)
+            written += len(chunk)
+    return written

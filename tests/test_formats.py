@@ -68,3 +68,27 @@ def test_csv_all_string_staging_roundtrip(spark, sf_dir, tmp_path):
         F.col("event_id").cast("long"), F.col("value").cast("double")
     )
     assert typed.where(F.col("event_id").isNull()).count() == 0
+
+
+def test_fetch_csv_to_staging_streams_chunks(spark, sf_dir, tmp_path):
+    """S1: URL fetch (file:// here; same code path as HTTP) streamed in
+    bounded chunks into staging, then loaded all-string."""
+    from hse_etl_ochirov_aldar_spark.sources.readers import (
+        fetch_csv_to_staging,
+        read_csv_all_string,
+    )
+
+    src_dir = tmp_path / "csv_src"
+    ev = _clean_events(spark, sf_dir).limit(50)
+    ev.select(
+        F.col("event_id").cast("string"), F.col("value").cast("string")
+    ).coalesce(1).write.option("header", True).csv(str(src_dir))
+    csv_file = next(p for p in src_dir.iterdir() if p.suffix == ".csv")
+
+    staged = tmp_path / "staged.csv"
+    n = fetch_csv_to_staging(csv_file.as_uri(), str(staged), chunk_bytes=64)
+    assert n == staged.stat().st_size > 0
+
+    df = read_csv_all_string(spark, str(staged), ["event_id", "value"])
+    assert df.count() == 50
+    assert all(t == "string" for _, t in df.dtypes)
