@@ -83,3 +83,28 @@ def percentile_trim(
 
 def trim_predicate(value_col: str) -> Column:
     return F.col(value_col).between(F.col("p_lo"), F.col("p_hi"))
+
+
+def grouped_percentile_trim(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-GROUP [lower, upper] percentile trim — each group is cleaned
+    against its own band (the global trim's natural extension when
+    value distributions differ per category).
+
+    The per-group bounds frame has one row per group — broadcast it
+    back onto the data (equi-join on the group keys, tiny build side).
+    At 100 TB the bounds aggregation is the usual partial+final agg;
+    the join stays broadcast as long as group cardinality is dim-sized.
+    """
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit(lower)).alias("p_lo"),
+        F.percentile(F.col(value_col), F.lit(upper)).alias("p_hi"),
+    )
+    out = df.join(F.broadcast(bounds), group_cols)
+    out = out.where(F.col(value_col).between(F.col("p_lo"), F.col("p_hi")))
+    return out.drop("p_lo", "p_hi")

@@ -311,6 +311,48 @@ clean AS (SELECT base.* FROM base CROSS JOIN p CROSS JOIN cut
 # ---------------------------------------------------------------------------
 
 
+def q_grouped_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 extension: per-event-type [p5, p95] bands instead of one
+    global band — each category cleaned against its own distribution;
+    per-type daily stats of the survivors."""
+    from .operators.percentile import grouped_percentile_trim
+
+    base = _events_base(spark, sf_dir)
+    trimmed = grouped_percentile_trim(base, "value", ["event_type"])
+    return (
+        trimmed.groupBy("event_type", "day")
+        .agg(
+            units_sum("value").alias("s_value"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            "event_type",
+            "day",
+            as_value("s_value", 2).alias("total_value"),
+            "n_readings",
+        )
+    )
+
+
+ORACLE_GROUPED_PERCENTILE_TRIM = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p_lo,
+         quantile_cont(value, 0.95) AS p_hi
+  FROM base GROUP BY event_type
+),
+clean AS (
+  SELECT base.* FROM base JOIN p USING (event_type)
+  WHERE value BETWEEN p.p_lo AND p.p_hi
+)
+SELECT event_type, day,
+       {oracle_sum_value('value')} AS total_value,
+       count(*) AS n_readings
+FROM clean GROUP BY event_type, day
+"""
+
+
 def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One event per (user_id, event_type), keeping the earliest event_id.
 
@@ -1886,6 +1928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
     "incremental_window_rebuild": q_incremental_window_rebuild,
+    "grouped_percentile_trim": q_grouped_percentile_trim,
     "dedup_by_key": q_dedup_by_key,
     "sessions_clean": q_sessions_clean,
     "tickets_clean": q_tickets_clean,
@@ -1934,6 +1977,7 @@ ORACLES: dict[str, str] = {
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
     "incremental_window_rebuild": ORACLE_INCREMENTAL_WINDOW_REBUILD,
+    "grouped_percentile_trim": ORACLE_GROUPED_PERCENTILE_TRIM,
     "dedup_by_key": ORACLE_DEDUP_BY_KEY,
     "sessions_clean": ORACLE_SESSIONS_CLEAN,
     "tickets_clean": ORACLE_TICKETS_CLEAN,
