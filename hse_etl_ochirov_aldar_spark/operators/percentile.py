@@ -18,9 +18,10 @@ swap in ``approx_percentile`` with a documented error bound).
 
 The one-row percentile frame is attached with ``crossJoin(broadcast(p))``
 — a broadcast-nested-loop of a 1-row build side, i.e. free. No driver
-``collect()``: the scalar stays in the plan, so the whole pipeline remains
-one job and Catalyst can reuse the scan of ``df`` for both the aggregate
-and the probe side (exchange reuse).
+``collect()``: the scalar stays in the plan. The source is scanned twice
+(bounds pass + probe pass — the floor for exact global percentiles
+without materialization); the bounds scan is column-pruned to the value
+and filter columns only (verified in the physical plan).
 """
 
 from __future__ import annotations

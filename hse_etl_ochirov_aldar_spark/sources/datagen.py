@@ -137,9 +137,87 @@ def gen_support_tickets(spark: SparkSession, n: int = 600, n_users: int = 200) -
     )
 
 
+MODERATION_STATUSES = ["pending", "approved", "rejected"]
+FLAGS = [
+    "contains_images", "suspicious_language", "short_text",
+    "verified_purchase", "first_review",
+]
+REVIEW_TEXTS = [
+    "great product", "did not work as expected", "would buy again",
+    "arrived broken", "average quality for the price",
+]
+
+
+def gen_user_recommendations(
+    spark: SparkSession, n_users: int = 200, n_products: int = 50
+) -> DataFrame:
+    """user_recommendations: one doc per user, 2-8 recommended product
+    ids, ISO+Z last_updated (seed_mongo.py:204-224)."""
+    product_pool = [f"prod_{i:03d}" for i in range(n_products)]
+    base = spark.range(n_users).select(
+        F.format_string("user_%03d", F.col("id")).alias("user_id"),
+        F.col("id").alias("_i"),
+    )
+    n_prods = (F.pmod(F.col("_i") * 13 + 5, F.lit(7)) + 2).cast("int")  # 2..8
+    start = F.pmod(F.col("_i") * 11 + 1, F.lit(n_products)).cast("int")
+    arr = F.array(*[F.lit(p) for p in product_pool])
+    rotated = F.concat(
+        F.slice(arr, start + 1, n_products), F.slice(arr, 1, start)
+    )
+    last_updated = F.timestamp_seconds(
+        F.lit(1714521600) + F.pmod(F.col("_i") * 977, F.lit(60 * 86400))
+    )
+    return base.select(
+        "user_id",
+        F.slice(rotated, 1, n_prods).alias("recommended_products"),
+        F.concat(
+            F.date_format(last_updated, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
+        ).alias("last_updated"),
+    )
+
+
+def gen_moderation_queue(
+    spark: SparkSession, n: int = 800, n_users: int = 200, n_products: int = 50
+) -> DataFrame:
+    """moderation_queue: reviews with rating 1-5 (the CHECK domain),
+    0-2 flags, ISO+Z submitted_at (seed_mongo.py:227-250)."""
+    base = spark.range(n).select(
+        F.format_string("rev_%04d", F.col("id") + 1).alias("review_id"),
+        F.format_string(
+            "user_%03d", F.pmod(F.col("id") * 23 + 7, F.lit(n_users))
+        ).alias("user_id"),
+        F.format_string(
+            "prod_%03d", F.pmod(F.col("id") * 29 + 3, F.lit(n_products))
+        ).alias("product_id"),
+        _pick(REVIEW_TEXTS, F.col("id") * 3 + 2).alias("review_text"),
+        (F.pmod(F.col("id") * 7 + 1, F.lit(5)) + 1).cast("int").alias("rating"),
+        _pick(MODERATION_STATUSES, F.col("id") * 5 + 4).alias("moderation_status"),
+        F.col("id").alias("_i"),
+    )
+    n_flags = F.pmod(F.col("_i") * 3 + 1, F.lit(3)).cast("int")  # 0..2
+    flags = F.slice(_pick_subset(FLAGS, F.col("_i") * 31 + 9, 5), 1, n_flags)
+    submitted = F.timestamp_seconds(
+        F.lit(1704067200) + F.pmod(F.col("_i") * 1423, F.lit(180 * 86400))
+    )
+    return base.select(
+        "review_id",
+        "user_id",
+        "product_id",
+        "review_text",
+        "rating",
+        "moderation_status",
+        flags.alias("flags"),
+        F.concat(
+            F.date_format(submitted, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
+        ).alias("submitted_at"),
+    )
+
+
 def gen_all(spark: SparkSession) -> dict[str, DataFrame]:
     return {
         "user_sessions": gen_user_sessions(spark),
         "event_logs": gen_event_logs(spark),
         "support_tickets": gen_support_tickets(spark),
+        "user_recommendations": gen_user_recommendations(spark),
+        "moderation_queue": gen_moderation_queue(spark),
     }

@@ -108,3 +108,34 @@ def test_quality_gates(spark, data):
         expect_nonempty(clean.where(F.lit(False)), "empty")
     with pytest.raises(QualityError):
         expect_check(clean, F.col("message_count") > 3, "too_strict")
+
+
+def test_replicate_recommendations_and_moderation(spark):
+    """The remaining two of the reference's five collections (S5):
+    PK dedup, ISO+Z parse, derived counts, rating CHECK domain."""
+    from hse_etl_ochirov_aldar_spark.plans.reference_pipelines import (
+        replicate_moderation,
+        replicate_recommendations,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.datagen import (
+        gen_moderation_queue,
+        gen_user_recommendations,
+    )
+
+    recs_raw = gen_user_recommendations(spark, n_users=100)
+    recs = replicate_recommendations(recs_raw)
+    expect_unique_key(recs, ["user_id"])
+    rows = recs.collect()
+    assert len(rows) == 100
+    assert all(2 <= r.num_recommendations <= 8 for r in rows)
+    assert all(r.num_recommendations == len(r.recommended_products) for r in rows)
+    assert all(r.last_updated is not None for r in rows)  # F13 parse ok
+
+    mod_raw = gen_moderation_queue(spark, n=300)
+    mod = replicate_moderation(mod_raw)
+    expect_unique_key(mod, ["review_id"])
+    expect_check(mod, F.col("rating").between(1, 5), "rating_domain")
+    mrows = mod.collect()
+    assert len(mrows) == 300
+    assert all(0 <= len(r.flags) <= 2 for r in mrows)
+    assert all(r.submitted_at is not None for r in mrows)
