@@ -1567,6 +1567,34 @@ GROUP BY 1
 """
 
 
+def q_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the pivot inverse) via the native
+    DataFrame.unpivot/melt: per-month status counts back to
+    (month, status, n) rows. Expand-based, single pass, no shuffle
+    beyond the upstream aggregate."""
+    wide = q_pivot_status_by_month(spark, sf_dir)
+    return wide.unpivot(
+        ids=["report_month"],
+        values=["n_open", "n_finished", "n_partial"],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    )
+
+
+ORACLE_STATUS_UNPIVOT = """
+WITH wide AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
+         count(*) FILTER (o_orderstatus = 'O') AS n_open,
+         count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+         count(*) FILTER (o_orderstatus = 'P') AS n_partial
+  FROM orders GROUP BY 1
+)
+SELECT report_month, 'n_open' AS status_col, n_open AS n FROM wide
+UNION ALL SELECT report_month, 'n_finished', n_finished FROM wide
+UNION ALL SELECT report_month, 'n_partial', n_partial FROM wide
+"""
+
+
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9/A9/I6 as a first-class query: per-rule violation counts
     (the reference's CHECK constraint + validation-gate pattern,
@@ -1959,6 +1987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xml_normalize_foods": q_xml_normalize_foods,
     "customer_order_presence": q_customer_order_presence,
     "pivot_status_by_month": q_pivot_status_by_month,
+    "status_unpivot": q_status_unpivot,
     "quality_report": q_quality_report,
     "daily_unique_users": q_daily_unique_users,
     "sales_rollup": q_sales_rollup,
@@ -2005,6 +2034,7 @@ ORACLES: dict[str, str] = {
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
     "customer_order_presence": ORACLE_CUSTOMER_ORDER_PRESENCE,
     "pivot_status_by_month": ORACLE_PIVOT_STATUS_BY_MONTH,
+    "status_unpivot": ORACLE_STATUS_UNPIVOT,
     "quality_report": ORACLE_QUALITY_REPORT,
     "daily_unique_users": ORACLE_DAILY_UNIQUE_USERS,
     "sales_rollup": ORACLE_SALES_ROLLUP,
