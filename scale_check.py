@@ -120,7 +120,51 @@ def main() -> None:
             vecs, threshold=0.999, block_col="label"
         ).count()
 
+    # 5) as-of join: 5M probes against 500k versioned build rows
+    def asof_5m():
+        from hse_etl_ochirov_aldar_spark.operators.asof import asof_join
+
+        probes = spark.range(5_000_000).select(
+            (F.col("id") % 50_000).alias("k"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.pmod(F.xxhash64("id"), 5_000_000))
+            ).alias("ts"),
+            F.col("id").alias("probe_id"),
+        )
+        builds = spark.range(500_000).select(
+            (F.col("id") % 50_000).alias("k"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.pmod(F.xxhash64("id", F.lit(7)), 5_000_000))
+            ).alias("bts"),
+            (F.col("id") * 10).alias("version_attr"),
+        ).dropDuplicates(["k", "bts"])
+        out = asof_join(probes, builds, "k", "ts", "bts", ["version_attr"])
+        return out.where(F.col("version_attr").isNotNull()).count()
+
+    # 6) range join: 5M probes against 200k bounded windows
+    def range_5m():
+        from hse_etl_ochirov_aldar_spark.operators.range_join import (
+            range_join_bucketed,
+        )
+
+        probes = spark.range(5_000_000).select(
+            (F.col("id") % 20_000).alias("k"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.pmod(F.xxhash64("id"), 2_000_000))
+            ).alias("ts"),
+        )
+        builds = spark.range(200_000).select(
+            (F.col("id") % 20_000).alias("k"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.pmod(F.xxhash64("id", F.lit(3)), 2_000_000))
+            ).alias("s"),
+        ).withColumn("e", F.col("s") + F.expr("INTERVAL 1 HOUR"))
+        j = range_join_bucketed(probes, builds, "k", "ts", "s", "e", 3600)
+        return j.count()
+
     timed("sessionize_10m_events", sessionize_10m)
+    timed("asof_join_5m_probes", asof_5m)
+    timed("range_join_5m_probes", range_5m)
     timed("minhash_lsh_300k_docs", minhash_300k)
     timed("skewed_join_plain_5m", skew_plain)
     timed("skewed_join_salted_5m", skew_salted)
