@@ -340,3 +340,57 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmpdir):
     assert second.get("2024-01-01 08:00:00") == (3.0, 2)
     # the 12:00 window closes once the watermark passes 13:00
     assert second.get("2024-01-01 12:00:00") == (10.0, 1)
+
+
+def test_stateful_sessionize_state_across_microbatches(spark, tmpdir):
+    """applyInPandasWithState must carry the open session across
+    micro-batches: two time-ordered files processed one per trigger,
+    with a session spanning the file boundary."""
+    from pyspark.sql import types as T
+    from hse_etl_ochirov_aldar_spark.streaming.sessionize import sessionize_stream
+
+    src = f"{tmpdir}/mb_src"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, ["user_id", "ts_s", "value"]).select(
+            "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # file 1: user 1 session A (2 events) ending 10:05
+    write_file([(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:05:00", 2.0)])
+    # file 2: continuation within gap (10:20, gap 30 min) then a jump
+    # that closes the session, all in a later batch
+    write_file([(1, "2024-01-01 10:20:00", 3.0), (1, "2024-01-01 15:00:00", 9.0)])
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("t_mb_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/mb_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_mb_sessions").collect()
+    # exactly one CLOSED session: 10:00-10:20 with 3 events spanning
+    # both micro-batches (state carried the open session across)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (str(r.session_start), str(r.session_end), r.n_events) == (
+        "2024-01-01 10:00:00",
+        "2024-01-01 10:20:00",
+        3,
+    )
