@@ -6,6 +6,7 @@ from .readers import (
     read_csv_all_string,
 )
 from .sinks import (
+    compact_parquet,
     overwrite_window,
     upsert_keep_newest,
     write_bucketed,
@@ -19,6 +20,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv_all_string",
+    "compact_parquet",
     "overwrite_window",
     "upsert_keep_newest",
     "write_bucketed",

@@ -132,3 +132,39 @@ def upsert_keep_newest(
         final.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     else:
         final.write.mode("overwrite").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~target_file_mb files, returning the new file count.
+
+    Streaming sinks and incremental upserts accrete small files; at
+    scale the scan's task-per-file overhead and the NameNode/listing
+    pressure dominate. Rewrites via write-to-staging-then-swap.
+    ``sort_col`` additionally sorts within partitions so row-group
+    min/max statistics become selective for that column (data
+    skipping on later filtered scans).
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    df = spark.read.parquet(path)
+    size_bytes = sum(
+        f.stat().st_size for f in Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n_files)
+    if sort_col:
+        out = out.sortWithinPartitions(sort_col)
+    staging = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(staging)
+    final = spark.read.parquet(staging)
+    final.write.mode("overwrite").parquet(path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_files

@@ -92,3 +92,21 @@ def test_fetch_csv_to_staging_streams_chunks(spark, sf_dir, tmp_path):
     df = read_csv_all_string(spark, str(staged), ["event_id", "value"])
     assert df.count() == 50
     assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from hse_etl_ochirov_aldar_spark.sources.sinks import compact_parquet
+
+    ev = _clean_events(spark, sf_dir)
+    path = str(tmp_path / "fragmented")
+    # simulate streaming-accreted small files
+    ev.repartition(40).write.parquet(path)
+    before = len(list(Path(path).rglob("*.parquet")))
+    assert before >= 40
+
+    n = compact_parquet(spark, path, target_file_mb=128, sort_col="ts")
+    after = len(list(Path(path).rglob("*.parquet")))
+    assert after <= n + 1 < before
+    assert spark.read.parquet(path).count() == ev.count()
