@@ -155,3 +155,42 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_native(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The built-in form: ``F.session_window`` (Spark 3.2+) — dynamic
+    merge-on-overlap session windows, usable identically in batch and
+    Structured Streaming (with a watermark).
+
+    Boundary semantics differ from sessionize_batch at EXACT gap
+    distance: session_window closes when the next event is >= gap
+    away, the lag-based form closes only when it is > gap. Pick one
+    contract per pipeline; tests assert equivalence under a gap that
+    cannot tie.
+    """
+    return (
+        events.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(
+                    F.round(F.coalesce(F.col(value_col), F.lit(0.0)) * 100).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("total_value"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )

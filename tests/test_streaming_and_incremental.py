@@ -394,3 +394,30 @@ def test_stateful_sessionize_state_across_microbatches(spark, tmpdir):
         "2024-01-01 10:20:00",
         3,
     )
+
+
+def test_native_session_window_equals_lag_based(spark, sf_dir):
+    """F.session_window (built-in) and the lag-based sessionizer agree
+    when no inter-event gap exactly ties the threshold (their only
+    semantic difference; gap=7201s cannot tie second-granular data)."""
+    from hse_etl_ochirov_aldar_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_native,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    gap = 7201
+    a = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in sessionize_batch(ev, gap_seconds=gap).collect()
+    }
+    b = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in sessionize_native(ev, gap_seconds=gap).collect()
+    }
+    assert a == b
+    assert len(a) > 0
