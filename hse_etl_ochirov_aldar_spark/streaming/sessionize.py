@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.exact import as_value, units_sum
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -92,11 +94,9 @@ def sessionize_batch(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long"))
-                .cast("double")
-                / 100.0
-            ).alias("total_value"),
+            as_value(units_sum(F.coalesce(F.col("value"), F.lit(0.0)))).alias(
+                "total_value"
+            ),
         )
         .drop("session_id")
     )
@@ -181,14 +181,9 @@ def sessionize_native(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(
-                    F.round(F.coalesce(F.col(value_col), F.lit(0.0)) * 100).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / 100.0
-            ).alias("total_value"),
+            as_value(units_sum(F.coalesce(F.col(value_col), F.lit(0.0)))).alias(
+                "total_value"
+            ),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
         )
