@@ -1222,9 +1222,6 @@ def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_base(spark, sf_dir)
         .groupBy("event_type", "day")
         .agg(units_sum("value").alias("s_value"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "event_type", "day", as_value("s_value", 2).alias("day_value"), "n"
-        )
     )
     w7 = (
         Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
@@ -1234,15 +1231,25 @@ def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return daily.select(
+    # Frame-sum the exact BIGINT cent units (order-independent in any
+    # engine) and divide once half-up — round(avg(double) over frame, 4)
+    # flips the last digit between Spark and DuckDB (CORRECTNESS_r01).
+    framed = daily.select(
         "event_type",
         "day",
-        F.round(F.avg("day_value").over(w7), 4).alias("avg_7d"),
+        F.sum("s_value").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
         F.sum("n").over(wcum).alias("cum_readings"),
+    )
+    return framed.select(
+        "event_type",
+        "day",
+        avg_units_expr("s7", "n7", 2, 4).alias("avg_7d"),
+        "cum_readings",
     )
 
 
-ORACLE_ROLLING_7D_AVG = """
+ORACLE_ROLLING_7D_AVG = f"""
 WITH clean AS (
   SELECT event_id, CAST(ts AS DATE) AS day, value,
          lower(trim(event_type)) AS event_type
@@ -1252,16 +1259,25 @@ WITH clean AS (
 ),
 daily AS (
   SELECT event_type, day,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS day_value,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s_value,
          count(*) AS n
   FROM clean GROUP BY event_type, day
+),
+framed AS (
+  SELECT event_type, day,
+         CAST(sum(s_value) OVER w7 AS BIGINT) AS s7,
+         count(*) OVER w7 AS n7,
+         CAST(sum(n) OVER wcum AS BIGINT) AS cum_readings
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         wcum AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, day,
-       round(avg(day_value) OVER (PARTITION BY event_type ORDER BY day
-                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d,
-       sum(n) OVER (PARTITION BY event_type ORDER BY day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_readings
-FROM daily
+       {oracle_avg_units('s7', 'n7', 2, 4)} AS avg_7d,
+       cum_readings
+FROM framed
 """
 
 
@@ -1935,9 +1951,9 @@ def q_streaming_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-ORACLE_STREAMING_DAILY_AVG = """
+ORACLE_STREAMING_DAILY_AVG = f"""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-       round(avg(value), 2) AS avg_value,
+       {oracle_avg_value('value', 2, 2)} AS avg_value,
        count(*) AS n_readings
 FROM events
 WHERE ts IS NOT NULL

@@ -25,6 +25,26 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — the
+    object-store-correct way to test/list/size/move dataset directories
+    (driver-side ``pathlib`` only works on local disk)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _swap_into(spark: SparkSession, staging: str, target: str) -> None:
+    """Replace ``target`` with ``staging`` by FS rename — one metadata
+    operation instead of a second full Spark write of the same rows."""
+    fs, jtarget = _hadoop_fs(spark, target)
+    _, jstaging = _hadoop_fs(spark, staging)
+    if fs.exists(jtarget):
+        fs.delete(jtarget, True)
+    fs.rename(jstaging, jtarget)
+
+
 def write_overwrite(df: DataFrame, path: str) -> None:
     """S8: full-refresh sink (TRUNCATE + INSERT == mode=overwrite)."""
     df.write.mode("overwrite").parquet(path)
@@ -46,9 +66,18 @@ def overwrite_window(
     """S11+I2: dynamic partition overwrite — replace only the partitions
     present in ``df``, leaving others untouched (the Spark analogue of
     ``DELETE ... WHERE day >= cutoff`` + window rebuild,
-    HW-4/airflow/dags/iot_temperature.py:160-216)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    HW-4/airflow/dags/iot_temperature.py:160-216).
+
+    Dynamic mode is set as a PER-WRITE option, not on the session —
+    mutating the shared session conf would silently turn every later
+    full-refresh ``write_partitioned`` (S8/S12 TRUNCATE+INSERT) into a
+    partial overwrite that stops deleting absent partitions."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def write_bucketed(
@@ -94,26 +123,38 @@ def upsert_keep_newest(
     body, keep the signature.
 
     With ``partition_col`` the upsert is PARTITION-SCOPED: only target
-    partitions present in ``df`` are read and dynamically overwritten —
-    upserting one day into a 100 TB table touches that day, not the
-    table. Requires the target to be laid out by ``partition_col``.
+    partitions present in ``df`` are read and replaced — upserting one
+    day into a 100 TB table touches that day, not the table. Requires
+    the target to be laid out by ``partition_col``.
+
+    The merged result is shuffled and WRITTEN ONCE (to a staging dir),
+    then swapped into place with filesystem renames — the earlier
+    stage-then-rewrite form paid the full shuffle+write twice and could
+    lose the target if it died between the two overwrites. Target
+    existence is checked explicitly via the Hadoop FS API: a transient
+    read error (permissions, corrupt footer) now propagates instead of
+    being mistaken for "first write" and silently discarding the table.
+    The rename swap is not transactional across partitions; the
+    production path for atomic upsert is Delta/Iceberg MERGE, as noted.
     """
+    fs, jpath = _hadoop_fs(spark, path)
+    target_exists = fs.exists(jpath)
     if partition_col is not None:
         touched = [
             r[0] for r in df.select(partition_col).distinct().collect()
         ]
-        try:
+        if target_exists:
             existing = spark.read.parquet(path).where(
                 F.col(partition_col).isin(touched)
             )
             merged = existing.unionByName(df, allowMissingColumns=True)
-        except Exception:  # first write: target does not exist yet
+        else:
             merged = df
     else:
-        try:
+        if target_exists:
             existing = spark.read.parquet(path)
             merged = existing.unionByName(df, allowMissingColumns=True)
-        except Exception:
+        else:
             merged = df
     w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
     result = (
@@ -121,17 +162,33 @@ def upsert_keep_newest(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    # Parquet can't overwrite a path while reading it — standard
-    # practice is write-to-new-then-swap; locally we stage through a
-    # sibling dir.
+    # Parquet can't overwrite a path while reading it — write-to-new-
+    # then-rename. A leftover staging dir from a crashed run is
+    # harmlessly overwritten here before any target mutation.
     staging = path.rstrip("/") + "__staging"
-    result.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    if partition_col is not None:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        final.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    else:
-        final.write.mode("overwrite").parquet(path)
+    try:
+        if partition_col is not None:
+            result.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+            # move only the touched partition directories into place;
+            # listStatus preserves Spark's partition-value escaping
+            _, jstaging = _hadoop_fs(spark, staging)
+            if not target_exists:
+                fs.mkdirs(jpath)
+            prefix = f"{partition_col}="
+            for status in fs.listStatus(jstaging):
+                name = status.getPath().getName()
+                if not name.startswith(prefix):
+                    continue
+                dst = spark._jvm.org.apache.hadoop.fs.Path(jpath, name)
+                if fs.exists(dst):
+                    fs.delete(dst, True)
+                fs.rename(status.getPath(), dst)
+        else:
+            result.write.mode("overwrite").parquet(staging)
+            _swap_into(spark, staging, path)
+    finally:
+        sfs, jstaging = _hadoop_fs(spark, staging)
+        sfs.delete(jstaging, True)
 
 
 def compact_parquet(
@@ -145,26 +202,23 @@ def compact_parquet(
 
     Streaming sinks and incremental upserts accrete small files; at
     scale the scan's task-per-file overhead and the NameNode/listing
-    pressure dominate. Rewrites via write-to-staging-then-swap.
-    ``sort_col`` additionally sorts within partitions so row-group
-    min/max statistics become selective for that column (data
-    skipping on later filtered scans).
+    pressure dominate. Rewrites via write-to-staging-then-rename (one
+    write, one shuffle). Sizing uses the Hadoop FS ContentSummary —
+    correct on object storage, where driver-side ``pathlib`` sees
+    nothing. ``sort_col`` additionally sorts within partitions so
+    row-group min/max statistics become selective for that column
+    (data skipping on later filtered scans).
     """
     import math
-    import shutil
-    from pathlib import Path
 
+    fs, jpath = _hadoop_fs(spark, path)
+    size_bytes = fs.getContentSummary(jpath).getLength()
     df = spark.read.parquet(path)
-    size_bytes = sum(
-        f.stat().st_size for f in Path(path).rglob("*.parquet")
-    )
     n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
     out = df.repartition(n_files)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
     staging = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(path)
-    shutil.rmtree(staging, ignore_errors=True)
+    _swap_into(spark, staging, path)
     return n_files

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.exact import avg_units_expr, units_sum
+
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -49,16 +51,19 @@ def streaming_daily_avg(
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
     )
+    # Exact integer cent units + half-up division (functions/exact.py):
+    # round(avg(double), 2) is summation-order nondeterministic across
+    # engines AND across micro-batch orderings — the unit sum is not.
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("w"))
         .agg(
-            F.avg("value").alias("avg_value"),
+            units_sum("value").alias("s_units"),
             F.count(F.lit(1)).alias("n_readings"),
         )
         .select(
             F.col("w.start").cast("date").alias("day"),
-            F.round(F.col("avg_value"), 2).alias("avg_value"),
+            avg_units_expr("s_units", "n_readings", 2, 2).alias("avg_value"),
             "n_readings",
         )
     )

@@ -53,7 +53,11 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("start_us", T.LongType()),
         T.StructField("last_us", T.LongType()),
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        # exact integer cent units, NOT a float accumulator — matches the
+        # units_sum contract of the batch twins (functions/exact.py) so a
+        # long session cannot drift a cent via float error or banker's
+        # rounding at emit
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 
@@ -110,22 +114,24 @@ def _make_sessionizer(gap_seconds: int):
 
         rows = pd.concat(list(pdfs)).sort_values("ts")
         if state.exists:
-            start_us, last_us, n, total = state.get
+            start_us, last_us, n, cents = state.get
         else:
-            start_us, last_us, n, total = None, None, 0, 0.0
+            start_us, last_us, n, cents = None, None, 0, 0
         closed: list[tuple] = []
         for ts, val in zip(rows["ts"], rows["value"]):
             us = int(ts.value // 1_000)  # pandas ns -> us
             if last_us is not None and us - last_us > gap_us:
-                closed.append((key[0], start_us, last_us, n, round(total, 2)))
-                start_us, n, total = None, 0, 0.0
+                closed.append((key[0], start_us, last_us, n, cents / 100.0))
+                start_us, n, cents = None, 0, 0
             if start_us is None:
                 start_us = us
             last_us = us
             n += 1
             if val == val and val is not None:  # NaN/None guard
-                total += float(val)
-        state.update((start_us, last_us, n, total))
+                # half-up to cents on ingest (values are non-negative),
+                # mirroring units() = round(x * 100) in the batch twins
+                cents += int(float(val) * 100.0 + 0.5)
+        state.update((start_us, last_us, n, cents))
         if closed:
             out = pd.DataFrame(
                 closed,

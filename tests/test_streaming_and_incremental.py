@@ -105,6 +105,60 @@ def test_upsert_keep_newest(spark, tmpdir):
     assert rows == {("a", 1, 10.0), ("b", 2, 25.0), ("c", 1, 30.0)}
 
 
+def test_overwrite_window_does_not_mutate_session_conf(spark, tmpdir):
+    """Dynamic partition overwrite must be write-local: a session-level
+    conf mutation would silently turn every later full-refresh
+    write_partitioned (S8/S12 TRUNCATE+INSERT) into a partial one."""
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    path = f"{tmpdir}/ow"
+    df1 = spark.createDataFrame([(1, "2024-01"), (2, "2024-02")], ["v", "month"])
+    write_partitioned(df1, path, "month")
+    overwrite_window(
+        spark, spark.createDataFrame([(9, "2024-02")], ["v", "month"]), path, "month"
+    )
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    assert after == before
+    # a subsequent full refresh must drop partitions absent from the new df
+    write_partitioned(
+        spark.createDataFrame([(7, "2024-03")], ["v", "month"]), path, "month"
+    )
+    rows = {(r.month, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {("2024-03", 7)}
+
+
+def test_upsert_recovers_from_leftover_staging(spark, tmpdir):
+    """A staging dir left by a crashed previous run must not leak into
+    the next upsert's result, and staging is cleaned up afterwards."""
+    import os
+
+    path = f"{tmpdir}/u2"
+    staging = path + "__staging"
+    spark.createDataFrame([("z", 9, 99.0)], ["k", "ver", "val"]).write.parquet(staging)
+    first = spark.createDataFrame([("a", 1, 10.0)], ["k", "ver", "val"])
+    upsert_keep_newest(spark, first, path, ["k"], "ver")
+    rows = {(r.k, r.ver, r.val) for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 1, 10.0)}
+    assert not os.path.exists(staging)
+
+
+def test_upsert_propagates_target_read_errors(spark, tmpdir):
+    """A corrupt/unreadable EXISTING target must raise, not be mistaken
+    for 'first write' and silently replaced with only the new rows."""
+    import os
+
+    import pytest
+
+    path = f"{tmpdir}/u3"
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    df = spark.createDataFrame([("a", 1, 10.0)], ["k", "ver", "val"])
+    with pytest.raises(Exception):
+        upsert_keep_newest(spark, df, path, ["k"], "ver")
+    # the corrupt target was not clobbered
+    assert os.path.exists(os.path.join(path, "part-00000.parquet"))
+
+
 def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmpdir):
     """Closed sessions emitted by the applyInPandasWithState operator
     must equal the batch sessionizer's output minus each user's open
