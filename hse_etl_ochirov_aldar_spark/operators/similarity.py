@@ -126,30 +126,117 @@ def embedding_near_dup_ids(
 
     ``block_col=None`` compares all pairs (exact, O(n^2) — the
     correctness baseline). At scale pass a coarse-quantizer cell column
-    (e.g. ``label``) to only compare within cells — the same
+    (from ``assign_cells``; multi-probe inputs with several rows per
+    vector are fine) to only compare within cells — the same
     recall-for-cost trade as IVF search; true near-dups land in the
     same cell for any sane quantizer.
+
+    Blocked path is candidates-then-verify: the within-cell self-join
+    runs over (cell, id) rows ONLY — the shuffle never carries vector
+    payloads, and each distinct candidate pair is scored exactly once
+    even when multi-probe makes it collide in several cells (the naive
+    vectors-in-the-join form paid the cosine up to n_probe^2 times per
+    pair and shuffled the embeddings with it).
     """
-    left = _spread(
-        vectors.select(
-            F.col(id_col).alias("_a_id"),
-            F.col(vec_col).alias("_a_vec"),
-            *([F.col(block_col).alias("_a_cell")] if block_col else []),
-        )
-    )
-    right = vectors.select(
-        F.col(id_col).alias("_b_id"),
-        F.col(vec_col).alias("_b_vec"),
-        *([F.col(block_col).alias("_b_cell")] if block_col else []),
-    )
-    cond = F.col("_a_id") < F.col("_b_id")
     if block_col:
-        pairs = left.join(right, (F.col("_a_cell") == F.col("_b_cell")) & cond)
+        ids = vectors.select(
+            F.col(block_col).alias("_cell"), F.col(id_col).alias("_id")
+        )
+        a, b = ids.alias("a"), ids.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a._cell") == F.col("b._cell"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("_a_id"), F.col("b._id").alias("_b_id")
+            )
+            .distinct()
+        )
+        return cosine_dup_ids(vectors, cand, threshold, id_col, vec_col, scale)
     else:
-        pairs = left.crossJoin(right).where(cond)
+        left = _spread(
+            vectors.select(
+                F.col(id_col).alias("_a_id"), F.col(vec_col).alias("_a_vec")
+            )
+        )
+        right = vectors.select(
+            F.col(id_col).alias("_b_id"), F.col(vec_col).alias("_b_vec")
+        )
+        pairs = left.crossJoin(right).where(F.col("_a_id") < F.col("_b_id"))
     return (
         pairs.where(
             F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), scale) >= threshold
+        )
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+
+
+def cosine_dup_ids(
+    vectors: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    lookup: str = "broadcast",
+) -> DataFrame:
+    """Verify candidate pairs (``_a_id``, ``_b_id``) by exact cosine;
+    return the higher ids of pairs at/above ``threshold`` (the dedup
+    losers). Per-vector norms are computed ONCE on the lookup side (the
+    join is a projection barrier, so CollapseProject cannot re-inline
+    the fold into the per-pair expression); each scored pair pays a
+    single dot.
+
+    The candidate stream is explicitly repartitioned by key: its BYTE
+    size is tiny (two longs/row) so AQE coalesces it onto one or two
+    reducers — but its per-row COMPUTE (a dim-wide fold per pair) is
+    the whole cost of the stage, and Catalyst cannot see that. Without
+    the repartition, the measured plan ran every cosine on a single
+    task (and Spark chose to broadcast the fat pair+vector side).
+    ``lookup="broadcast"`` hash-maps the (id, vec, norm) table to every
+    task — right whenever the vector table fits the broadcast cap
+    (into the ~10M-vector range at dim 64); at true 100 TB corpus
+    scale pass ``"merge"`` for co-partitioned sort-merge lookups.
+    """
+    base = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .dropDuplicates([id_col])
+        .select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+        )
+    )
+    hint = F.broadcast if lookup == "broadcast" else (lambda d: d.hint("MERGE"))
+    target = vectors.sparkSession.sparkContext.defaultParallelism
+    pairs = cand.repartition(target, "_a_id").join(
+        hint(
+            base.select(
+                F.col(id_col).alias("_a_id"),
+                F.col(vec_col).alias("_a_vec"),
+                F.col("_nrm").alias("_a_nrm"),
+            )
+        ),
+        "_a_id",
+    ).join(
+        hint(
+            base.select(
+                F.col(id_col).alias("_b_id"),
+                F.col(vec_col).alias("_b_vec"),
+                F.col("_nrm").alias("_b_nrm"),
+            )
+        ),
+        "_b_id",
+    )
+    return (
+        pairs.where(
+            F.round(
+                _dot(F.col("_a_vec"), F.col("_b_vec"))
+                / (F.col("_a_nrm") * F.col("_b_nrm")),
+                scale,
+            )
+            >= threshold
         )
         .select(F.col("_b_id").alias(id_col))
         .distinct()
@@ -230,6 +317,8 @@ def kmeans_centroids(
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """Fit the IVF coarse quantizer (pyspark.ml KMeans, fixed seed) and
     return its centroids as a tiny (cell_id, centroid) DataFrame.
@@ -238,6 +327,13 @@ def kmeans_centroids(
     O(n_cells * dim). At 100 TB the fit runs on a sample
     (`vectors.sample(...)`), which is standard IVF practice; assignment
     (below) stays a full-data DataFrame op either way.
+
+    ``max_iter``/``init_mode`` trade quantizer quality for fit cost: a
+    BLOCKING quantizer (near-dup candidate generation, where multi-probe
+    covers boundary error) is fine with ``random`` init and 1-2 Lloyd
+    rounds — measured 4x cheaper than the k-means|| default, which each
+    init step spends whole Spark jobs on (reserve the default for
+    search-quality cells, ann_ivf_kmeans_topk).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -245,14 +341,47 @@ def kmeans_centroids(
     feats = vectors.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv")
     )
-    # maxIter capped: a coarse quantizer converges enough in a few
-    # Lloyd iterations; full convergence buys no recall here
-    model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__fv").fit(feats)
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, initMode=init_mode,
+        featuresCol="__fv",
+    ).fit(feats)
     spark = vectors.sparkSession
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     return spark.createDataFrame(rows, "cell_id INT, centroid ARRAY<DOUBLE>")
+
+
+def sampled_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled-centroid quantizer: ``n_cells`` corpus
+    vectors chosen by hash order of their ids (xxhash64 — a seeded
+    pseudo-random, reproducible sample) become the cell directions.
+
+    This is exactly k-means' seeding step with zero Lloyd rounds — the
+    right cost point for DEDUP BLOCKING, where cell quality only moves
+    efficiency, never correctness: cosine assignment is scale-invariant
+    for ANY centroid set, so near-identical vectors co-locate
+    regardless, and multi-probe covers boundary error. Spend Lloyd
+    iterations (kmeans_centroids) when cells gate search recall
+    (ann_ivf_kmeans_topk), not here. No ML fit, no iterations: one
+    top-n_cells collect of the sample."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    out = [
+        (i, [float(x) for x in r["_v"]]) for i, r in enumerate(rows)
+    ]
+    return vectors.sparkSession.createDataFrame(
+        out, "cell_id INT, centroid ARRAY<DOUBLE>"
+    )
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -269,22 +398,38 @@ def assign_cells(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "l2",
 ) -> DataFrame:
     """Nearest-centroid assignment as a broadcast join + rank: each
     vector gets its ``n_probe`` closest cells (one output row per
     (vector, probe)). n_probe=1 labels a corpus; n_probe>1 implements
     multi-probe search on the query side — the standard recall knob.
-    Deterministic tie-break on cell_id."""
+    Deterministic tie-break on cell_id.
+
+    ``metric="cosine"`` assigns by direction only — scale-INVARIANT,
+    so a vector and any positive scalar multiple of it land in the
+    same cell. That is the correct quantizer for cosine-threshold
+    dedup, where duplicates are defined up to magnitude. Ranking drops
+    the |v| factor (constant per vector, cannot change its own
+    ranking) and precomputes |c| on the 16-row broadcast side — one
+    array fold per (vector, centroid) instead of three."""
     from pyspark.sql import Window
 
+    if metric == "cosine":
+        centroids = centroids.select(
+            "cell_id", "centroid", _norm(F.col("centroid")).alias("__cn")
+        )
+        dist = -(_dot(F.col(vec_col), F.col("centroid")) / F.col("__cn"))
+    else:
+        dist = _l2sq(F.col(vec_col), F.col("centroid"))
     scored = _spread(vectors).crossJoin(F.broadcast(centroids)).select(
-        "*", _l2sq(F.col(vec_col), F.col("centroid")).alias("__d2")
+        "*", dist.alias("__d2")
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell_id"))
     return (
         scored.withColumn("__pr", F.row_number().over(w))
         .where(F.col("__pr") <= n_probe)
-        .drop("centroid", "__d2", "__pr")
+        .drop("centroid", "__cn", "__d2", "__pr")
     )
 
 

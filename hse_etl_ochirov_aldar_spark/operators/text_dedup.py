@@ -93,6 +93,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -103,10 +104,19 @@ def minhash_lsh_candidates(
     combination — the corpus is scanned ONCE and the shuffle carries
     (band, bucket-hash, id) rows, n*bands total, never n^2. The only
     quadratic work is inside a bucket, whose size is bounded by LSH
-    collision probability; pathological buckets (boilerplate corpora)
-    are the documented skew caveat — AQE splits the oversized shuffle
-    partitions, and a bucket-size cap can be layered on for 100 TB
-    runs.
+    collision probability.
+
+    ``max_bucket_size`` is the boilerplate-corpus guard: a bucket of b
+    docs normally emits b*(b-1)/2 pairs, so ONE pathological bucket
+    (1M identical headers) is an O(10^12)-pair task no AQE split can
+    save. Buckets over the cap instead emit a CHAIN of consecutive-id
+    pairs (b-1 pairs, linear): downstream Jaccard verification plus
+    connected-components clustering (minhash_dedup) still collapses the
+    whole cluster through the chain, so true boilerplate dup groups
+    keep exactly one survivor — only *heterogeneous* hash-collision
+    buckets over the cap (vanishingly rare by construction) can lose
+    recall, and those are precisely the buckets worth refusing to
+    quadratically explode.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(_spread(df), text_col, num_hashes, shingle_n).select(
@@ -146,18 +156,25 @@ def minhash_lsh_candidates(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    n = F.size(F.col("ids"))
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    chain_pairs = F.zip_with(
+        F.slice(F.col("ids"), F.lit(1), n - 1),
+        F.slice(F.col("ids"), F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b")),
+    )
     pairs = (
         buckets.select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
+                F.when(n <= F.lit(max_bucket_size), all_pairs).otherwise(chain_pairs)
             ).alias("p")
         )
         .select("p.id_a", "p.id_b")
@@ -196,6 +213,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components_min(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(id, rep) for every id in the pair graph: ``rep`` is the minimum
+    id of the node's connected component.
+
+    Iterative min-label propagation to fixpoint — each round every node
+    takes the min of its own label and its neighbors' labels, so a dup
+    chain A~B~C with A~C never compared still collapses onto A.
+    Iterative graph algorithms are the one place this engine uses a
+    driver-controlled loop: each round is one shuffle join + partial-
+    aggregated groupBy over the PAIR graph (near-dup pairs, orders of
+    magnitude smaller than the corpus), localCheckpoint'ed to keep the
+    plan from growing with rounds. Rounds needed = component diameter
+    (near-dup clusters are shallow in practice); the large-star/
+    small-star formulation (Kiveris et al., MapReduce CC) is the drop-in
+    upgrade if 100 TB corpora ever produce deep chains.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # pair graph computed once, not per round
+    )
+    # initial labels: min(self, direct neighbors) — two cheap ops off
+    # the checkpointed edge list; not checkpointed itself (round-1's
+    # join consumes it once, and plan growth only starts at round 1)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nmin")).alias("rep"),
+        )
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("rep").alias("nrep")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nrep").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                "rep",
+                F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias(
+                    "new_rep"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.where(F.col("new_rep") < F.col("rep")).count()
+        labels = updated.select("id", F.col("new_rep").alias("rep"))
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -204,24 +285,37 @@ def minhash_dedup(
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end near-dedup: LSH candidates -> Jaccard verify ->
-    connected-to-minimum representative -> filter.
+    connected components -> keep the minimum id of each dup cluster.
 
-    Representative assignment is one round of min-propagation (keep a
-    doc unless a verified duplicate with a smaller id exists). For
-    transitive chains a full connected-components (iterate to fixpoint)
-    can be layered on; single-round matches the common near-dup-removal
-    semantics of keeping the first seen of each dup cluster.
+    Clustering runs min-propagation to FIXPOINT (connected_components_min),
+    so transitive chains collapse: A~B~C with A≁C keeps only A — the
+    reference's keep-one-per-cluster contract
+    (mongo_to_postgres_replication.py:35-39). Docs in no verified pair
+    are untouched (anti-join against cluster losers only).
     """
     verified = ngram_jaccard_pairs(
         df, minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs),
         id_col, text_col, threshold=threshold,
     )
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    comp = connected_components_min(verified.select("id_a", "id_b"))
+    losers = comp.where(F.col("rep") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
-    """Adds a ``simhash`` BIGINT column: per-token xxhash64 bit-vote.
+def md5_hash32(t):
+    """Cross-engine-portable 32-bit token hash: the integer value of the
+    first 8 hex chars of md5 (identical in Spark and DuckDB, byte-for-
+    byte on UTF-8 input). Costlier than xxhash64 (string md5 + base
+    conversion) — the oracle-comparable alternative, not the default."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 32, token_hash=None
+) -> DataFrame:
+    """Adds a ``simhash`` BIGINT column: per-token hash bit-vote.
 
     bit_i(doc) = 1 if sum over tokens of (+1 if hash bit set else -1) > 0.
     ONE fold over the token-hash array carrying a ``bits``-wide vote
@@ -229,9 +323,13 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     exactly once. The per-bit-fold form re-hashes every token ``bits``
     times once CollapseProject inlines the shared subexpressions (see
     minhash_signatures). No shuffle.
+
+    ``token_hash`` defaults to xxhash64 (JVM-codegen, the production
+    path); pass ``md5_hash32`` for a cross-engine-reproducible simhash
+    (DuckDB-oracle-comparable).
     """
     toks = whitespace_tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, token_hash or (lambda t: F.xxhash64(t)))
     bit_val = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     votes = F.aggregate(
         hashes,
@@ -262,6 +360,7 @@ def simhash_near_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     prefix_bits: int = 8,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming.
 
@@ -270,7 +369,7 @@ def simhash_near_pairs(
     Charikar rotation scheme); hamming distance computed via
     bit_count(xor). Shuffle key is the prefix — no cross join.
     """
-    s = simhash(_spread(df), text_col, bits).select(
+    s = simhash(_spread(df), text_col, bits, token_hash).select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.shiftright(F.col("simhash"), bits - prefix_bits).alias("bucket"),

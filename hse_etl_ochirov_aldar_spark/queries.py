@@ -976,25 +976,132 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str, n_dups: int = 20) -> 
 
 def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup over the dup-injected corpus; survivors
-    per language. Non-SQL-expressible -> rows-only driver check; exact
-    invariants (injected dups all removed) asserted in tests/."""
+    per language, with transitive connected-components clustering
+    (keep-one-per-cluster, mongo_to_postgres_replication.py:35-39).
+
+    Oracle-able even though LSH banding isn't SQL: LSH+verify recovers
+    EXACTLY the exact-Jaccard pair set on this corpus (100%-recall
+    invariant, tests/test_dedup_invariants.py), so the DuckDB twin
+    computes the same clusters from the brute-force pair graph with a
+    recursive transitive closure."""
     corpus = _docs_with_near_dups(spark, sf_dir)
     kept = minhash_dedup(corpus, threshold=0.6)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_NEAR_DEDUP_MINHASH = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (SELECT DISTINCT a AS id FROM reach WHERE b < a)
+SELECT lang, count(*) AS n_docs
+FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM losers)
+GROUP BY lang
+"""
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bucketed near-pair detection over the dup-injected
     corpus, summarized as a hamming-distance histogram (raw pair lists
     grow quadratically in dense corpora — the histogram is the stable,
-    scale-independent surface)."""
+    scale-independent surface). Uses the portable md5-derived 32-bit
+    token hash (operators/text_dedup.py:md5_hash32) so the whole
+    simhash — bit votes, prefix buckets, hamming — is reproducible in
+    DuckDB SQL and value-hash-checked; the xxhash64 production hash is
+    exercised in tests."""
+    from .operators.text_dedup import md5_hash32
+
     corpus = _docs_with_near_dups(spark, sf_dir)
-    pairs = simhash_near_pairs(corpus, max_hamming=3, prefix_bits=4)
+    pairs = simhash_near_pairs(
+        corpus, max_hamming=3, prefix_bits=4, token_hash=md5_hash32
+    )
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+# The oracle replays the exact bit-vote construction relationally:
+# per-token 32-bit hash (integer value of md5's first 8 hex chars) ->
+# per-bit +1/-1 votes -> sign bits -> prefix buckets -> bit_count(xor).
+_ORACLE_HASH32 = (
+    "list_sum(list_transform(range(0,8), i -> "
+    "(strpos('0123456789abcdef', substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)"
+    " * (1::BIGINT << CAST(4*(7-i) AS INT))))"
+)
+
+ORACLE_SIMHASH_NEAR_PAIRS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM corpus
+),
+th AS (SELECT doc_id, {_ORACLE_HASH32} AS h FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+s AS (SELECT doc_id AS id, simhash, simhash >> 28 AS bucket FROM sim),
+pairs AS (
+  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY hamming
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified by exact n-gram Jaccard (>= 0.6)."""
+    """LSH candidates verified by exact n-gram Jaccard (>= 0.6).
+
+    Oracle: the brute-force exact-Jaccard pair set — valid because
+    verification makes the LSH pipeline's output a SUBSET of the exact
+    pairs, and the 100%-recall invariant (asserted in tests) makes it
+    equal on this corpus; any banding regression that loses a pair now
+    fails the value hash, not just a pytest."""
     corpus = _docs_with_near_dups(spark, sf_dir)
     cands = minhash_lsh_candidates(corpus)
     return ngram_jaccard_pairs(corpus, cands, threshold=0.6)
@@ -1376,7 +1483,26 @@ def q_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: 20 scaled copies (cosine = 1.0)
     are injected with offset ids; dedup keeps the lowest id of each
     near-dup group (cos >= 0.95; natural max in this corpus is ~0.51,
-    so exactly the injected copies are dropped). Survivors per label."""
+    so exactly the injected copies are dropped). Survivors per label.
+
+    SCALE-SAFE path: a coarse quantizer (deterministic hash-sampled
+    centroids — k-means seeding with zero Lloyd rounds; swap in an
+    offline kmeans_centroids fit when cells gate search recall) blocks
+    the pair space: every vector is assigned its 2 nearest cells by
+    COSINE (scale-invariant, so a copy and its scalar multiple
+    provably share cells for ANY centroid set); candidate pairs are
+    generated only within shared cells — an equi-join on cell_id over
+    (cell, id) rows, never the O(n^2) cross join (that unblocked form
+    survives as the test-only recall baseline,
+    tests/test_dedup_invariants.py). Cells are SIZED to the corpus:
+    n_cells >= 2*n_probe*n / target_cell_pop (PERF.md finding 8) — 64
+    cells puts ~60 vectors in a cell at this scale."""
+    from .operators.similarity import (
+        assign_cells,
+        embedding_near_dup_ids,
+        sampled_centroids,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     dups = emb.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -1386,7 +1512,15 @@ def q_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     corpus = emb.unionByName(dups)
-    kept = embedding_near_dedup(corpus, threshold=0.95)
+    # n_probe=2: a pair is compared if it shares either probed cell —
+    # the standard multi-probe recall guard for vectors near a cell
+    # boundary; duplicate-cell hits collapse in the candidate distinct.
+    cent = sampled_centroids(corpus, n_cells=64)
+    assigned = assign_cells(corpus, cent, n_probe=2, metric="cosine")
+    dup_ids = embedding_near_dup_ids(
+        assigned, threshold=0.95, block_col="cell_id"
+    )
+    kept = corpus.join(dup_ids, "vec_id", "left_anti")
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
@@ -2039,6 +2173,11 @@ ORACLES: dict[str, str] = {
     # near_dedup_minhash / simhash_near_pairs / ngram_jaccard_pairs are
     # non-SQL-expressible (LSH banding) -> rows-only driver check.
     "jaccard_exact_pairs": ORACLE_JACCARD_EXACT_PAIRS,
+    # LSH+verify == exact pairs on this corpus (100%-recall invariant);
+    # the exact-Jaccard twin therefore oracles the LSH pipeline's output
+    "ngram_jaccard_pairs": ORACLE_JACCARD_EXACT_PAIRS,
+    "near_dedup_minhash": ORACLE_NEAR_DEDUP_MINHASH,
+    "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,

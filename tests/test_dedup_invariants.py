@@ -117,3 +117,97 @@ def test_lsh_recall_matches_exact_jaccard(spark, sf_dir):
     }
     assert lsh == exact
     assert len(exact) > 0
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    """Keep-one-per-cluster (mongo_to_postgres_replication.py:35-39):
+    a dup chain A~B~C where A and C are NOT directly similar must
+    still collapse to the single survivor A via connected components."""
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        minhash_dedup,
+        ngram_jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    words = [f"w{i}" for i in range(1, 19)]
+    mk = lambda lo, hi: " ".join(words[lo - 1 : hi])
+    docs = spark.createDataFrame(
+        [(1, mk(1, 12)), (2, mk(4, 15)), (3, mk(7, 18))], ["doc_id", "text"]
+    )
+    # sanity on the construction: A~B and B~C verify at 0.5, A~C does not
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=16)
+    verified = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, cands, threshold=0.5).collect()
+    }
+    assert verified == {(1, 2), (2, 3)}
+    kept = minhash_dedup(docs, threshold=0.5, num_hashes=16, bands=16)
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_connected_components_min_fixpoint(spark):
+    """Min-label propagation reaches the true component minimum on a
+    path graph longer than one round's reach."""
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        connected_components_min,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 50), (100, 200)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.rep) for r in connected_components_min(pairs).collect()}
+    assert got == {
+        (10, 10), (20, 10), (30, 10), (40, 10), (50, 10),
+        (100, 100), (200, 100),
+    }
+
+
+def test_lsh_bucket_cap_bounds_pair_count(spark):
+    """Boilerplate corpus (identical docs -> one giant bucket per band):
+    the cap turns b*(b-1)/2 pair explosion into a b-1 chain, and dedup
+    still collapses the whole cluster to one survivor through the
+    chain + connected components."""
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        minhash_dedup,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate header text repeated verbatim") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_candidates(docs, max_bucket_size=32)
+    assert pairs.count() == 199  # chain, not 19900 quadratic pairs
+    kept = minhash_dedup(docs, threshold=0.9, max_bucket_size=32)
+    assert [r.doc_id for r in kept.collect()] == [0]
+
+
+def test_blocked_embedding_dedup_matches_unblocked(spark, sf_dir):
+    """The k-means-cell-blocked dedup (catalog path) must keep exactly
+    the same survivors as the O(n^2) unblocked ground truth: cosine
+    cell assignment is scale-invariant, so every injected scaled copy
+    shares a probed cell with its source."""
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        embedding_near_dedup,
+    )
+    from hse_etl_ochirov_aldar_spark.queries import q_embedding_near_dedup
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.unionByName(dups)
+    unblocked = {
+        (r.label, r.n_vecs)
+        for r in embedding_near_dedup(corpus, threshold=0.95)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .collect()
+    }
+    blocked = {(r.label, r.n_vecs) for r in q_embedding_near_dedup(spark, sf_dir).collect()}
+    assert blocked == unblocked
