@@ -103,6 +103,115 @@ def predicted_lang(col: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style quality signals (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 public filter
+# heuristics). All pure column expressions — per-row, no shuffle, no UDF.
+# Ratios are single divisions of exact integer counts, so Spark and a SQL
+# oracle agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean characters per whitespace token (NULL-safe: 0-token docs
+    yield NULL, callers treat that as a length-rule failure)."""
+    toks = whitespace_tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total / n)
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """Fraction of tokens containing a hash or ellipsis symbol — the
+    Gopher symbol-to-word screen for tag/link spam."""
+    toks = whitespace_tokens(col)
+    hits = F.size(
+        F.filter(
+            toks,
+            lambda t: t.contains("#") | t.contains("...") | t.contains("…"),
+        )
+    )
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def alpha_word_ratio(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one alphabetic character
+    (Gopher requires >= 0.8 — screens numeric/markup soup)."""
+    toks = whitespace_tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def _lines(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+
+
+def bullet_line_ratio(col: Column | str) -> Column:
+    """Fraction of non-blank lines starting with a bullet marker."""
+    lines = _lines(col)
+    hits = F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]")))
+    n = F.size(lines)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_ratio(col: Column | str) -> Column:
+    """Fraction of non-blank lines ending in an ellipsis (truncated
+    scrape symptom)."""
+    lines = _lines(col)
+    hits = F.size(
+        F.filter(
+            lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")
+        )
+    )
+    n = F.size(lines)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """1 - distinct/total over non-blank lines — the within-document
+    repetition screen (boilerplate, scraper loops)."""
+    lines = _lines(col)
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: conservative public regexes, identical semantics under
+# Java regex (Spark) and RE2 (DuckDB oracle) — no lookaround, no \b cases
+# that differ. regexp_replace is JVM-side and codegen-eligible.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # token name -> pattern
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+[0-9]{1,2} [0-9]{3}-[0-9]{4}",
+    "IP": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its ``<KIND>`` token. Order matters:
+    emails first (an email must not be half-eaten by the IP rule once
+    digits.digits sequences inside it are rewritten)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("EMAIL", "PHONE", "IP"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind}>")
+    return c
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles (the MinHash/Jaccard input set).
 

@@ -46,6 +46,30 @@ def decode_image(payload: bytes) -> dict:
         )
 
 
+def pil_decoder(pil_image_module):
+    """Adapter from a PIL-shaped module (``Image.open(BytesIO).size``)
+    to the decoder contract ``(payload, kind) -> feature dict``. This is
+    the production seam: ``extract_media_features(media,
+    decoder=pil_decoder(PIL.Image))`` when the environment has codecs.
+    The adapter is what the contract test injects (with a stub module),
+    proving a real decoder drops in without touching the Spark plumbing.
+    """
+    import io
+
+    def decode(payload: bytes, kind: str) -> dict:
+        img = pil_image_module.open(io.BytesIO(payload))
+        w, h = img.size
+        return {
+            "n_bytes": len(payload),
+            "checksum": 0,
+            "width": w if kind == "image" else None,
+            "height": h if kind == "image" else None,
+            "duration_s": None,
+        }
+
+    return decode
+
+
 def fake_decode_features(payload: bytes, kind: str) -> dict:
     """Deterministic stand-in for decode+feature-extract: derives
     pseudo width/height/duration from a byte checksum. Same signature
@@ -62,18 +86,24 @@ def fake_decode_features(payload: bytes, kind: str) -> dict:
     }
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def extract_media_features(media: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas pipeline over (media_id, kind, payload) -> features.
 
     The per-batch function works on pandas DataFrames (Arrow transfer);
     output conforms to MEDIA_FEATURES_SCHEMA so downstream stays typed
     and JVM-side.
+
+    ``decoder`` is the swappable seam: any picklable
+    ``(payload, kind) -> dict`` with keys n_bytes/checksum/width/
+    height/duration_s (see ``pil_decoder`` for the PIL adapter).
+    Defaults to the deterministic ``fake_decode_features`` stand-in.
     """
+    decode = decoder or fake_decode_features
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                fake_decode_features(p, k)
+                decode(p, k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             out = pd.DataFrame(

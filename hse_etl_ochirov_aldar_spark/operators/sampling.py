@@ -1,0 +1,81 @@
+"""Deterministic dataset splitting & quota sampling (north-star ops).
+
+Training-data pipelines need splits and mixture caps that are (a)
+reproducible run-to-run and cluster-size-independent, (b) pure row-local
+or single-shuffle operations at 100 TB, and (c) portable across engines
+so holdout membership can be audited outside Spark. Everything here
+derives from a cross-engine md5-based hash of the row key — never
+``rand()`` (nondeterministic across retries/partitionings) and never
+``monotonically_increasing_id`` (partition-layout-dependent).
+
+No reference analogue (the reference pipelines are full-copy ETL,
+SURVEY §2.8); these extend the engine for LLM-corpus preparation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Stable bucket in [0, buckets): integer value of the first 8 hex
+    chars of md5(key) mod buckets. md5 is identical everywhere, so a
+    row's bucket — hence its split — can be recomputed by any engine
+    (the same portability trick as text_dedup.md5_hash32)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Adds a ``split`` column by hash bucket: deterministic,
+    fraction-accurate train/val/test assignment.
+
+    ``weights`` maps split name -> percent (must sum to 100); default
+    80/10/10. Row-local (one md5 per row, no shuffle, no state) — the
+    100 TB-safe form of ``randomSplit``, which resamples on retry and
+    cannot be reproduced outside Spark.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    b = hash_bucket(key_col, 100)
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = (b >= F.lit(lo)) & (b < F.lit(lo + pct))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn("split", expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    key_col: str,
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen by hash order of the key
+    — a deterministic uniform sample without replacement per group (the
+    mixture-balancing cap of corpus preparation: no domain may dominate
+    the training mix).
+
+    One shuffle on ``group_col``; the rank is a window over hash order
+    with the unique key as tie-break, so output is identical for any
+    input partitioning. Skewed groups are bounded by ``quota`` itself —
+    the window never materializes more than the group's rows, and AQE
+    splits oversized partitions.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, 1_000_000_007), F.col(key_col)
+    )
+    return (
+        df.withColumn("__qr", F.row_number().over(w))
+        .where(F.col("__qr") <= quota)
+        .drop("__qr")
+    )

@@ -1227,6 +1227,323 @@ FROM deduped GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style quality filtering (Rae et al. 2021 §A1.1), PII redaction,
+# deterministic splits, and per-domain quota sampling — the corpus-curation
+# layer of an LLM training-data pipeline. All signals are single divisions
+# of exact integer counts; all rules are engine-portable comparisons.
+# ---------------------------------------------------------------------------
+
+# Deterministic rule-trigger fixtures: each doc is crafted to trip a
+# specific Gopher screen. The SAME literals feed the Spark DataFrame and
+# the DuckDB oracle (generated below), so the two sides cannot drift.
+_GOPHER_BAD_DOCS: list[tuple[int, str]] = [
+    (9000001, "- alpha item one two three four five six\n"
+              "- beta item one two three four five six\n"
+              "- gamma item one two three four five six\n"
+              "- delta item one two three four five six"),  # bullet lines
+    (9000002, "alpha# beta# gamma delta epsilon zeta eta theta iota "
+              "kappa lambda mu"),  # symbol-to-word
+    (9000003, "first line goes here...\nsecond line goes after...\n"
+              "third line goes done...\nfourth line stays good"),  # ellipsis
+    (9000004, "same line here\nsame line here\nsame line here\n"
+              "same line here\nunique tail line"),  # duplicate lines
+    (9000005, "11 22 33 44 55 66 77 88 99 101 202 303"),  # no alpha words
+    (9000006, "tiny doc"),  # too short
+    (9000007, "pneumonoultramicroscopicsilicovolcanoconiosis "
+              "supercalifragilisticexpialidocious "
+              "floccinaucinihilipilification antidisestablishmentarianism "
+              "honorificabilitudinitatibus pseudopseudohypoparathyroidism "
+              "incomprehensibilities uncharacteristically "
+              "electroencephalographically otorhinolaryngological"),  # word len
+]
+
+_GOPHER_BAD_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT {i} AS doc_id, '{t}' AS text, 'en' AS lang"
+    for i, t in _GOPHER_BAD_DOCS
+)
+
+
+def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gopher-filter report: how many docs each quality
+    screen rejects, and how many survive all of them. Screens (public
+    Gopher/C4 heuristics): token-count band, mean word length 2-10,
+    symbol-to-word ratio <= 0.1, alpha-word ratio >= 0.8, bullet-line
+    ratio <= 0.9, ellipsis-line ratio <= 0.3, duplicate-line fraction
+    <= 0.3. Every signal is per-row column algebra (no shuffle before
+    the final agg); rule fixtures are injected deterministically."""
+    from .functions.text import (
+        alpha_word_ratio,
+        bullet_line_ratio,
+        duplicate_line_fraction,
+        ellipsis_line_ratio,
+        mean_word_length,
+        symbol_word_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    bad = spark.createDataFrame(
+        [(i, t, "en") for i, t in _GOPHER_BAD_DOCS], "doc_id LONG, text STRING, lang STRING"
+    )
+    corpus = docs.unionByName(bad)
+    text = F.col("text")
+    scored = corpus.select(
+        "lang",
+        token_count(text).alias("n_tokens"),
+        mean_word_length(text).alias("mwl"),
+        symbol_word_ratio(text).alias("symr"),
+        alpha_word_ratio(text).alias("alphar"),
+        bullet_line_ratio(text).alias("bulletr"),
+        ellipsis_line_ratio(text).alias("ellipsisr"),
+        duplicate_line_fraction(text).alias("dupliner"),
+    )
+    fails = scored.select(
+        "lang",
+        ((F.col("n_tokens") < 10) | (F.col("n_tokens") > 100000)).alias("f_len"),
+        ~F.col("mwl").between(2.0, 10.0) | F.col("mwl").isNull(),
+        (F.col("symr") > 0.1).alias("f_symbol"),
+        (F.col("alphar") < 0.8).alias("f_alpha"),
+        (F.col("bulletr") > 0.9).alias("f_bullet"),
+        (F.col("ellipsisr") > 0.3).alias("f_ellipsis"),
+        (F.col("dupliner") > 0.3).alias("f_dupline"),
+    ).toDF(
+        "lang", "f_len", "f_mwl", "f_symbol", "f_alpha", "f_bullet",
+        "f_ellipsis", "f_dupline",
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).alias("n_" + c[2:])
+    kept = ~(
+        F.col("f_len") | F.col("f_mwl") | F.col("f_symbol") | F.col("f_alpha")
+        | F.col("f_bullet") | F.col("f_ellipsis") | F.col("f_dupline")
+    )
+    return fails.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        cnt("f_len"), cnt("f_mwl"), cnt("f_symbol"), cnt("f_alpha"),
+        cnt("f_bullet"), cnt("f_ellipsis"), cnt("f_dupline"),
+    )
+
+
+ORACLE_GOPHER_QUALITY_FILTERS = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+{_GOPHER_BAD_SQL}
+),
+scored AS (
+  SELECT lang,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / len(toks) AS mwl,
+         CAST(len(list_filter(toks, t -> contains(t, '#')
+              OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE)
+           / len(toks) AS symr,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+              AS DOUBLE) / len(toks) AS alphar,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END AS bulletr,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END AS ellipsisr,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END AS dupliner
+  FROM (SELECT lang,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS toks,
+               list_filter(string_split(text, chr(10)),
+                           x -> trim(x) <> '') AS lines
+        FROM corpus)
+),
+fails AS (
+  SELECT lang,
+         (n_tokens < 10 OR n_tokens > 100000) AS f_len,
+         NOT (mwl >= 2.0 AND mwl <= 10.0) AS f_mwl,
+         symr > 0.1 AS f_symbol,
+         alphar < 0.8 AS f_alpha,
+         bulletr > 0.9 AS f_bullet,
+         ellipsisr > 0.3 AS f_ellipsis,
+         dupliner > 0.3 AS f_dupline
+  FROM scored
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT (f_len OR f_mwl OR f_symbol OR f_alpha
+                 OR f_bullet OR f_ellipsis OR f_dupline)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+       CAST(sum(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+       CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       CAST(sum(CASE WHEN f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+       CAST(sum(CASE WHEN f_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis,
+       CAST(sum(CASE WHEN f_dupline THEN 1 ELSE 0 END) AS BIGINT) AS n_dupline
+FROM fails GROUP BY lang
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report: detect + redact emails/phones/IPs (conservative
+    Java-regex == RE2 patterns, functions/text.py PII_PATTERNS), per
+    source. PII strings are deterministically injected into the first 15
+    docs (the corpus has none) so every pattern is exercised; the exact
+    same concatenation runs in the oracle. chars_delta proves the
+    redaction rewrote the text (token substitution changes length)."""
+    from .functions.text import pii_count, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1 555-"),
+        (F.col("doc_id") + 1000).cast("string"),
+        F.lit(" at 10.1."), F.col("doc_id").cast("string"),
+        F.lit(".77 today"),
+    )
+    with_pii = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") < 15, injected).otherwise(F.col("text")).alias("text"),
+    )
+    text = F.col("text")
+    per_doc = with_pii.select(
+        "source",
+        pii_count(text, "EMAIL").alias("n_em"),
+        pii_count(text, "PHONE").alias("n_ph"),
+        pii_count(text, "IP").alias("n_ip"),
+        (F.length(text) - F.length(redact_pii(text))).alias("delta"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_em").alias("n_emails"),
+        F.sum("n_ph").alias("n_phones"),
+        F.sum("n_ip").alias("n_ips"),
+        F.sum(
+            F.when((F.col("n_em") + F.col("n_ph") + F.col("n_ip")) > 0, 1).otherwise(0)
+        ).alias("n_pii_docs"),
+        F.sum("delta").alias("chars_delta"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+ORACLE_PII_REDACTION = f"""
+WITH with_pii AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id < 15
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or call +1 555-'
+                   || CAST(doc_id + 1000 AS VARCHAR)
+                   || ' at 10.1.' || CAST(doc_id AS VARCHAR) || '.77 today'
+              ELSE text END AS text
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_em,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_ph,
+         len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+         length(text) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS delta
+  FROM with_pii
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_em) AS BIGINT) AS n_emails,
+       CAST(sum(n_ph) AS BIGINT) AS n_phones,
+       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+       CAST(sum(CASE WHEN n_em + n_ph + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pii_docs,
+       CAST(sum(delta) AS BIGINT) AS chars_delta
+FROM per_doc GROUP BY source
+"""
+
+# DuckDB twin of operators/sampling.hash_bucket: integer value of the
+# first 8 md5 hex chars (most-significant first), as a SQL expression.
+def _oracle_hash32(expr: str) -> str:
+    return (
+        "list_sum(list_transform(range(0,8), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), CAST(i+1 AS INT), 1)) - 1)"
+        " * (1::BIGINT << CAST(4*(7-i) AS INT))))"
+    )
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 hash bucket of
+    doc_id (operators/sampling.hash_split): reproducible run-to-run,
+    engine-portable (the oracle recomputes membership in SQL), and
+    row-local — no shuffle, unlike randomSplit which resamples on task
+    retry. Reports per-split doc/token/lang tallies plus sum(doc_id) as
+    a membership checksum."""
+    from .operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(docs, "doc_id")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_TRAIN_VAL_TEST_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, lang, text,
+         {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM b GROUP BY 1
+"""
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: cap every source domain at 15 docs, chosen by
+    hash order of doc_id (operators/sampling.quota_sample) — a
+    deterministic per-group uniform sample, the standard guard against
+    one domain dominating a training mix. sum(doc_id) checksums WHICH
+    docs were kept, not just how many."""
+    from .operators.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = quota_sample(docs, "source", 15, "doc_id")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_DOMAIN_QUOTA_SAMPLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id, text,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked WHERE rn <= 15 GROUP BY source
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched mapInPandas feature extraction
     -> per-kind aggregate. Decode is a deterministic fake (real decoders
@@ -2125,6 +2442,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
     "training_data_prep": q_training_data_prep,
+    "gopher_quality_filters": q_gopher_quality_filters,
+    "pii_redaction": q_pii_redaction,
+    "train_val_test_split": q_train_val_test_split,
+    "domain_quota_sample": q_domain_quota_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -2179,6 +2500,10 @@ ORACLES: dict[str, str] = {
     "near_dedup_minhash": ORACLE_NEAR_DEDUP_MINHASH,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
+    "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,
+    "pii_redaction": ORACLE_PII_REDACTION,
+    "train_val_test_split": ORACLE_TRAIN_VAL_TEST_SPLIT,
+    "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,

@@ -1,0 +1,112 @@
+"""Corpus-curation operators: Gopher quality screens, PII redaction,
+deterministic hash splits, per-domain quota sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hse_etl_ochirov_aldar_spark.functions.text import (
+    PII_PATTERNS,
+    pii_count,
+    redact_pii,
+)
+from hse_etl_ochirov_aldar_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+    quota_sample,
+)
+from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+
+def test_hash_split_partitions_everything_deterministically(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(docs, "doc_id")
+    n = docs.count()
+    # total preserved, no NULL split
+    by = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n and set(by) <= {"train", "val", "test"}
+    # roughly fraction-accurate (hash uniformity at n=500: train 80% +- 10pt)
+    assert 0.7 <= by["train"] / n <= 0.9
+    # membership is a pure function of the key: identical across runs AND
+    # across partitionings (the failure mode of rand()/monotonic ids)
+    a = {(r.doc_id, r.split) for r in s.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in hash_split(docs.repartition(7, "lang"), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+
+def test_hash_split_weights_validated(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        hash_split(df, "id", {"train": 50, "test": 20})
+
+
+def test_quota_sample_caps_every_group(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = quota_sample(docs, "source", 7, "doc_id")
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= 7 for r in per)
+    # groups smaller than the quota pass through whole
+    small = quota_sample(docs.where(F.col("doc_id") < 3), "source", 7, "doc_id")
+    assert small.count() == 3
+    # deterministic: same ids regardless of input partitioning
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in quota_sample(docs.repartition(13), "source", 7, "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_redact_pii_scrubs_all_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "dial +49 030-1234 tonight"),
+            (3, "host 192.168.0.1 up"),
+            (4, "clean text stays clean"),
+        ],
+        ["id", "text"],
+    )
+    red = df.select(
+        "id",
+        redact_pii(F.col("text")).alias("red"),
+        *[pii_count(F.col("text"), k).alias(k.lower()) for k in PII_PATTERNS],
+    )
+    rows = {r.id: r for r in red.collect()}
+    assert rows[1].red == "mail <EMAIL> now" and rows[1].email == 1
+    assert rows[2].red == "dial <PHONE> tonight" and rows[2].phone == 1
+    assert rows[3].red == "host <IP> up" and rows[3].ip == 1
+    assert rows[4].red == "clean text stays clean"
+    # redacted text has no remaining matches for any pattern
+    residual = red.select(
+        sum(
+            F.size(F.regexp_extract_all(F.col("red"), F.lit(p), 0))
+            for p in PII_PATTERNS.values()
+        ).alias("left")
+    ).agg(F.sum("left").alias("s")).collect()[0].s
+    assert residual == 0
+
+
+def test_gopher_filters_reject_exactly_the_fixtures(spark, sf_dir):
+    """Each injected bad doc fails its target screen; the real corpus is
+    untouched by screens the fixtures target (en row aside, every other
+    lang keeps all docs)."""
+    from hse_etl_ochirov_aldar_spark.queries import q_gopher_quality_filters
+
+    rows = {r.lang: r for r in q_gopher_quality_filters(spark, sf_dir).collect()}
+    en = rows["en"]
+    assert en.n_docs - en.n_kept == 7  # exactly the 7 fixtures die
+    for col in ("n_len", "n_mwl", "n_symbol", "n_alpha", "n_bullet",
+                "n_ellipsis", "n_dupline"):
+        assert getattr(en, col) >= 1  # every screen fires at least once
+    for lang, r in rows.items():
+        if lang != "en":
+            assert r.n_kept == r.n_docs
