@@ -214,7 +214,7 @@ def ngram_jaccard_pairs(
 
 
 def connected_components_min(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, collect_threshold: int = 100_000
 ) -> DataFrame:
     """(id, rep) for every id in the pair graph: ``rep`` is the minimum
     id of the node's connected component.
@@ -230,6 +230,13 @@ def connected_components_min(
     (near-dup clusters are shallow in practice); the large-star/
     small-star formulation (Kiveris et al., MapReduce CC) is the drop-in
     upgrade if 100 TB corpora ever produce deep chains.
+
+    Small graphs (<= ``collect_threshold`` directed edges — known for
+    free, the checkpointed edge list is already materialized) skip the
+    loop entirely: a bounded collect + driver union-find replaces
+    2-3 rounds x (shuffle join + checkpoint + convergence count) of
+    fixed per-job overhead. The distributed fixpoint stays the path for
+    graphs past the threshold; set ``collect_threshold=0`` to force it.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -239,6 +246,31 @@ def connected_components_min(
         .distinct()
         .localCheckpoint()  # pair graph computed once, not per round
     )
+    if edges.count() <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            a, b = row.src, row.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min so rep is the component minimum
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(x, find(x)) for x in parent]
+        id_type = pairs.schema["id_a"].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            out, f"id {id_type}, rep {id_type}"
+        )
     # initial labels: min(self, direct neighbors) — two cheap ops off
     # the checkpointed edge list; not checkpointed itself (round-1's
     # join consumes it once, and plan growth only starts at round 1)

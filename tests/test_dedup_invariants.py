@@ -155,11 +155,19 @@ def test_connected_components_min_fixpoint(spark):
     pairs = spark.createDataFrame(
         [(10, 20), (20, 30), (30, 40), (40, 50), (100, 200)], ["id_a", "id_b"]
     )
-    got = {(r.id, r.rep) for r in connected_components_min(pairs).collect()}
-    assert got == {
+    want = {
         (10, 10), (20, 10), (30, 10), (40, 10), (50, 10),
         (100, 100), (200, 100),
     }
+    # small-graph fast path (driver union-find) and the distributed
+    # fixpoint (forced via collect_threshold=0) must agree exactly
+    got = {(r.id, r.rep) for r in connected_components_min(pairs).collect()}
+    assert got == want
+    dist = {
+        (r.id, r.rep)
+        for r in connected_components_min(pairs, collect_threshold=0).collect()
+    }
+    assert dist == want
 
 
 def test_lsh_bucket_cap_bounds_pair_count(spark):
