@@ -1,0 +1,74 @@
+"""Benchmark decontamination: drop corpus documents that overlap an
+evaluation set by any n-token shingle (the standard n-gram
+decontamination used for LLM training corpora, e.g. GPT-3 appendix C /
+PaLM §C.1 use 8-13-gram overlap).
+
+Scale shape (100 TB corpus, small eval set): the eval side is
+benchmark-sized (10^4-10^6 texts), so its distinct shingle set is
+broadcast and the corpus streams through a broadcast LEFT SEMI join on
+the shingle string — the corpus is never shuffled; the only exchange is
+the distinct over matched (small) contaminated ids. The corpus side
+explodes per-doc DISTINCT shingles (word_shingles), so a doc repeating
+one phrase contributes it once.
+
+No reference analogue (SURVEY §2.8 extension); the contract mirrors the
+reference's quality-gate style: a flag, a report, and a clean survivors
+set, all engine-recomputable (whitespace tokens + space-joined shingles
+are byte-identical in the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def eval_shingles(
+    eval_df: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distinct n-token shingles of the evaluation set — the (small)
+    broadcast side. Short texts fall back to their whole-text shingle
+    (word_shingles contract)."""
+    return (
+        eval_df.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+        ).distinct()
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Ids of corpus docs sharing at least one n-token shingle with the
+    eval set. Broadcast semi join — corpus-side rows never shuffle; the
+    distinct runs over matched ids only (bounded by corpus hit rate)."""
+    grams = eval_shingles(eval_df, n, eval_text_col)
+    doc_grams = docs.select(
+        id_col, F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus eval-overlapping docs (anti join on the contaminated
+    id set — ids only, the doc payload is never duplicated)."""
+    bad = contaminated_ids(docs, eval_df, n, id_col, text_col, eval_text_col)
+    return docs.join(bad, id_col, "left_anti")

@@ -1544,6 +1544,99 @@ FROM ranked WHERE rn <= 15 GROUP BY source
 """
 
 
+# Eval prompts that match nothing in the corpus (negative controls for
+# the decontamination screen); same literals feed Spark and the oracle.
+_DECONTAM_CLEAN_PROMPTS = [
+    "zulu xray quebec victor whiskey tango sierra romeo",
+    "holdout benchmark question alpha bravo charlie delta echo",
+]
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): an eval
+    set is built from an 8-token slice (positions 2-9) of every 20th
+    document — contaminated-by-construction — plus two no-match control
+    prompts; any doc sharing an 8-token shingle with it is flagged.
+    Broadcast semi join: the corpus is never shuffled — the eval shingle
+    set (benchmark-sized at any corpus scale) broadcasts, and only the
+    matched ids reach an exchange. Per-lang report; sum(doc_id) of the
+    flagged set checksums WHICH docs were caught (the tiny shared
+    vocabulary makes natural 8-gram collisions legitimate extra hits,
+    identically recomputed by the oracle)."""
+    from .functions.text import whitespace_tokens
+    from .operators.decontaminate import contaminated_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(" ", F.slice(whitespace_tokens(F.col("text")), 2, 8)).alias(
+            "text"
+        )
+    ).unionByName(
+        spark.createDataFrame([(t,) for t in _DECONTAM_CLEAN_PROMPTS], "text STRING")
+    )
+    bad = contaminated_ids(docs, evals, n=8).withColumn("c", F.lit(1))
+    return (
+        docs.join(bad, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_clean"),
+            F.coalesce(
+                F.sum(F.when(F.col("c").isNotNull(), F.col("doc_id"))), F.lit(0)
+            ).alias("sum_contam_id"),
+        )
+    )
+
+
+_DECONTAM_PROMPTS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT '{t}' AS text" for t in _DECONTAM_CLEAN_PROMPTS
+)
+
+# 8-token shingle set of a tokenized text `w` (matches word_shingles
+# n=8: whole-text fallback under 8 tokens, distinct shingles otherwise)
+_SHINGLE8 = (
+    "CASE WHEN len({w}) >= 8 THEN list_distinct(list_transform("
+    "range(1, len({w}) - 6), i -> array_to_string(list_slice({w}, i, i + 7), ' ')))"
+    " ELSE [array_to_string({w}, ' ')] END"
+)
+
+ORACLE_DECONTAMINATE_DOCS = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+evals AS (
+  SELECT array_to_string(list_slice(w, 2, 9), ' ') AS text
+  FROM tok WHERE doc_id % 20 = 0
+  UNION ALL
+{_DECONTAM_PROMPTS_SQL}
+),
+eg AS (
+  SELECT DISTINCT unnest({_SHINGLE8.format(w='w')}) AS gram
+  FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '') AS w FROM evals)
+),
+bad AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_SHINGLE8.format(w='w')}) AS gram FROM tok) dg
+  JOIN eg USING (gram)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean,
+       CAST(coalesce(sum(CASE WHEN bad.doc_id IS NOT NULL THEN tok.doc_id END), 0)
+         AS BIGINT) AS sum_contam_id
+FROM tok LEFT JOIN bad ON tok.doc_id = bad.doc_id
+GROUP BY lang
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched mapInPandas feature extraction
     -> per-kind aggregate. Decode is a deterministic fake (real decoders
@@ -2446,6 +2539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "train_val_test_split": q_train_val_test_split,
     "domain_quota_sample": q_domain_quota_sample,
+    "decontaminate_docs": q_decontaminate_docs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -2504,6 +2598,7 @@ ORACLES: dict[str, str] = {
     "pii_redaction": ORACLE_PII_REDACTION,
     "train_val_test_split": ORACLE_TRAIN_VAL_TEST_SPLIT,
     "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
+    "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,

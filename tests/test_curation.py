@@ -110,3 +110,53 @@ def test_gopher_filters_reject_exactly_the_fixtures(spark, sf_dir):
     for lang, r in rows.items():
         if lang != "en":
             assert r.n_kept == r.n_docs
+
+
+def test_decontaminate_flags_fixtures_and_spares_controls(spark, sf_dir):
+    """Every 20th doc is contaminated by construction (its own 8-token
+    slice seeds the eval set); the no-match control prompts flag
+    nothing; clean + contaminated partitions the corpus."""
+    from hse_etl_ochirov_aldar_spark.operators.decontaminate import (
+        contaminated_ids,
+        ngram_decontaminate,
+    )
+    from hse_etl_ochirov_aldar_spark.queries import (
+        _DECONTAM_CLEAN_PROMPTS,
+        q_decontaminate_docs,
+    )
+    from hse_etl_ochirov_aldar_spark.functions.text import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    evals = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(" ", F.slice(whitespace_tokens(F.col("text")), 2, 8)).alias("text")
+    )
+    bad = {r.doc_id for r in contaminated_ids(docs, evals, n=8).collect()}
+    fixtures = {r.doc_id for r in docs.where(F.col("doc_id") % 20 == 0).collect()}
+    assert fixtures <= bad  # all seeded docs caught
+    clean = ngram_decontaminate(docs, evals, n=8)
+    assert clean.count() == n - len(bad)
+    # control prompts alone catch nothing
+    controls = spark.createDataFrame(
+        [(t,) for t in _DECONTAM_CLEAN_PROMPTS], "text STRING"
+    )
+    assert contaminated_ids(docs, controls, n=8).count() == 0
+    # report partitions the corpus
+    rep = q_decontaminate_docs(spark, sf_dir).agg(
+        F.sum("n_docs").alias("d"),
+        F.sum("n_contaminated").alias("c"),
+        F.sum("n_clean").alias("k"),
+    ).collect()[0]
+    assert rep.d == rep.c + rep.k == n
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark, sf_dir):
+    """The corpus never shuffles: the eval shingle set broadcasts into
+    a LEFT SEMI hash join (the 100 TB contract of the operator)."""
+    from hse_etl_ochirov_aldar_spark.queries import q_decontaminate_docs
+
+    plan = (
+        q_decontaminate_docs(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
