@@ -54,6 +54,44 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    token_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: adds ``shard`` and ``pack_id``
+    so that consecutive docs (in deterministic hash order within a
+    shard) share a pack until its token budget fills — the standard
+    approximation for batching variable-length documents into
+    fixed-size training sequences with bounded padding waste.
+
+    ``pack_id = floor(exclusive_prefix_token_sum / budget)``: a doc
+    starts a new pack exactly when the tokens before it fill a whole
+    number of budgets. Docs longer than the budget own their packs and
+    simply advance the boundary. The window is per-shard (hash of the
+    key), so packing parallelizes over ``n_shards`` independent
+    partitions — no global sort, no single-reducer window; shard count
+    scales with the cluster, and assignment stays a pure function of
+    (key, tokens) recomputable by any engine.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(hash_bucket(key_col, 1_000_000_007), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("shard", hash_bucket(key_col, n_shards))
+        .withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum(token_col).over(w), F.lit(0)) / F.lit(budget)
+            ),
+        )
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -1544,6 +1544,62 @@ FROM ranked WHERE rn <= 15 GROUP BY source
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_sequences): documents
+    are packed into 512-token training sequences within 8 hash shards;
+    per-shard report of docs, packs, token totals, and the fullest
+    pack. Packing is a per-shard window over hash order — parallel
+    across shards, no global sort — and pack membership is a pure
+    function of (doc_id, token count), recomputed by the oracle."""
+    from .operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=512, n_shards=8,
+                            token_col="n_tokens", key_col="doc_id")
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+    return per_pack.groupBy("shard").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        F.max("pack_tokens").alias("max_pack_tokens"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 8
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+         AS BIGINT) AS pack_id
+  FROM toks
+),
+per_pack AS (
+  SELECT shard, pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+  FROM packed GROUP BY shard, pack_id
+)
+SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       count(*) AS n_packs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens
+FROM per_pack GROUP BY shard
+"""
+
+
 # Eval prompts that match nothing in the corpus (negative controls for
 # the decontamination screen); same literals feed Spark and the oracle.
 _DECONTAM_CLEAN_PROMPTS = [
@@ -2540,6 +2596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_val_test_split": q_train_val_test_split,
     "domain_quota_sample": q_domain_quota_sample,
     "decontaminate_docs": q_decontaminate_docs,
+    "pack_sequences": q_pack_sequences,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -2599,6 +2656,7 @@ ORACLES: dict[str, str] = {
     "train_val_test_split": ORACLE_TRAIN_VAL_TEST_SPLIT,
     "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,

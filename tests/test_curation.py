@@ -160,3 +160,40 @@ def test_decontaminate_plan_broadcasts_eval_side(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packs per shard are contiguous from 0; every non-final pack's
+    fill is within one max-doc of the budget (the greedy boundary
+    rule); assignment is a pure function of the key — identical under
+    any input partitioning."""
+    from hse_etl_ochirov_aldar_spark.operators.sampling import pack_sequences
+
+    budget = 512
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    max_doc = docs.agg(F.max("n_tokens")).collect()[0][0]
+    packed = pack_sequences(docs, budget, 8, "n_tokens", "doc_id")
+    per_pack = (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    shards = {}
+    for r in per_pack:
+        shards.setdefault(r.shard, []).append((r.pack_id, r.t))
+    for shard, packs in shards.items():
+        ids = sorted(p for p, _ in packs)
+        assert ids == list(range(len(ids)))  # contiguous from 0
+        for pid, t in packs:
+            if pid != ids[-1]:
+                assert abs(t - budget) < max_doc
+    a = sorted((r.doc_id, r.shard, r.pack_id) for r in packed.collect())
+    b = sorted(
+        (r.doc_id, r.shard, r.pack_id)
+        for r in pack_sequences(
+            docs.repartition(11), budget, 8, "n_tokens", "doc_id"
+        ).collect()
+    )
+    assert a == b
