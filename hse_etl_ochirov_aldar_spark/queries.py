@@ -1272,14 +1272,7 @@ def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio <= 0.9, ellipsis-line ratio <= 0.3, duplicate-line fraction
     <= 0.3. Every signal is per-row column algebra (no shuffle before
     the final agg); rule fixtures are injected deterministically."""
-    from .functions.text import (
-        alpha_word_ratio,
-        bullet_line_ratio,
-        duplicate_line_fraction,
-        ellipsis_line_ratio,
-        mean_word_length,
-        symbol_word_ratio,
-    )
+    from .functions.text import gopher_signals
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     bad = spark.createDataFrame(
@@ -1287,15 +1280,16 @@ def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(bad)
     text = F.col("text")
+    sig = gopher_signals(text)
     scored = corpus.select(
         "lang",
         token_count(text).alias("n_tokens"),
-        mean_word_length(text).alias("mwl"),
-        symbol_word_ratio(text).alias("symr"),
-        alpha_word_ratio(text).alias("alphar"),
-        bullet_line_ratio(text).alias("bulletr"),
-        ellipsis_line_ratio(text).alias("ellipsisr"),
-        duplicate_line_fraction(text).alias("dupliner"),
+        sig["mwl"].alias("mwl"),
+        sig["symr"].alias("symr"),
+        sig["alphar"].alias("alphar"),
+        sig["bulletr"].alias("bulletr"),
+        sig["ellipsisr"].alias("ellipsisr"),
+        sig["dupliner"].alias("dupliner"),
     )
     fails = scored.select(
         "lang",

@@ -162,6 +162,65 @@ def main() -> None:
         j = range_join_bucketed(probes, builds, "k", "ts", "s", "e", 3600)
         return j.count()
 
+    # 8) synthetic ~30-word docs for the curation operators
+    def _synth_docs(n):
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.concat(
+                F.lit("w"), (F.pmod(F.xxhash64(F.col("id"), i), 8000)).cast("string")
+            ),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+        )
+
+    # Gopher screens over 2M docs: fused single-fold signal struct
+    # (one tokenization; the per-signal forms re-tokenize 6x — 3.8x
+    # slower, PERF.md)
+    def gopher_2m():
+        from hse_etl_ochirov_aldar_spark.functions.text import gopher_signals
+
+        docs = _synth_docs(2_000_000)
+        sig = gopher_signals(F.col("text"))
+        kept = docs.where(
+            sig["mwl"].between(2.0, 10.0)
+            & (sig["symr"] <= 0.1)
+            & (sig["alphar"] >= 0.8)
+            & (sig["bulletr"] <= 0.9)
+            & (sig["dupliner"] <= 0.3)
+        )
+        return kept.count()
+
+    # split + pack 10M docs into 512-token sequences over 1024 shards:
+    # one shuffle, per-shard windows (no global sort)
+    def pack_10m():
+        from hse_etl_ochirov_aldar_spark.operators.sampling import (
+            hash_split,
+            pack_sequences,
+        )
+
+        docs = spark.range(10_000_000).select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.xxhash64("id"), 400) + 10).alias("n_tokens"),
+        )
+        packed = pack_sequences(
+            hash_split(docs, "doc_id"), 512, 1024, "n_tokens", "doc_id"
+        )
+        return packed.groupBy("split").agg(
+            F.countDistinct("shard", "pack_id").alias("n_packs")
+        ).count()
+
+    # decontaminate 2M docs against a 10k-text eval set (broadcast semi)
+    def decontaminate_2m():
+        from hse_etl_ochirov_aldar_spark.operators.decontaminate import (
+            contaminated_ids,
+        )
+
+        docs = _synth_docs(2_000_000)
+        evals = _synth_docs(10_000).select("text")
+        return contaminated_ids(docs, evals, n=8).count()
+
     timed("sessionize_10m_events", sessionize_10m)
     timed("asof_join_5m_probes", asof_5m)
     timed("range_join_5m_probes", range_5m)
@@ -169,6 +228,9 @@ def main() -> None:
     timed("skewed_join_plain_5m", skew_plain)
     timed("skewed_join_salted_5m", skew_salted)
     timed("embedding_near_dedup_blocked_200k", embedding_blocked_200k)
+    timed("gopher_filters_2m_docs", gopher_2m)
+    timed("split_pack_10m_docs", pack_10m)
+    timed("decontaminate_2m_docs", decontaminate_2m)
     spark.stop()
 
 
