@@ -14,6 +14,8 @@ SURVEY §2.8); these extend the engine for LLM-corpus preparation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -89,6 +91,49 @@ def pack_sequences(
                 F.coalesce(F.sum(token_col).over(w), F.lit(0)) / F.lit(budget)
             ),
         )
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    total: int,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (alpha = 0.5): draw ~``total``
+    rows with per-group quotas proportional to sqrt(group size) — the
+    standard down-weighting of dominant domains / up-weighting of rare
+    ones when balancing a training mixture (cf. multilingual sampling in
+    the mBERT/XLM-R line of work).
+
+    Exactness contract: quotas use INTEGER arithmetic only —
+    ``quota_g = total * isqrt(n_g) // sum(isqrt(n_h))`` — so any engine
+    recomputes identical quotas (float sqrt+sum could flip a boundary
+    row by one ulp; isqrt of a BIGINT count cannot, for counts < 2^50
+    where floor(sqrt(double)) is exact). Per-group counts are collected
+    to the driver — bounded by the number of groups (domains), the same
+    justified materialization as the touched-partition collect in
+    sinks. Selection within a group is hash-order rank (deterministic,
+    partitioning-independent); one shuffle on ``group_col``.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    w = {g: math.isqrt(n) for g, n in counts.items()}
+    s = sum(w.values())
+    if s == 0:
+        return df.limit(0)
+    quotas = {g: total * wg // s for g, wg in sorted(w.items())}
+    qmap = F.create_map(
+        *[x for g, q in quotas.items() for x in (F.lit(g), F.lit(q))]
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, 1_000_000_007), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= qmap[F.col(group_col)])
+        .drop("__rn")
     )
 
 

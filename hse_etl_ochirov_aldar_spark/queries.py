@@ -1538,6 +1538,49 @@ FROM ranked WHERE rn <= 15 GROUP BY source
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.5) mixture sample of 200 docs
+    across source domains (operators/sampling.temperature_mixture_sample):
+    quotas proportional to sqrt(domain size) via INTEGER-only arithmetic
+    (total * isqrt(n_g) // sum isqrt), so the oracle recomputes the
+    exact same quotas; within-domain selection is hash-order rank.
+    Report: per-source quota fill + sum(doc_id) membership checksum."""
+    from .operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = temperature_mixture_sample(docs, "source", "doc_id", total=200)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM counts
+),
+quota AS (
+  SELECT source, (200 * wt) // (SELECT sum(wt) FROM w) AS q FROM w
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT r.source, count(*) AS n_sampled,
+       CAST(sum(r.doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked r JOIN quota USING (source)
+WHERE r.rn <= quota.q
+GROUP BY r.source
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/sampling.pack_sequences): documents
     are packed into 512-token training sequences within 8 hash shards;
@@ -2591,6 +2634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quota_sample": q_domain_quota_sample,
     "decontaminate_docs": q_decontaminate_docs,
     "pack_sequences": q_pack_sequences,
+    "mixture_sample": q_mixture_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
@@ -2651,6 +2695,7 @@ ORACLES: dict[str, str] = {
     "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,

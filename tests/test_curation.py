@@ -197,3 +197,47 @@ def test_pack_sequences_invariants(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+def test_mixture_sample_sqrt_quotas(spark, sf_dir):
+    """Quotas follow total * isqrt(n_g) // sum(isqrt): dominant domains
+    are down-weighted relative to their raw share; selection is
+    deterministic across partitionings."""
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    w = {g: math.isqrt(n) for g, n in counts.items()}
+    s = sum(w.values())
+    expected = {g: 200 * wg // s for g, wg in w.items()}
+    out = temperature_mixture_sample(docs, "source", "doc_id", total=200)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert got == {g: q for g, q in expected.items() if q > 0}
+    # temperature flattens: the biggest domain's sampled share never
+    # exceeds its raw corpus share (strictly below when domains are
+    # skewed; equal only for a uniform corpus like this fixture's)
+    big = max(counts, key=counts.get)
+    assert got[big] / sum(got.values()) <= counts[big] / sum(counts.values())
+    skewed = docs.where(F.col("doc_id") % 3 != 0).unionByName(
+        docs.where(F.col("source") == big)
+    )
+    sk_counts = {r[0]: r[1] for r in skewed.groupBy("source").count().collect()}
+    sk = temperature_mixture_sample(skewed, "source", "doc_id", total=200)
+    sk_got = {r[0]: r[1] for r in sk.groupBy("source").count().collect()}
+    sk_big = max(sk_counts, key=sk_counts.get)
+    assert (
+        sk_got[sk_big] / sum(sk_got.values())
+        < sk_counts[sk_big] / sum(sk_counts.values())
+    )
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_mixture_sample(
+            docs.repartition(13), "source", "doc_id", total=200
+        ).select("doc_id").collect()
+    )
+    assert a == b
