@@ -2741,4 +2741,10 @@ BENCH_QUERIES: list[str] = [
     "asof_last_order",
     "rolling_7d_avg",
     "skew_join_salted",
+    # round-2 curation flagships (totals vs BENCH_r01 compare per-query:
+    # the catalog grew, the shared 21 queries did not regress)
+    "gopher_quality_filters",
+    "decontaminate_docs",
+    "pack_sequences",
+    "mixture_sample",
 ]
