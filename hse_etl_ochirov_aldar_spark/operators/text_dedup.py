@@ -231,22 +231,22 @@ def connected_components_min(
     small-star formulation (Kiveris et al., MapReduce CC) is the drop-in
     upgrade if 100 TB corpora ever produce deep chains.
 
-    Small graphs (<= ``collect_threshold`` directed edges — known for
-    free, the checkpointed edge list is already materialized) skip the
-    loop entirely: a bounded collect + driver union-find replaces
-    2-3 rounds x (shuffle join + checkpoint + convergence count) of
-    fixed per-job overhead. The distributed fixpoint stays the path for
-    graphs past the threshold; set ``collect_threshold=0`` to force it.
+    Small graphs (<= ``collect_threshold`` undirected pairs) skip the
+    loop entirely: ONE ``limit(k+1).collect()`` probe over the lazily
+    checkpointed pair list either returns the complete edge set (driver
+    union-find replaces 2-3 rounds x (shuffle join + checkpoint +
+    convergence count) of fixed per-job overhead) or proves the graph
+    is big — and the lazy checkpoint keeps partitions computed by the
+    probe, so the distributed path never recomputes the upstream
+    pipeline. Set ``collect_threshold=0`` to force the fixpoint.
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
+    und = (
+        pairs.select("id_a", "id_b")
         .distinct()
-        .localCheckpoint()  # pair graph computed once, not per round
+        .localCheckpoint(eager=False)  # pair graph computed once, not per round
     )
-    if edges.count() <= collect_threshold:
+    probe = und.limit(collect_threshold + 1).collect() if collect_threshold else []
+    if collect_threshold and len(probe) <= collect_threshold:
         parent: dict = {}
 
         def find(x):
@@ -257,8 +257,8 @@ def connected_components_min(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.collect():
-            a, b = row.src, row.dst
+        for row in probe:
+            a, b = row.id_a, row.id_b
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -271,8 +271,11 @@ def connected_components_min(
         return pairs.sparkSession.createDataFrame(
             out, f"id {id_type}, rep {id_type}"
         )
+    edges = und.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(und.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     # initial labels: min(self, direct neighbors) — two cheap ops off
-    # the checkpointed edge list; not checkpointed itself (round-1's
+    # the checkpointed pair list; not checkpointed itself (round-1's
     # join consumes it once, and plan growth only starts at round 1)
     labels = (
         edges.groupBy("src")
