@@ -423,3 +423,97 @@ def simhash_near_pairs(
             ham.alias("hamming"),
         )
     )
+
+
+def text_segments(
+    col: str | "F.Column",
+    chunk_words: int | None = None,
+    delimiter: str = r"\r?\n",
+):
+    """Array of text segments: physical lines by default, or fixed
+    ``chunk_words``-word chunks (for corpora without line structure).
+    Empty/whitespace-only segments are dropped in line mode; chunk mode
+    yields ceil(n_tokens / chunk_words) chunks, [] for empty text."""
+    c = F.col(col) if isinstance(col, str) else col
+    if chunk_words is None:
+        return F.filter(F.split(c, delimiter), lambda s: F.trim(s) != "")
+    toks = whitespace_tokens(c)
+    n = F.size(toks)
+    nch = F.ceil(n / F.lit(float(chunk_words))).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), nch),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * chunk_words + 1, chunk_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def segment_boilerplate_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    chunk_words: int | None = None,
+    delimiter: str = r"\r?\n",
+) -> DataFrame:
+    """Corpus-level segment dedup (C4/RefinedWeb-style boilerplate
+    removal): drop every segment whose normalized form appears in
+    >= ``min_docs`` DISTINCT documents, and reassemble each document
+    from its surviving segments in original order. Returns ``df`` with
+    ``text_col`` rewritten (possibly '') plus ``n_segments_removed``.
+
+    Reference analogue: the dedup-before-load contract
+    (mongo_to_postgres_replication.py:35-39) applied at sub-document
+    granularity — the standard "remove lines shared across documents"
+    pass of web-corpus curation.
+
+    Scale shape (100 TB): three shuffles, all on compact keys —
+    (1) boilerplate census groups by an 8-byte xxhash64 of the
+    normalized segment (never the segment text), with map-side partial
+    aggregation; (2) the anti-join shuffles (key, pos, segment) against
+    the boilerplate key set (AQE broadcasts it when small); (3)
+    reassembly regroups by document id. A within-document repeat does
+    NOT make a segment boilerplate (count_distinct on the doc id);
+    segments removed from one doc are removed from all. xxhash64
+    collisions can over-remove at ~(n_segments^2 / 2^64) probability —
+    negligible; group on md5 if bytes-exact behavior is ever required.
+    """
+    segs = text_segments(text_col, chunk_words, delimiter)
+    joiner = " " if chunk_words is not None else "\n"
+    base = df.withColumn("__segs", segs).withColumn("__n0", F.size("__segs"))
+    pos = base.select(
+        id_col, F.posexplode("__segs").alias("__pos", "__seg")
+    ).withColumn("__k", F.xxhash64(F.lower(F.trim(F.col("__seg")))))
+    boiler = (
+        pos.groupBy("__k")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__k")
+    )
+    rebuilt = (
+        pos.join(boiler, "__k", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                    lambda x: x["__seg"],
+                ),
+            ).alias("__clean"),
+            F.count(F.lit(1)).alias("__nkept"),
+        )
+    )
+    return (
+        base.drop("__segs", text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn(
+            "n_segments_removed",
+            F.col("__n0") - F.coalesce(F.col("__nkept"), F.lit(0)),
+        )
+        .drop("__clean", "__nkept", "__n0")
+    )

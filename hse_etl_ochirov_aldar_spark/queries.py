@@ -49,6 +49,7 @@ from .operators.text_dedup import (
     minhash_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    segment_boilerplate_removal,
     simhash_near_pairs,
 )
 from .operators.topk import topk_extremes
@@ -2602,6 +2603,70 @@ GROUP BY 1
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment dedup (C4/RefinedWeb-style boilerplate
+    removal): every 10-word chunk appearing in >= 2 distinct documents
+    is dropped from ALL of them, documents are reassembled from the
+    surviving chunks in order, and the result is summarized per
+    language. Sub-document granularity of the reference's dedup-before-
+    load contract (mongo_to_postgres_replication.py:35-39); chunk mode
+    because the synthetic corpus has no line structure (the operator's
+    default is physical lines).
+
+    All output aggregates are integers (counts + char lengths), so the
+    oracle hash is arithmetic-order-proof by construction."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    cleaned = segment_boilerplate_removal(corpus, chunk_words=10, min_docs=2)
+    return cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_segments_removed") > 0).cast("int")).alias("docs_touched"),
+        F.sum("n_segments_removed").alias("segs_removed"),
+        F.sum(F.length("text")).alias("clean_chars"),
+    )
+
+
+ORACLE_LINE_DEDUP_DOCS = r"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+w AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS wl
+  FROM corpus
+),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(wl[((i-1)*10+1):(i*10)], ' ') AS seg
+  FROM w, UNNEST(range(1, CAST(ceil(len(wl) / 10.0) AS BIGINT) + 1)) AS t(i)
+),
+boiler AS (
+  SELECT lower(trim(seg)) AS k
+  FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+reb AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean,
+         count(*) AS nkept
+  FROM segs WHERE lower(trim(seg)) NOT IN (SELECT k FROM boiler)
+  GROUP BY doc_id
+),
+docs2 AS (
+  SELECT w.lang, coalesce(r.clean, '') AS text,
+         CAST(ceil(len(w.wl) / 10.0) AS BIGINT) - coalesce(r.nkept, 0) AS nrem
+  FROM w LEFT JOIN reb r USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nrem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+       CAST(sum(nrem) AS BIGINT) AS segs_removed,
+       CAST(sum(length(text)) AS BIGINT) AS clean_chars
+FROM docs2 GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -2624,6 +2689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "near_dedup_minhash": q_near_dedup_minhash,
+    "line_dedup_docs": q_line_dedup_docs,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -2687,6 +2753,7 @@ ORACLES: dict[str, str] = {
     # the exact-Jaccard twin therefore oracles the LSH pipeline's output
     "ngram_jaccard_pairs": ORACLE_JACCARD_EXACT_PAIRS,
     "near_dedup_minhash": ORACLE_NEAR_DEDUP_MINHASH,
+    "line_dedup_docs": ORACLE_LINE_DEDUP_DOCS,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,

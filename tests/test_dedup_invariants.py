@@ -219,3 +219,69 @@ def test_blocked_embedding_dedup_matches_unblocked(spark, sf_dir):
     }
     blocked = {(r.label, r.n_vecs) for r in q_embedding_near_dedup(spark, sf_dir).collect()}
     assert blocked == unblocked
+
+
+def test_segment_boilerplate_removal_lines(spark):
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        segment_boilerplate_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nSubscribe now\nmore text", "en"),
+            (2, "subscribe now \nother content", "en"),
+            (3, "totally different", "fr"),
+            (4, "Subscribe now", "en"),
+            (5, "", "en"),
+            (6, "dup dup\ndup dup", "en"),  # within-doc repeat only
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in segment_boilerplate_removal(docs).collect()}
+    # shared line removed everywhere, case/trim-insensitively
+    assert out[1].text == "unique one\nmore text" and out[1].n_segments_removed == 1
+    assert out[2].text == "other content" and out[2].n_segments_removed == 1
+    # doc that was ONLY boilerplate survives as an empty row
+    assert out[4].text == "" and out[4].n_segments_removed == 1
+    # untouched docs: order and content preserved, repeats within one
+    # doc are NOT boilerplate (distinct-doc census)
+    assert out[3].text == "totally different" and out[3].n_segments_removed == 0
+    assert out[6].text == "dup dup\ndup dup" and out[6].n_segments_removed == 0
+    assert out[5].text == "" and out[5].n_segments_removed == 0
+    # non-text columns pass through
+    assert out[3].lang == "fr"
+
+
+def test_segment_boilerplate_removal_chunks(spark):
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        segment_boilerplate_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z"), (3, "q r s")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_boilerplate_removal(docs, chunk_words=3).collect()
+    }
+    assert out[1].text == "d e f" and out[1].n_segments_removed == 1
+    assert out[2].text == "x y z" and out[2].n_segments_removed == 1
+    assert out[3].text == "q r s" and out[3].n_segments_removed == 0
+
+
+def test_segment_removal_min_docs_threshold(spark):
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        segment_boilerplate_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "shared line\nown1"), (2, "shared line\nown2"), (3, "shared line\nown3")],
+        "doc_id long, text string",
+    )
+    # min_docs=4 > support: nothing removed
+    out = segment_boilerplate_removal(docs, min_docs=4)
+    assert all(r.n_segments_removed == 0 for r in out.collect())
+    # min_docs=3 == support: removed from all three
+    out3 = {r.doc_id: r.text for r in segment_boilerplate_removal(docs, min_docs=3).collect()}
+    assert out3 == {1: "own1", 2: "own2", 3: "own3"}
