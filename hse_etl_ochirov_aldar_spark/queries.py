@@ -2667,6 +2667,68 @@ FROM docs2 GROUP BY lang
 """
 
 
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality filter (cheap perplexity screen): score every
+    document by mean token log-prob under the corpus's own add-1
+    unigram model, keep docs above -3.405 nats/token, summarize per
+    language. Per-token log-probs snap to integer micro-units BEFORE
+    summation and the threshold test is pure BIGINT
+    (lp_sum >= thr * n), so the oracle hash cannot drift
+    (functions/exact.py policy; operators/lm_score.py)."""
+    from .operators.lm_score import keep_by_avg_logprob, unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_scores(docs)
+    kept = keep_by_avg_logprob(scored, -3.405)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("lp_micro").alias("lp_micro_sum"),
+        )
+        .join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_kept")),
+            "lang",
+            "left",
+        )
+        .withColumn("docs_kept", F.coalesce(F.col("docs_kept"), F.lit(0)))
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))
+         AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+lp AS (
+  SELECT tok,
+         CAST(round(ln((c + 1.0) / (total + vocab)) * 1000000, 0) AS BIGINT)
+         AS lp_micro
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n, sum(p.lp_micro) AS s
+  FROM toks t JOIN lp p USING (tok) GROUP BY t.doc_id
+),
+alldocs AS (
+  SELECT d.lang, coalesce(pd.n, 0) AS n, coalesce(pd.s, 0) AS s
+  FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(s) AS BIGINT) AS lp_micro_sum,
+       CAST(sum(CASE WHEN n > 0 AND s >= -3405000 * n THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept
+FROM alldocs GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -2690,6 +2752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "near_dedup_minhash": q_near_dedup_minhash,
     "line_dedup_docs": q_line_dedup_docs,
+    "unigram_logprob_quality": q_unigram_logprob_quality,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -2754,6 +2817,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": ORACLE_JACCARD_EXACT_PAIRS,
     "near_dedup_minhash": ORACLE_NEAR_DEDUP_MINHASH,
     "line_dedup_docs": ORACLE_LINE_DEDUP_DOCS,
+    "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,

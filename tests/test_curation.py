@@ -241,3 +241,48 @@ def test_mixture_sample_sqrt_quotas(spark, sf_dir):
         ).select("doc_id").collect()
     )
     assert a == b
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.lm_score import (
+        MICRO,
+        keep_by_avg_logprob,
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "A  b"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    # corpus counts (lowercased): a->3, b->2; total=5, vocab=2
+    lp_a = round(math.log((3 + 1) / (5 + 2)) * MICRO)
+    lp_b = round(math.log((2 + 1) / (5 + 2)) * MICRO)
+    assert out[1].n_tokens == 3 and out[1].lp_micro == 2 * lp_a + lp_b
+    assert out[2].n_tokens == 2 and out[2].lp_micro == lp_a + lp_b
+    assert out[3].n_tokens == 0 and out[3].lp_micro == 0
+    assert out[3].avg_logprob is None
+    assert abs(out[1].avg_logprob - (2 * lp_a + lp_b) / (MICRO * 3)) < 1e-12
+    # threshold: doc 2 has the higher mean (fewer repeats of the rare b)
+    means = {d: r.avg_logprob for d, r in out.items() if r.n_tokens}
+    thr = (means[1] + means[2]) / 2
+    kept = {r.doc_id for r in keep_by_avg_logprob(unigram_logprob_scores(docs), thr).collect()}
+    assert kept == {1 if means[1] > means[2] else 2}
+
+
+def test_unigram_logprob_reference_model_oov(spark):
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.lm_score import (
+        MICRO,
+        unigram_logprob_scores,
+    )
+
+    model = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    target = spark.createDataFrame([(9, "x zzz")], "doc_id long, text string")
+    out = unigram_logprob_scores(target, model_df=model).collect()[0]
+    # model: x->2, y->1; total=3, vocab=2; OOV mass = 1/(3+2)
+    lp_x = round(math.log((2 + 1) / (3 + 2)) * MICRO)
+    lp_oov = round(math.log(1 / (3 + 2)) * MICRO)
+    assert out.n_tokens == 2 and out.lp_micro == lp_x + lp_oov
