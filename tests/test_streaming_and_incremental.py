@@ -475,3 +475,96 @@ def test_native_session_window_equals_lag_based(spark, sf_dir):
     }
     assert a == b
     assert len(a) > 0
+
+
+def test_streaming_content_dedup_bounded_state(spark, tmpdir):
+    """Content-hash dedup over a stream (dropDuplicatesWithinWatermark):
+    first-seen doc per normalized text survives; state keys evict with
+    the watermark."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.streaming.curation import (
+        streaming_content_dedup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "Hello World"),
+        (2, t0 + dt.timedelta(minutes=1), "  hello world  "),  # dup (normalized)
+        (3, t0 + dt.timedelta(minutes=2), "something else"),
+        (4, t0 + dt.timedelta(minutes=3), "HELLO WORLD"),  # dup
+    ]
+    src = f"{tmpdir}/cdedup_src"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_content_dedup(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_content_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/cdedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.table("t_content_dedup").collect()}
+    assert len(got) == 2 and 3 in got
+    # exactly one survivor from the hello-world trio
+    assert len(got & {1, 2, 4}) == 1
+
+
+def test_streaming_decontaminate_equals_batch(spark, sf_dir, tmpdir):
+    """foreachBatch decontamination over a doc stream == the batch
+    operator on the same corpus (availableNow contract), even when the
+    corpus arrives split across micro-batches."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.decontaminate import (
+        ngram_decontaminate,
+    )
+    from hse_etl_ochirov_aldar_spark.streaming.curation import (
+        streaming_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 == 0)
+        .select("text")
+    )
+    src = f"{tmpdir}/decon_src"
+    # two files -> at least two input splits for maxFilesPerTrigger
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = f"{tmpdir}/decon_out"
+    q = streaming_decontaminate(
+        stream, eval_df, out, f"{tmpdir}/decon_ckpt", n=8
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    expected = {
+        r.doc_id for r in ngram_decontaminate(docs, eval_df, n=8).collect()
+    }
+    assert got == expected
+    assert len(expected) < docs.count()  # the screen actually fired
