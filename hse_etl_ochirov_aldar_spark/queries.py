@@ -2878,4 +2878,6 @@ BENCH_QUERIES: list[str] = [
     "decontaminate_docs",
     "pack_sequences",
     "mixture_sample",
+    "line_dedup_docs",
+    "unigram_logprob_quality",
 ]

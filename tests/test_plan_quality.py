@@ -153,3 +153,21 @@ def test_bucketed_sorted_write(spark, sf_dir, tmp_path):
         assert agg.count() == li.select("l_orderkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_sorted")
+
+
+def test_line_dedup_no_cartesian_partial_census(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "line_dedup_docs")
+    # boilerplate census and reassembly are hash joins/aggregates on
+    # compact keys -- never a cartesian pair space
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # count_distinct census plans as two-phase (partial_count before the
+    # exchange), i.e. map-side combine happens
+    assert "partial_count" in plan
+
+
+def test_unigram_logprob_totals_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "unigram_logprob_quality")
+    # 1-row corpus totals ride a broadcast; token join is an equi-join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
