@@ -2729,6 +2729,100 @@ FROM alldocs GROUP BY lang
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (corpus-relative salience, the
+    A7 count+rank idiom lifted to the token domain). Corpus statistics
+    run over ALL documents; the probe set is narrowed afterwards to
+    keep the result bounded. Integer-exact scores: tf * BIGINT
+    micro-unit idf, ties broken on the term string."""
+    from .operators.tfidf import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).where(F.col("doc_id") < 100)
+
+
+ORACLE_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))
+         AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT term,
+         CAST(round(ln(CAST(n_docs AS DOUBLE) / df_t) * 1000000, 0) AS BIGINT)
+         AS idf_micro
+  FROM dfreq, nd
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_micro AS score_micro
+  FROM tf JOIN idf USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_micro,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 AND doc_id < 100
+"""
+
+
+def q_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition screen: flag documents whose most frequent
+    word 2-gram covers > 10% of all its 2-grams (template/keyword-spam
+    signal; completes the row-local gopher_signals family with the
+    census-based one). The flag test is integer cross-multiplication
+    (top*10 > total) and every output is a BIGINT sum —
+    arithmetic-order-proof."""
+    from .operators.repetition import top_ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = top_ngram_coverage(docs, n=2)
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("top_ngram_count") * 10 > F.col("ngram_total")).cast("int")
+        ).alias("docs_flagged"),
+        F.sum("top_ngram_count").alias("top_counts"),
+        F.sum("ngram_total").alias("ngram_totals"),
+    )
+
+
+ORACLE_REPETITION_SCREEN = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS wl
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(wl)),
+                        i -> array_to_string(wl[i:i+1], ' '))) AS g
+  FROM w WHERE len(wl) >= 2
+),
+census AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+per_doc AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM census GROUP BY doc_id
+),
+alldocs AS (
+  SELECT w.lang, coalesce(pd.topc, 0) AS topc, coalesce(pd.tot, 0) AS tot
+  FROM w LEFT JOIN per_doc pd USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN topc * 10 > tot THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_flagged,
+       CAST(sum(topc) AS BIGINT) AS top_counts,
+       CAST(sum(tot) AS BIGINT) AS ngram_totals
+FROM alldocs GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -2753,6 +2847,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_minhash": q_near_dedup_minhash,
     "line_dedup_docs": q_line_dedup_docs,
     "unigram_logprob_quality": q_unigram_logprob_quality,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_screen": q_repetition_screen,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -2818,6 +2914,8 @@ ORACLES: dict[str, str] = {
     "near_dedup_minhash": ORACLE_NEAR_DEDUP_MINHASH,
     "line_dedup_docs": ORACLE_LINE_DEDUP_DOCS,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "repetition_screen": ORACLE_REPETITION_SCREEN,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,

@@ -286,3 +286,77 @@ def test_unigram_logprob_reference_model_oov(spark):
     lp_x = round(math.log((2 + 1) / (3 + 2)) * MICRO)
     lp_oov = round(math.log(1 / (3 + 2)) * MICRO)
     assert out.n_tokens == 2 and out.lp_micro == lp_x + lp_oov
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.tfidf import MICRO, tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry dog")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rank): r for r in tfidf_top_terms(docs, k=2).collect()}
+    # df: apple 1, banana 2, cherry 2, dog 1; N=3
+    idf = {t: round(math.log(3 / d) * MICRO) for t, d in
+           [("apple", 1), ("banana", 2), ("cherry", 2), ("dog", 1)]}
+    # doc1: apple tf=2 score 2*idf(apple) > banana 1*idf(banana)
+    assert out[(1, 1)].term == "apple"
+    assert out[(1, 1)].score_micro == 2 * idf["apple"]
+    assert out[(1, 2)].term == "banana"
+    # doc3: cherry tf=2 vs dog tf=1 -> dog idf higher; 2*idf(cherry) vs idf(dog)
+    want = sorted(
+        [("cherry", 2 * idf["cherry"]), ("dog", idf["dog"])],
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert (out[(3, 1)].term, out[(3, 1)].score_micro) == want[0]
+    assert (out[(3, 2)].term, out[(3, 2)].score_micro) == want[1]
+
+
+def test_tfidf_tie_breaks_on_term(spark):
+    from hse_etl_ochirov_aldar_spark.operators.tfidf import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "other words")], "doc_id long, text string"
+    )
+    # zeta and alpha both tf=1, df=1 -> equal scores; rank 1 must be alpha
+    out = {r.rank: r.term for r in
+           tfidf_top_terms(docs, k=2).where("doc_id = 1").collect()}
+    assert out == {1: "alpha", 2: "zeta"}
+
+
+def test_repetition_coverage_hand_and_short_docs(spark):
+    from hse_etl_ochirov_aldar_spark.operators.repetition import (
+        top_ngram_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, "p q r")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in top_ngram_coverage(docs).collect()}
+    # grams of 1: ab,ba,ab,ba -> top is "a b" (tie broken to smallest)
+    assert out[1].top_ngram == "a b"
+    assert out[1].top_ngram_count == 2 and out[1].ngram_total == 4
+    assert out[1].ngram_coverage == 0.5
+    # shorter than n: null gram, zero counts, null coverage
+    assert out[2].top_ngram is None and out[2].ngram_total == 0
+    assert out[2].ngram_coverage is None
+    assert out[3].top_ngram == "p q" and out[3].ngram_total == 2
+
+
+def test_segment_removal_idempotent(spark, sf_dir):
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        segment_boilerplate_removal,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    once = segment_boilerplate_removal(docs, chunk_words=10)
+    twice = segment_boilerplate_removal(
+        once.select("doc_id", "text"), chunk_words=10
+    )
+    # line-mode removal provably creates no new boilerplate (segment
+    # set only shrinks); chunk mode re-chunks shifted boundaries, so
+    # assert the no-op empirically on the deterministic fixture corpus
+    assert twice.where(F.col("n_segments_removed") > 0).count() == 0
