@@ -2823,6 +2823,59 @@ FROM alldocs GROUP BY lang
 """
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta between two corpus versions (I2 incremental
+    contract generalized to content hashes): v2 deterministically drops
+    every 13th doc, rewrites every 7th, and appends 10 new ids; the
+    diff classifies every id as added/removed/changed/unchanged on
+    16-byte md5 keys — payloads never shuffle."""
+    from .operators.snapshot import corpus_diff
+
+    v1 = load_table(spark, sf_dir, "documents")
+    v2 = (
+        v1.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            v1.where(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        corpus_diff(v1, v2)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_CORPUS_SNAPSHOT_DIFF = """
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10
+),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY status
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -2849,6 +2902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob_quality": q_unigram_logprob_quality,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -2916,6 +2970,7 @@ ORACLES: dict[str, str] = {
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,
+    "corpus_snapshot_diff": ORACLE_CORPUS_SNAPSHOT_DIFF,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,

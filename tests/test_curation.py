@@ -360,3 +360,16 @@ def test_segment_removal_idempotent(spark, sf_dir):
     # set only shrinks); chunk mode re-chunks shifted boundaries, so
     # assert the no-op empirically on the deterministic fixture corpus
     assert twice.where(F.col("n_segments_removed") > 0).count() == 0
+
+
+def test_corpus_diff_statuses(spark):
+    from hse_etl_ochirov_aldar_spark.operators.snapshot import corpus_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "same"), (2, "old text"), (3, "gone")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "same"), (2, "new text"), (4, "fresh")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(v1, v2).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
