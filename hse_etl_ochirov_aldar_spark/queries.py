@@ -2876,6 +2876,70 @@ SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY status
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (FineWeb-Edu plumbing): a linear
+    classifier over the Gopher signals scores every document, the score
+    snaps to BIGINT micro-units, and documents >= 0.5 survive.
+    Per-language report of kept counts and score mass; all aggregates
+    integer-exact (operators/classifier.py)."""
+    from .operators.classifier import keep_by_quality, linear_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scored = linear_quality_scores(docs)
+    kept = keep_by_quality(scored, 0.5)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality_micro").alias("quality_micro_sum"),
+        )
+        .join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_kept")),
+            "lang",
+            "left",
+        )
+        .withColumn("docs_kept", F.coalesce(F.col("docs_kept"), F.lit(0)))
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = r"""
+WITH scored AS (
+  SELECT lang,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(round(
+             1.0 / (1.0 + exp(-(
+               -2.0
+               + 2.5 * (CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                        / len(toks))
+               + -8.0 * (CAST(len(list_filter(toks, t -> contains(t, '#')
+                         OR contains(t, '...') OR contains(t, '…')))
+                         AS DOUBLE) / len(toks))
+               + -2.0 * (CASE WHEN len(lines) > 0
+                         THEN CAST(len(lines) - len(list_distinct(lines))
+                              AS DOUBLE) / len(lines) ELSE 0.0 END)
+               + -0.08 * (CAST(list_sum(list_transform(toks,
+                          t -> length(t))) AS DOUBLE) / len(toks))
+               + 0.4 * ln(1.0 + len(toks))
+             ))) * 1000000, 0) AS BIGINT)
+         ELSE 0 END AS quality_micro
+  FROM (SELECT lang,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS toks,
+               list_filter(string_split(text, chr(10)),
+                           x -> trim(x) <> '') AS lines
+        FROM documents)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(quality_micro) AS BIGINT) AS quality_micro_sum,
+       CAST(sum(CASE WHEN quality_micro >= 500000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept
+FROM scored GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -2903,6 +2967,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
+    "quality_classifier": q_quality_classifier,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -2971,6 +3036,7 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,
     "corpus_snapshot_diff": ORACLE_CORPUS_SNAPSHOT_DIFF,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,

@@ -373,3 +373,37 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in corpus_diff(v1, v2).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_quality_classifier_orders_spam_below_prose(spark):
+    from hse_etl_ochirov_aldar_spark.operators.classifier import (
+        keep_by_quality,
+        linear_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary english sentence about data engines"),
+            (2, "### ### ### buy now ### ### ### ... ... ..."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.quality_micro for r in linear_quality_scores(docs).collect()}
+    assert out[1] > out[2]  # symbol spam scores lower
+    assert out[3] == 0  # token-less doc pinned to zero
+    kept = {r.doc_id for r in keep_by_quality(linear_quality_scores(docs), 0.5).collect()}
+    assert 1 in kept and 3 not in kept
+
+
+def test_quality_classifier_custom_weights(spark):
+    from hse_etl_ochirov_aldar_spark.operators.classifier import (
+        DEFAULT_WEIGHTS,
+        MICRO,
+        linear_quality_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "plain words here")], "doc_id long, text string")
+    neutral = dict.fromkeys(DEFAULT_WEIGHTS, 0.0)
+    out = linear_quality_scores(docs, weights=neutral).collect()[0]
+    assert out.quality_micro == MICRO // 2  # sigmoid(0) = 0.5 exactly
