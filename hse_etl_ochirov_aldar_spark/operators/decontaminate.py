@@ -72,3 +72,47 @@ def ngram_decontaminate(
     id set — ids only, the doc payload is never duplicated)."""
     bad = contaminated_ids(docs, eval_df, n, id_col, text_col, eval_text_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Per-eval-item attribution: (eval_id, docs_hit) — how many
+    DISTINCT corpus documents share at least one n-token shingle with
+    each evaluation text. Items hitting nothing report 0.
+
+    The flag-only screen (contaminated_ids) tells you THAT the corpus
+    is contaminated; this tells you WHICH benchmark items leak and how
+    broadly — the triage signal deciding between dropping corpus docs
+    and dropping the eval item. Same scale shape as the screen: the
+    (eval_id, gram) side broadcasts, corpus rows never shuffle, and
+    only matched (eval_id, doc_id) pairs reach the distinct + count
+    exchanges (bounded by hit rate, not corpus size).
+    """
+    egrams = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(eval_text_col), n)).alias("gram"),
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(egrams), "gram")
+        .select("eval_id", "__did")
+        .distinct()
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).alias("docs_hit"))
+    )
+    return (
+        eval_df.select(F.col(eval_id_col).alias("eval_id"))
+        .distinct()
+        .join(hits, "eval_id", "left")
+        .withColumn("docs_hit", F.coalesce(F.col("docs_hit"), F.lit(0)))
+    )

@@ -2940,6 +2940,67 @@ FROM scored GROUP BY lang
 """
 
 
+def q_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-item contamination attribution: the same eval set as
+    decontaminate_docs but keyed by item, reporting how many DISTINCT
+    corpus docs each benchmark item leaks into (0 for the control
+    prompts). The triage signal deciding between dropping corpus docs
+    and dropping an eval item (operators/decontaminate.py)."""
+    from .functions.text import whitespace_tokens
+    from .operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    evals = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.concat_ws(
+                " ", F.slice(whitespace_tokens(F.col("text")), 2, 8)
+            ).alias("text"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1 - i, t) for i, t in enumerate(_DECONTAM_CLEAN_PROMPTS)],
+                "eval_id LONG, text STRING",
+            )
+        )
+    )
+    return contamination_report(docs, evals, n=8)
+
+
+_DECONTAM_PROMPTS_ID_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT {-1 - i} AS eval_id, '{t}' AS text"
+    for i, t in enumerate(_DECONTAM_CLEAN_PROMPTS)
+)
+
+ORACLE_CONTAMINATION_ATTRIBUTION = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+evals AS (
+  SELECT doc_id AS eval_id, array_to_string(list_slice(w, 2, 9), ' ') AS text
+  FROM tok WHERE doc_id % 20 = 0
+  UNION ALL
+{_DECONTAM_PROMPTS_ID_SQL}
+),
+eg AS (
+  SELECT DISTINCT eval_id, unnest({_SHINGLE8.format(w='w')}) AS gram
+  FROM (SELECT eval_id, list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '') AS w FROM evals)
+),
+pairs AS (
+  SELECT DISTINCT eg.eval_id, dg.doc_id
+  FROM (SELECT doc_id, unnest({_SHINGLE8.format(w='w')}) AS gram FROM tok) dg
+  JOIN eg USING (gram)
+),
+hits AS (SELECT eval_id, count(*) AS docs_hit FROM pairs GROUP BY eval_id)
+SELECT e.eval_id, CAST(coalesce(h.docs_hit, 0) AS BIGINT) AS docs_hit
+FROM (SELECT DISTINCT eval_id FROM evals) e LEFT JOIN hits h USING (eval_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -2968,6 +3029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_screen": q_repetition_screen,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "quality_classifier": q_quality_classifier,
+    "contamination_attribution": q_contamination_attribution,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -3037,6 +3099,7 @@ ORACLES: dict[str, str] = {
     "repetition_screen": ORACLE_REPETITION_SCREEN,
     "corpus_snapshot_diff": ORACLE_CORPUS_SNAPSHOT_DIFF,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "contamination_attribution": ORACLE_CONTAMINATION_ATTRIBUTION,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,

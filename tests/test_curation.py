@@ -407,3 +407,27 @@ def test_quality_classifier_custom_weights(spark):
     neutral = dict.fromkeys(DEFAULT_WEIGHTS, 0.0)
     out = linear_quality_scores(docs, weights=neutral).collect()[0]
     assert out.quality_micro == MICRO // 2  # sigmoid(0) = 0.5 exactly
+
+
+def test_contamination_report_attribution_and_controls(spark):
+    from hse_etl_ochirov_aldar_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight tail a"),
+            (2, "x one two three four five six seven eight y"),
+            (3, "completely unrelated words with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, "one two three four five six seven eight"),  # hits docs 1,2
+            (200, "never matching benchmark prompt item words q r"),  # 0 hits
+        ],
+        "eval_id long, text string",
+    )
+    got = {r.eval_id: r.docs_hit for r in contamination_report(docs, evals).collect()}
+    assert got == {100: 2, 200: 0}
