@@ -3001,6 +3001,133 @@ FROM (SELECT DISTINCT eval_id FROM evals) e LEFT JOIN hits h USING (eval_id)
 """
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 flagship composition — the full curation chain a
+    training-data team runs, as ONE DataFrame program:
+
+      boilerplate removal (10-word segments shared across docs)
+        -> linear quality classifier, keep score >= 0.5
+        -> exact dedup on the CLEANED text (keep min id)
+        -> benchmark decontamination (8-gram screen vs eval slices
+           of the original corpus)
+        -> per-language survivor report
+
+    Every stage is the already-oracled operator (text_dedup.segment_
+    boilerplate_removal, classifier.linear_quality_scores,
+    text_dedup.exact_dedup, decontaminate.ngram_decontaminate); the
+    oracle is the composed CTE chain of their SQL twins. Outputs are
+    BIGINT counts/sums only."""
+    from .functions.text import whitespace_tokens
+    from .operators.classifier import keep_by_quality, linear_quality_scores
+    from .operators.decontaminate import ngram_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = segment_boilerplate_removal(
+        docs.select("doc_id", "text", "lang"), chunk_words=10, min_docs=2
+    )
+    kept = keep_by_quality(linear_quality_scores(cleaned), 0.5)
+    deduped = exact_dedup(kept)
+    evals = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(" ", F.slice(whitespace_tokens(F.col("text")), 2, 8)).alias(
+            "text"
+        )
+    )
+    final = ngram_decontaminate(deduped, evals, n=8)
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("quality_micro").alias("quality_micro_sum"),
+    )
+
+
+ORACLE_CURATION_PIPELINE_V2 = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS wl
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(wl[((i-1)*10+1):(i*10)], ' ') AS seg
+  FROM w, UNNEST(range(1, CAST(ceil(len(wl) / 10.0) AS BIGINT) + 1)) AS t(i)
+),
+boiler AS (
+  SELECT lower(trim(seg)) AS k
+  FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+reb AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean
+  FROM segs WHERE lower(trim(seg)) NOT IN (SELECT k FROM boiler)
+  GROUP BY doc_id
+),
+cleaned AS (
+  SELECT w.doc_id, w.lang, coalesce(r.clean, '') AS text
+  FROM w LEFT JOIN reb r USING (doc_id)
+),
+ctox AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) <> '') AS lines
+  FROM cleaned
+),
+scored AS (
+  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(round(
+             1.0 / (1.0 + exp(-(
+               -2.0
+               + 2.5 * (CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                        / len(toks))
+               + -8.0 * (CAST(len(list_filter(toks, t -> contains(t, '#')
+                         OR contains(t, '...') OR contains(t, '…')))
+                         AS DOUBLE) / len(toks))
+               + -2.0 * (CASE WHEN len(lines) > 0
+                         THEN CAST(len(lines) - len(list_distinct(lines))
+                              AS DOUBLE) / len(lines) ELSE 0.0 END)
+               + -0.08 * (CAST(list_sum(list_transform(toks,
+                          t -> length(t))) AS DOUBLE) / len(toks))
+               + 0.4 * ln(1.0 + len(toks))
+             ))) * 1000000, 0) AS BIGINT)
+         ELSE 0 END AS quality_micro
+  FROM ctox
+),
+kept AS (SELECT * FROM scored WHERE quality_micro >= 500000),
+surv AS (
+  SELECT k.* FROM kept k
+  JOIN (SELECT min(doc_id) AS keep_id FROM kept
+        GROUP BY lower(trim(text))) d
+    ON k.doc_id = d.keep_id
+),
+evals AS (
+  SELECT array_to_string(list_slice(wl, 2, 9), ' ') AS text
+  FROM w WHERE doc_id % 20 = 0
+),
+eg AS (
+  SELECT DISTINCT unnest({_SHINGLE8.format(w='ew')}) AS gram
+  FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '') AS ew FROM evals)
+),
+badi AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_SHINGLE8.format(w='sw')}) AS gram
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS sw FROM surv)) dg
+  JOIN eg USING (gram)
+),
+final AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM badi))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(quality_micro) AS BIGINT) AS quality_micro_sum
+FROM final GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -3030,6 +3157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "quality_classifier": q_quality_classifier,
     "contamination_attribution": q_contamination_attribution,
+    "curation_pipeline_v2": q_curation_pipeline_v2,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -3100,6 +3228,7 @@ ORACLES: dict[str, str] = {
     "corpus_snapshot_diff": ORACLE_CORPUS_SNAPSHOT_DIFF,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "contamination_attribution": ORACLE_CONTAMINATION_ATTRIBUTION,
+    "curation_pipeline_v2": ORACLE_CURATION_PIPELINE_V2,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,
