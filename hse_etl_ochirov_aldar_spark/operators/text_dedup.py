@@ -517,3 +517,100 @@ def segment_boilerplate_removal(
         )
         .drop("__clean", "__nkept", "__n0")
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an existing (large) corpus by
+    exact normalized-content digest, plus within the batch itself
+    (keep smallest id) — the per-crawl-snapshot ingest pattern: each
+    batch lands, already-seen content is dropped, survivors append.
+
+    Scale shape (100 TB corpus, batch-sized delta): the corpus is the
+    side that must NEVER shuffle. Its digests are probed against a
+    BROADCAST of the batch's distinct digests (LEFT SEMI, build side =
+    batch), so the corpus is scanned once with no exchange; only the
+    matched digests — bounded by batch size, not corpus size — reach
+    the distinct. Those collided digests then broadcast back to
+    anti-join the batch. Net: zero corpus shuffles, two broadcasts of
+    batch-bounded digest sets, one batch-side shuffle for keep-min.
+
+    No reference analogue as an operator; the semantics extend the
+    reference's dedup-at-source contract
+    (mongo_to_postgres_replication.py:35-39, keep one row per natural
+    key) to cross-snapshot ingest.
+    """
+    dig = F.md5(F.lower(F.trim(F.col(text_col))))
+    nb = new_batch.withColumn("__dig", dig)
+    batch_digests = nb.select("__dig").distinct()
+    seen = (
+        corpus.select(dig.alias("__dig"))
+        .join(F.broadcast(batch_digests), "__dig", "left_semi")
+        .distinct()
+    )
+    fresh = nb.join(F.broadcast(seen), "__dig", "left_anti")
+    return dedup_keep_first(fresh, ["__dig"], [id_col]).drop("__dig")
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    span_tokens: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication screen (the cross-document repeated-
+    passage signal behind RefinedWeb/Gopher exact-substring dedup): for
+    each document, how many of its distinct sliding ``span_tokens``-word
+    spans also occur in at least ``min_docs`` documents overall, and the
+    duplicated fraction in integer micro-units.
+
+    Unlike segment_boilerplate_removal (non-overlapping chunks, rewrites
+    the text) this measures OVERLAPPING spans and only reports — the
+    screen a curation pipeline uses to route docs to expensive substring
+    removal or to drop them outright.
+
+    Scale shape: spans shrink to 16-byte md5 keys before any exchange;
+    the census is one hash shuffle with map-side partials (each doc
+    contributes a span once — word_shingles is distinct). The join back
+    is a keyed equi-join on the same 16-byte key; duplicated-span sets
+    are corpus-sized, so no broadcast is assumed.
+
+    Returns one row per input document:
+      (id_col, n_spans, n_dup_spans, dup_ratio_micro) — all BIGINT,
+    dup_ratio_micro = floor(n_dup_spans * 1e6 / n_spans).
+    """
+    spans = _spread(
+        docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), span_tokens)).alias(
+                "__s"
+            ),
+        )
+    ).select(id_col, F.md5("__s").alias("__h"))
+    dup = (
+        spans.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(1).alias("__isdup"))
+    )
+    return (
+        spans.join(dup, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__isdup"), F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_ratio_micro",
+            # exact integer floor division on both engines (DIV / //):
+            # never float-divide two integers the oracle will also divide
+            F.expr("CAST(n_dup_spans * 1000000 DIV n_spans AS BIGINT)"),
+        )
+    )

@@ -3128,6 +3128,101 @@ FROM final GROUP BY lang
 """
 
 
+def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ingest dedup: a synthetic 'new crawl batch' (fresh
+    docs + re-crawled copies of corpus content + within-batch dups) is
+    deduped against the existing corpus by content digest — corpus never
+    shuffles (broadcast digest probe, see operators/text_dedup.py:
+    incremental_dedup). Extends the reference's keep-one-per-natural-key
+    contract (mongo_to_postgres_replication.py:35-39) to ingest deltas."""
+    from .operators.text_dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    did = F.col("doc_id")
+    nb = (
+        docs.where(did % 5 == 0)
+        .unionByName(
+            docs.where(did % 7 == 1).withColumn("doc_id", did + 100000)
+        )
+        .unionByName(
+            docs.where((did % 5 == 0) & (did % 3 == 0)).withColumn(
+                "doc_id", did + 200000
+            )
+        )
+    )
+    corpus = docs.where(did % 5 != 0)
+    return incremental_dedup(nb, corpus).select("doc_id", "lang", "source")
+
+
+ORACLE_INCREMENTAL_CORPUS_DEDUP = """
+WITH nb AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source FROM documents
+  WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, source FROM documents
+  WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+),
+corp AS (
+  SELECT md5(lower(trim(text))) AS d FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT doc_id, lang, source
+FROM nb
+WHERE md5(lower(trim(text))) NOT IN (SELECT d FROM corp)
+QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id) = 1
+"""
+
+
+# 5-token sliding spans of a tokenized text `w` (word_shingles n=5:
+# whole-text fallback under 5 tokens, distinct spans otherwise)
+_SHINGLE5 = (
+    "CASE WHEN len({w}) >= 5 THEN list_distinct(list_transform("
+    "range(1, len({w}) - 3), i -> array_to_string(list_slice({w}, i, i + 4), ' ')))"
+    " ELSE [array_to_string({w}, ' ')] END"
+)
+
+
+def q_duplicate_span_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication screen: per document, how many of its
+    distinct sliding 5-token spans appear in >=2 documents, and the
+    duplicated fraction in integer micro-units (operators/text_dedup.py:
+    duplicate_span_stats — 16-byte span keys, one census shuffle +
+    one keyed join back). The routing signal for substring-level dedup."""
+    from .operators.text_dedup import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(
+        docs.select("doc_id", "text"), span_tokens=5, min_docs=2
+    )
+
+
+ORACLE_DUPLICATE_SPAN_SCREEN = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, unnest({_SHINGLE5.format(w='w')}) AS s FROM tok
+),
+dup AS (
+  SELECT s FROM sp GROUP BY s HAVING count(*) >= 2
+)
+SELECT sp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN dup.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(CAST(sum(CASE WHEN dup.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // count(*) AS BIGINT) AS dup_ratio_micro
+FROM sp LEFT JOIN dup ON sp.s = dup.s
+GROUP BY sp.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -3158,6 +3253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "contamination_attribution": q_contamination_attribution,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "incremental_corpus_dedup": q_incremental_corpus_dedup,
+    "duplicate_span_screen": q_duplicate_span_screen,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -3229,6 +3326,8 @@ ORACLES: dict[str, str] = {
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "contamination_attribution": ORACLE_CONTAMINATION_ATTRIBUTION,
     "curation_pipeline_v2": ORACLE_CURATION_PIPELINE_V2,
+    "incremental_corpus_dedup": ORACLE_INCREMENTAL_CORPUS_DEDUP,
+    "duplicate_span_screen": ORACLE_DUPLICATE_SPAN_SCREEN,
     "simhash_near_pairs": ORACLE_SIMHASH_NEAR_PAIRS,
     "training_data_prep": ORACLE_TRAINING_DATA_PREP,
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,
@@ -3291,4 +3390,6 @@ BENCH_QUERIES: list[str] = [
     "mixture_sample",
     "line_dedup_docs",
     "unigram_logprob_quality",
+    "incremental_corpus_dedup",
+    "duplicate_span_screen",
 ]

@@ -285,3 +285,68 @@ def test_segment_removal_min_docs_threshold(spark):
     # min_docs=3 == support: removed from all three
     out3 = {r.doc_id: r.text for r in segment_boilerplate_removal(docs, min_docs=3).collect()}
     assert out3 == {1: "own1", 2: "own2", 3: "own3"}
+
+
+def test_incremental_dedup_semantics(spark):
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha text"),  # already in corpus -> dropped
+            (11, "gamma text"),  # fresh -> survives
+            (12, "gamma text"),  # within-batch dup -> keep-min drops it
+            (13, "  GAMMA   text "),  # normalization: NOT equal (inner ws)
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r.doc_id for r in incremental_dedup(batch, corpus).collect()
+    )
+    assert got == [11, 13]
+
+
+def test_incremental_dedup_corpus_never_shuffles(spark, sf_dir):
+    from hse_etl_ochirov_aldar_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["incremental_corpus_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # corpus digests are probed via broadcast LEFT SEMI; the collided
+    # set broadcasts back as LEFT ANTI -- no digest sort-merge join,
+    # no cartesian pair space
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_span_stats_fixture(spark):
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # spans: "a b c d e", "b c d e f"
+            (2, "a b c d e g"),  # spans: "a b c d e", "b c d e g"
+            (3, "x y"),  # short text -> single whole-text span
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in duplicate_span_stats(docs, span_tokens=5).collect()
+    }
+    assert rows[1].n_spans == 2 and rows[1].n_dup_spans == 1
+    assert rows[1].dup_ratio_micro == 500_000
+    assert rows[2].n_spans == 2 and rows[2].n_dup_spans == 1
+    assert rows[3].n_spans == 1 and rows[3].n_dup_spans == 0
+    assert rows[3].dup_ratio_micro == 0
