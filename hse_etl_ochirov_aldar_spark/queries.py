@@ -3364,6 +3364,7 @@ BENCH_QUERIES: list[str] = [
     "pricing_summary",
     "regional_revenue",
     "clean_percentile_trim",
+    "grouped_percentile_trim",
     "daily_avg",
     "topk_extremes",
     "incremental_window_rebuild",

@@ -221,7 +221,45 @@ def main() -> None:
         evals = _synth_docs(10_000).select("text")
         return contaminated_ids(docs, evals, n=8).count()
 
+    # incremental dedup: 400k-doc batch (half re-crawled corpus content
+    # -- same doc_id -> same deterministic text) against a 2M-doc
+    # corpus. Corpus side must stream with zero shuffles.
+    def incremental_dedup_2m():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            incremental_dedup,
+        )
+
+        corpus = _synth_docs(2_000_000)
+        batch = _synth_docs(2_200_000).where(
+            (F.col("doc_id") >= 2_000_000) | (F.col("doc_id") % 10 == 0)
+        )
+        return incremental_dedup(batch, corpus).count()
+
+    # duplicated-span screen over 1M docs: ~26M sliding 5-token spans
+    # through the 16-byte-key census + keyed join back; 10% of docs
+    # carry a shared boilerplate passage so the dup path does real work
+    def span_screen_1m():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            duplicate_span_stats,
+        )
+
+        docs = _synth_docs(1_000_000).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.col("text"), F.lit(" the same legal footer text here")
+                ),
+            ).otherwise(F.col("text")),
+        )
+        stats = duplicate_span_stats(docs, span_tokens=5)
+        flagged = stats.where(F.col("n_dup_spans") > 0).count()
+        assert flagged >= 100_000, flagged
+        return flagged
+
     timed("sessionize_10m_events", sessionize_10m)
+    timed("incremental_dedup_2m_corpus_200k_batch", incremental_dedup_2m)
+    timed("span_screen_1m_docs", span_screen_1m)
     timed("asof_join_5m_probes", asof_5m)
     timed("range_join_5m_probes", range_5m)
     timed("minhash_lsh_300k_docs", minhash_300k)
