@@ -62,6 +62,23 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _epoch_micros(df: DataFrame, ts_col: str) -> F.Column:
+    """Epoch microseconds for TIMESTAMP or TIMESTAMP_NTZ inputs.
+
+    Parquet written without the UTC-adjusted flag reads as
+    TIMESTAMP_NTZ under Spark's NTZ inference, and ``unix_micros``
+    accepts only TIMESTAMP. For NTZ, measure from an NTZ epoch literal
+    with ``timestamp_diff`` — deterministic and independent of
+    ``spark.sql.session.timeZone`` (casting NTZ to TIMESTAMP would
+    re-interpret the wall time in the session zone, shifting gaps
+    across DST transitions).
+    """
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    return F.unix_micros(F.col(ts_col))
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -73,7 +90,7 @@ def sessionize_batch(
     n_events, total_value), one row per session. ``total_value`` sums
     in exact cent units to stay engine-independent."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_micros(events, ts_col)
     new_session = (
         F.when(
             us - F.lag(us).over(w) > gap_seconds * 1_000_000, F.lit(1)

@@ -34,13 +34,18 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
 def test_jsonl_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
     ev = _clean_events(spark, sf_dir)
     path = str(tmp_path / "ev_jsonl")
-    # default JSON timestampFormat is millisecond-precision — pin a
+    # default JSON timestamp formats are millisecond-precision — pin a
     # microsecond format on BOTH sides or the round-trip silently
-    # truncates (found by this test)
-    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    ev.write.option("timestampFormat", fmt).json(path)
+    # truncates (found by this test). NTZ columns (parquet without the
+    # UTC-adjusted flag) are governed by the separate timestampNTZFormat
+    # option and carry no zone, so no offset pattern there.
+    opts = {
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    }
+    ev.write.options(**opts).json(path)
     # schema-on-read, no inference pass (production contract)
-    back = spark.read.schema(ev.schema).option("timestampFormat", fmt).json(path)
+    back = spark.read.schema(ev.schema).options(**opts).json(path)
     assert back.count() == ev.count()
     a = {tuple(str(v) for v in r) for r in ev.collect()}
     b = {tuple(str(v) for v in r) for r in back.collect()}
