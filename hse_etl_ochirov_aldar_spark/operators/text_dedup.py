@@ -232,21 +232,21 @@ def connected_components_min(
     upgrade if 100 TB corpora ever produce deep chains.
 
     Small graphs (<= ``collect_threshold`` undirected pairs) skip the
-    loop entirely: ONE ``limit(k+1).collect()`` probe over the lazily
-    checkpointed pair list either returns the complete edge set (driver
-    union-find replaces 2-3 rounds x (shuffle join + checkpoint +
-    convergence count) of fixed per-job overhead) or proves the graph
-    is big — and the lazy checkpoint keeps partitions computed by the
-    probe, so the distributed path never recomputes the upstream
-    pipeline. Set ``collect_threshold=0`` to force the fixpoint.
+    loop entirely: the pair list is persisted and counted — ONE fully
+    parallel job (a ``limit(k+1)`` probe executes as CollectLimit's
+    incremental partition waves, serializing the expensive verify stage
+    on a near-idle cluster; measured 2x slower cold at sf0.1) — then
+    either collected for a driver union-find (replacing 2-3 rounds x
+    (shuffle join + checkpoint + convergence count) of fixed per-job
+    overhead) or left cached for the fixpoint loop, which reuses the
+    materialized partitions every round. Set ``collect_threshold=0``
+    to force the fixpoint.
     """
-    und = (
-        pairs.select("id_a", "id_b")
-        .distinct()
-        .localCheckpoint(eager=False)  # pair graph computed once, not per round
-    )
-    probe = und.limit(collect_threshold + 1).collect() if collect_threshold else []
-    if collect_threshold and len(probe) <= collect_threshold:
+    und = pairs.select("id_a", "id_b").distinct().persist()
+    n_pairs = und.count()
+    if collect_threshold and n_pairs <= collect_threshold:
+        probe = und.collect()
+        und.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -309,6 +309,7 @@ def connected_components_min(
         labels = updated.select("id", F.col("new_rep").alias("rep"))
         if changed == 0:
             break
+    und.unpersist()  # labels are checkpointed; the pair cache is done
     return labels
 
 
@@ -333,6 +334,12 @@ def minhash_dedup(
         id_col, text_col, threshold=threshold,
     )
     comp = connected_components_min(verified.select("id_a", "id_b"))
+    if comp.isLocal():
+        # small-graph path returned a driver-local frame: push the loser
+        # set into the scan as an isin filter instead of a join — one
+        # predicate, no build side, no exchange
+        loser_ids = [r.id for r in comp.collect() if r.rep != r.id]
+        return df.where(~F.col(id_col).isin(loser_ids))
     losers = comp.where(F.col("rep") != F.col("id")).select(
         F.col("id").alias(id_col)
     )
