@@ -119,3 +119,119 @@ def keep_by_avg_logprob(scored: DataFrame, threshold: float) -> DataFrame:
         (F.col("n_tokens") > 0)
         & (F.col("lp_micro") >= F.lit(thr_micro) * F.col("n_tokens"))
     )
+
+
+def _lp_table(tokens: DataFrame, k: float):
+    """(per-token log-prob table, 1-row unknown-token mass) for an
+    add-``k``-smoothed unigram model over a ``__tok`` column. Log-probs
+    snap to integer micro-units (the module's exactness contract)."""
+    counts = tokens.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    denom = F.col("__total") + F.lit(k) * F.col("__vocab")
+    lp = counts.join(F.broadcast(totals)).select(
+        "__tok",
+        F.round(F.log((F.col("__c") + F.lit(k)) / denom) * F.lit(MICRO), 0)
+        .cast("long")
+        .alias("__lp"),
+    )
+    unk = totals.select(
+        F.round(F.log(F.lit(k) / denom) * F.lit(MICRO), 0)
+        .cast("long")
+        .alias("__unk")
+    )
+    return lp, unk
+
+
+def importance_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    smoothing_k: float = 1.0,
+) -> DataFrame:
+    """Data-selection importance weights (the DSIR recipe, Xie et al.
+    2023, word-unigram instantiation): weight every raw document by
+
+        imp(doc) = sum over tokens [ln p_target(tok) - ln p_raw(tok)]
+
+    where ``p_target`` is an add-k unigram model over ``target_df``
+    (the small curated domain you want more of) and ``p_raw`` is the
+    model over ``df`` itself. Positive = more target-like than the raw
+    corpus average. Adds BIGINT ``n_tokens`` and ``imp_micro`` (sum of
+    per-token micro-unit log-ratios — order-independent integer sum).
+
+    Scale shape (100 TB raw, dim-sized target): the raw corpus is
+    tokenized ONCE; two vocabulary censuses (shuffle rows ~ vocabulary,
+    Zipf-compressed, map-side partials), each log-prob table joined to
+    the token stream on the token key (AQE handles stopword skew), one
+    per-document regroup. Tokens unseen by a model get its smoothed
+    unknown mass, so OOV never silently drops out of the sum.
+    """
+    mcol = target_text_col or text_col
+    toks = df.select(
+        id_col, F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    ttoks = target_df.select(
+        F.explode(whitespace_tokens(F.lower(F.col(mcol)))).alias("__tok")
+    )
+    lp_t, unk_t = _lp_table(ttoks, float(smoothing_k))
+    lp_r, unk_r = _lp_table(toks.select("__tok"), float(smoothing_k))
+    per_doc = (
+        toks.join(lp_t.withColumnRenamed("__lp", "__lp_t"), "__tok", "left")
+        .join(lp_r.withColumnRenamed("__lp", "__lp_r"), "__tok", "left")
+        .join(F.broadcast(unk_t.withColumnRenamed("__unk", "__unk_t")))
+        .join(F.broadcast(unk_r.withColumnRenamed("__unk", "__unk_r")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("__lp_t"), F.col("__unk_t"))
+                - F.coalesce(F.col("__lp_r"), F.col("__unk_r"))
+            ).alias("imp_micro"),
+        )
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("imp_micro", F.coalesce(F.col("imp_micro"), F.lit(0)))
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_cols: list[str] | None = None,
+    lo: float = 1.0 / 3.0,
+    hi: float = 2.0 / 3.0,
+) -> DataFrame:
+    """Per-group head/middle/tail partitioning by LM score (the CCNet
+    recipe: bucket each language's documents by perplexity tertile and
+    treat the head as highest-quality). Input is ``unigram_logprob_scores``
+    output; adds ``ppl_bucket``: head = highest mean log-prob (lowest
+    perplexity), tail = lowest; empty documents get 'empty'.
+
+    Thresholds are per-group exact interpolated percentiles of the mean
+    log-prob — a grouped bounds aggregate broadcast back onto the data
+    (same shape as grouped_percentile_trim: no per-group global sort, no
+    rank window over the corpus; the bounds frame is group-cardinality-
+    sized). The mean is ONE float division of two BIGINTs and the
+    interpolation formula is shared by Spark and DuckDB, so bucket
+    membership is engine-portable (grouped_percentile_trim precedent).
+    """
+    group_cols = group_cols or ["lang"]
+    avg = F.col("lp_micro") / (F.lit(float(MICRO)) * F.col("n_tokens"))
+    nonempty = scored.where(F.col("n_tokens") > 0).withColumn("__avg", avg)
+    bounds = nonempty.groupBy(*group_cols).agg(
+        F.percentile(F.col("__avg"), F.lit(lo)).alias("__t_lo"),
+        F.percentile(F.col("__avg"), F.lit(hi)).alias("__t_hi"),
+    )
+    out = scored.join(F.broadcast(bounds), group_cols, "left")
+    bucket = (
+        F.when(F.col("n_tokens") == 0, F.lit("empty"))
+        .when(avg < F.col("__t_lo"), F.lit("tail"))
+        .when(avg < F.col("__t_hi"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return out.withColumn("ppl_bucket", bucket).drop("__t_lo", "__t_hi")

@@ -2729,6 +2729,142 @@ FROM alldocs GROUP BY lang
 """
 
 
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted data selection (the DSIR recipe, word-unigram
+    instantiation): weight every document by how much more likely its
+    tokens are under a curated target domain's unigram model (docs from
+    source 'src0') than under the raw corpus's own model; select docs
+    with positive importance. Per-token log-ratios snap to integer
+    micro-units before the order-independent BIGINT sum
+    (functions/exact.py policy; operators/lm_score.py)."""
+    from .operators.lm_score import importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    w = importance_weights(docs, target)
+    selected = (F.col("n_tokens") > 0) & (F.col("imp_micro") > 0)
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("imp_micro").alias("imp_micro_sum"),
+        F.sum(F.when(selected, 1).otherwise(0)).alias("n_selected"),
+    )
+
+
+ORACLE_DSIR_IMPORTANCE_SELECT = r"""
+WITH rtoks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))
+         AS tok
+  FROM documents
+),
+ttoks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))
+         AS tok
+  FROM documents WHERE source = 'src0'
+),
+rc AS (SELECT tok, count(*) AS c FROM rtoks GROUP BY tok),
+rtot AS (SELECT sum(c) AS total, count(*) AS vocab FROM rc),
+tc AS (SELECT tok, count(*) AS c FROM ttoks GROUP BY tok),
+ttot AS (SELECT sum(c) AS total, count(*) AS vocab FROM tc),
+rlp AS (
+  SELECT tok, CAST(round(ln((c + 1.0) / (total + vocab)) * 1000000, 0)
+              AS BIGINT) AS lp
+  FROM rc, rtot
+),
+tlp AS (
+  SELECT tok, CAST(round(ln((c + 1.0) / (total + vocab)) * 1000000, 0)
+              AS BIGINT) AS lp
+  FROM tc, ttot
+),
+tunk AS (
+  SELECT CAST(round(ln(1.0 / (total + vocab)) * 1000000, 0) AS BIGINT)
+         AS lp
+  FROM ttot
+),
+per_doc AS (
+  SELECT r.doc_id, count(*) AS n,
+         sum(coalesce(t.lp, (SELECT lp FROM tunk)) - rl.lp) AS imp
+  FROM rtoks r
+  JOIN rlp rl USING (tok)
+  LEFT JOIN tlp t USING (tok)
+  GROUP BY r.doc_id
+),
+alldocs AS (
+  SELECT d.lang, coalesce(pd.n, 0) AS n, coalesce(pd.imp, 0) AS imp
+  FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(imp) AS BIGINT) AS imp_micro_sum,
+       CAST(sum(CASE WHEN n > 0 AND imp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected
+FROM alldocs GROUP BY lang
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail corpus partitioning by unigram-LM
+    score tertiles (the CCNet recipe: route each language's lowest-
+    perplexity third to training, re-screen or drop the tail). Bucket
+    thresholds are per-group exact percentiles broadcast back onto the
+    data — no per-language global sort (operators/lm_score.py
+    perplexity_buckets)."""
+    from .operators.lm_score import perplexity_buckets, unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_scores(docs)
+    b = perplexity_buckets(scored, ["lang"])
+    return (
+        b.where(F.col("n_tokens") > 0)
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_PERPLEXITY_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))
+         AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+lp AS (
+  SELECT tok,
+         CAST(round(ln((c + 1.0) / (total + vocab)) * 1000000, 0) AS BIGINT)
+         AS lp_micro
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n, sum(p.lp_micro) AS s
+  FROM toks t JOIN lp p USING (tok) GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.lang, pd.n, pd.s / (1000000.0 * pd.n) AS avg
+  FROM documents d JOIN per_doc pd USING (doc_id)
+),
+bounds AS (
+  SELECT lang,
+         quantile_cont(avg, 1.0/3.0) AS t_lo,
+         quantile_cont(avg, 2.0/3.0) AS t_hi
+  FROM scored GROUP BY lang
+)
+SELECT s.lang,
+       CASE WHEN s.avg < b.t_lo THEN 'tail'
+            WHEN s.avg < b.t_hi THEN 'middle'
+            ELSE 'head' END AS ppl_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n) AS BIGINT) AS total_tokens
+FROM scored s JOIN bounds b USING (lang)
+GROUP BY 1, 2
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (corpus-relative salience, the
     A7 count+rank idiom lifted to the token domain). Corpus statistics
@@ -3247,6 +3383,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_minhash": q_near_dedup_minhash,
     "line_dedup_docs": q_line_dedup_docs,
     "unigram_logprob_quality": q_unigram_logprob_quality,
+    "dsir_importance_select": q_dsir_importance_select,
+    "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -3320,6 +3458,8 @@ ORACLES: dict[str, str] = {
     "near_dedup_minhash": ORACLE_NEAR_DEDUP_MINHASH,
     "line_dedup_docs": ORACLE_LINE_DEDUP_DOCS,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
+    "dsir_importance_select": ORACLE_DSIR_IMPORTANCE_SELECT,
+    "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,
     "corpus_snapshot_diff": ORACLE_CORPUS_SNAPSHOT_DIFF,
@@ -3393,4 +3533,6 @@ BENCH_QUERIES: list[str] = [
     "unigram_logprob_quality",
     "incremental_corpus_dedup",
     "duplicate_span_screen",
+    "dsir_importance_select",
+    "perplexity_buckets",
 ]

@@ -431,3 +431,52 @@ def test_contamination_report_attribution_and_controls(spark):
     )
     got = {r.eval_id: r.docs_hit for r in contamination_report(docs, evals).collect()}
     assert got == {100: 2, 200: 0}
+
+
+def test_importance_weights_sign_and_oov(spark):
+    """DSIR word-unigram weights: docs made of target-typical tokens
+    score positive, off-target docs negative; OOV tokens fall back to
+    the target model's smoothed unknown mass instead of vanishing."""
+    from hse_etl_ochirov_aldar_spark.operators.lm_score import importance_weights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "wiki wiki science"),   # target-typical
+            (2, "spam spam spam ads"),  # off-target, OOV under target
+            (3, ""),                    # empty: n_tokens=0, imp=0
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "wiki science wiki article")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.imp_micro)
+        for r in importance_weights(raw, target).collect()
+    }
+    assert got[1][0] == 3 and got[1][1] > 0
+    assert got[2][0] == 4 and got[2][1] < 0
+    assert got[3] == (0, 0)
+    # deterministic: a recomputation yields identical integer weights
+    w2 = importance_weights(raw, target).collect()
+    assert all(r.imp_micro == got[r.doc_id][1] for r in w2)
+
+
+def test_perplexity_buckets_tertiles_and_empty(spark):
+    from hse_etl_ochirov_aldar_spark.operators.lm_score import perplexity_buckets
+
+    # hand-built scored frame: 6 docs in one lang with distinct means
+    rows = [
+        (i, "en", 10, lp) for i, lp in enumerate(
+            [-60_000_000, -50_000_000, -40_000_000, -30_000_000,
+             -20_000_000, -10_000_000]
+        )
+    ] + [(99, "en", 0, 0)]  # empty doc
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long, lp_micro long"
+    )
+    got = {r.doc_id: r.ppl_bucket for r in perplexity_buckets(scored).collect()}
+    assert got[99] == "empty"
+    assert [got[i] for i in range(6)] == [
+        "tail", "tail", "middle", "middle", "head", "head"
+    ]
