@@ -3292,6 +3292,120 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(nb, corpus).select("doc_id", "lang", "source")
 
 
+_FRESH_WORDS = [
+    "fresh", "alpha", "beta", "gamma", "delta",
+    "eps", "zeta", "eta", "theta", "iota",
+]
+
+
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dup ingest dedup: a new crawl batch holds
+    re-crawled corpus pages differing only by trailing chrome, genuinely
+    fresh pages, and within-batch near-dups of the fresh pages. The
+    batch is deduped against the corpus by MinHash+LSH with exact-
+    Jaccard verification — corpus text never shuffles (broadcast banded-
+    key probe, operators/text_dedup.py: incremental_minhash_dedup).
+
+    Oracle-able because LSH+verify recovers exactly the exact-Jaccard
+    pair set on this fixture (the near_dedup_minhash recall argument);
+    the DuckDB twin brute-forces batch x corpus Jaccard and replays the
+    within-batch transitive closure."""
+    from .operators.text_dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    did = F.col("doc_id")
+    fresh_text = F.concat_ws(
+        " ", *[F.concat(F.lit(w), did.cast("string")) for w in _FRESH_WORDS]
+    )
+    recrawl = docs.where(did % 5 == 0).select(
+        (did + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearduplicate tail")).alias("text"),
+        "lang",
+    )
+    fresh = docs.where(did % 7 == 1).select(
+        (did + 300000).alias("doc_id"), fresh_text.alias("text"), "lang"
+    )
+    batchdup = docs.where((did % 7 == 1) & (did % 2 == 1)).select(
+        (did + 400000).alias("doc_id"),
+        F.concat(fresh_text, F.lit(" tail2")).alias("text"),
+        "lang",
+    )
+    batch = recrawl.unionByName(fresh).unionByName(batchdup)
+    kept = incremental_minhash_dedup(batch, docs, threshold=0.6)
+    return kept.select("doc_id", "lang")
+
+
+_ORACLE_FRESH_TEXT = " || ' ' || ".join(
+    f"'{w}' || doc_id" for w in _FRESH_WORDS
+)
+
+ORACLE_INCREMENTAL_MINHASH_DEDUP = f"""
+WITH RECURSIVE batch AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' nearduplicate tail' AS text,
+         lang
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 300000, {_ORACLE_FRESH_TEXT}, lang
+  FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id + 400000, {_ORACLE_FRESH_TEXT} || ' tail2', lang
+  FROM documents WHERE doc_id % 7 = 1 AND doc_id % 2 = 1
+),
+bsh AS (
+  SELECT doc_id AS id, lang,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM batch)
+),
+csh AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM documents)
+),
+survivors0 AS (
+  SELECT b.id, b.lang, b.s FROM bsh b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM csh c
+    WHERE round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                / len(list_distinct(b.s || c.s)), 4) >= 0.6
+  )
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM survivors0 a JOIN survivors0 b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (SELECT DISTINCT a AS id FROM reach WHERE b < a)
+SELECT id AS doc_id, lang
+FROM survivors0
+WHERE id NOT IN (SELECT id FROM losers)
+"""
+
+
 ORACLE_INCREMENTAL_CORPUS_DEDUP = """
 WITH nb AS (
   SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 5 = 0
@@ -3384,6 +3498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_docs": q_line_dedup_docs,
     "unigram_logprob_quality": q_unigram_logprob_quality,
     "dsir_importance_select": q_dsir_importance_select,
+    "incremental_minhash_dedup": q_incremental_minhash_dedup,
     "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
@@ -3459,6 +3574,7 @@ ORACLES: dict[str, str] = {
     "line_dedup_docs": ORACLE_LINE_DEDUP_DOCS,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
     "dsir_importance_select": ORACLE_DSIR_IMPORTANCE_SELECT,
+    "incremental_minhash_dedup": ORACLE_INCREMENTAL_MINHASH_DEDUP,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,

@@ -350,3 +350,37 @@ def test_duplicate_span_stats_fixture(spark):
     assert rows[2].n_spans == 2 and rows[2].n_dup_spans == 1
     assert rows[3].n_spans == 1 and rows[3].n_dup_spans == 0
     assert rows[3].dup_ratio_micro == 0
+
+
+def test_incremental_minhash_dedup_semantics(spark):
+    """Batch-vs-corpus near-dedup: re-crawls with trailing chrome drop
+    against the corpus, fresh docs survive, within-batch near-dup
+    chains keep one doc, and a pre-materialized corpus key frame gives
+    identical results (the steady-state ingest path)."""
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        banded_minhash_keys,
+        incremental_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus content with many words here")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base + " trailing chrome"),          # near-dup of corpus 1
+            (102, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),   # fresh
+            (103, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 t"),  # near-dup of 102
+            (104, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 t s"),  # chain: ~103
+        ],
+        ["doc_id", "text"],
+    )
+    kept = incremental_minhash_dedup(batch, corpus, threshold=0.6)
+    assert {r.doc_id for r in kept.collect()} == {102}
+    # steady-state: corpus keys materialized once, passed back in
+    ckeys = banded_minhash_keys(corpus)
+    kept2 = incremental_minhash_dedup(
+        batch, corpus, threshold=0.6, corpus_keys=ckeys
+    )
+    assert {r.doc_id for r in kept2.collect()} == {102}
