@@ -257,7 +257,62 @@ def main() -> None:
         assert flagged >= 100_000, flagged
         return flagged
 
+    # DSIR importance weights over 2M docs vs a 20k-doc target domain:
+    # two vocab censuses + token equi-joins + per-doc regroup
+    def dsir_2m():
+        from hse_etl_ochirov_aldar_spark.operators.lm_score import (
+            importance_weights,
+        )
+
+        raw = _synth_docs(2_000_000)
+        target = _synth_docs(20_000)
+        w = importance_weights(raw, target)
+        return w.where(F.col("imp_micro") > 0).count()
+
+    # CCNet bucketing over 2M scored docs in 20 groups: grouped exact
+    # percentile bounds broadcast back — no per-group sort
+    def ppl_buckets_2m():
+        from hse_etl_ochirov_aldar_spark.operators.lm_score import (
+            perplexity_buckets,
+        )
+
+        scored = spark.range(2_000_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("g"), (F.col("id") % 20).cast("string")).alias(
+                "lang"
+            ),
+            (F.pmod(F.xxhash64("id"), 400) + 100).alias("n_tokens"),
+            (-F.pmod(F.xxhash64("id", F.lit(1)), 4_000_000_000) - 1).alias(
+                "lp_micro"
+            ),
+        )
+        b = perplexity_buckets(scored)
+        return b.groupBy("ppl_bucket").count().count()
+
+    # near-dup ingest: 200k-doc batch (half re-crawled with trailing
+    # chrome) against a 1M-doc corpus — corpus text never shuffles;
+    # the batch's banded keys broadcast to probe the corpus stream
+    def incremental_minhash_1m():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            incremental_minhash_dedup,
+        )
+
+        corpus = _synth_docs(1_000_000)
+        batch = _synth_docs(1_200_000).where(
+            (F.col("doc_id") >= 1_000_000) | (F.col("doc_id") % 10 == 0)
+        ).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") < 1_000_000,
+                F.concat(F.col("text"), F.lit(" trailing chrome")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return incremental_minhash_dedup(batch, corpus, threshold=0.6).count()
+
     timed("sessionize_10m_events", sessionize_10m)
+    timed("dsir_importance_2m_docs", dsir_2m)
+    timed("perplexity_buckets_2m_docs", ppl_buckets_2m)
+    timed("incremental_minhash_400k_batch_vs_1m_corpus", incremental_minhash_1m)
     timed("incremental_dedup_2m_corpus_200k_batch", incremental_dedup_2m)
     timed("span_screen_1m_docs", span_screen_1m)
     timed("asof_join_5m_probes", asof_5m)
