@@ -581,6 +581,97 @@ def incremental_dedup(
     return dedup_keep_first(fresh, ["__dig"], [id_col]).drop("__dig")
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring removal (the RefinedWeb/Gopher exact-substring
+    dedup pass): delete every token covered by a sliding
+    ``span_tokens``-token span that occurs in >= ``min_docs`` DISTINCT
+    documents, and reassemble each document from its surviving tokens
+    in order. Returns ``docs`` with ``text_col`` rewritten (canonical
+    single-space joins) plus ``n_tokens_removed``.
+
+    Upgrade of ``duplicate_span_stats`` from reporting to rewriting —
+    where segment_boilerplate_removal drops whole lines/chunks, this
+    removes the precise overlapping token ranges a repeated passage
+    covers, regardless of line structure.
+
+    Scale shape: spans shrink to 8-byte xxhash64 keys with their start
+    positions before any exchange; the census is one hash shuffle with
+    map-side partials (distinct-doc support, so within-doc repeats
+    alone never trigger removal); duplicated starts regroup per doc
+    (one keyed shuffle) and the rebuild is per-row array math — no
+    shuffle carries document text except the final join back to
+    ``docs``. Coverage testing is O(n_tokens x covered) per doc
+    in-array; covered is small in non-pathological corpora (a fully
+    boilerplate doc degrades to O(n^2) array ops on one row, bounded
+    by doc length).
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+    k = span_tokens
+    span_structs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.struct(
+                i.alias("spos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))).alias("__h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<spos:int,__h:bigint>>"))
+    pos_spans = docs.select(
+        id_col, F.explode(span_structs).alias("__s")
+    ).select(id_col, F.col("__s.spos").alias("__spos"), F.col("__s.__h").alias("__h"))
+    dup_keys = (
+        pos_spans.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    starts = (
+        pos_spans.join(dup_keys, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("__spos").alias("__starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + k - 1),
+            )
+        )
+    )
+    # sequence(1, 0) counts DOWN in Spark — gate the position range on
+    # non-empty token arrays
+    kept = F.when(
+        n > 0,
+        F.transform(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda p: F.struct(
+                        p.alias("p"), F.element_at(toks, p).alias("t")
+                    ),
+                ),
+                lambda s: ~F.array_contains(covered, s["p"]),
+            ),
+            lambda s: s["t"],
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.join(starts, id_col, "left")
+        .withColumn("__clean", F.concat_ws(" ", kept))
+        .withColumn("n_tokens_removed", n - F.size(kept))
+        .drop(text_col, "__starts")
+        .withColumnRenamed("__clean", text_col)
+    )
+
+
 def incremental_minhash_dedup(
     new_batch: DataFrame,
     corpus: DataFrame,

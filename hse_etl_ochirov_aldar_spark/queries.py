@@ -3292,6 +3292,82 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(nb, corpus).select("doc_id", "lang", "source")
 
 
+def q_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style exact-substring removal: a boilerplate sentence
+    injected into every 4th document is excised token-precisely from
+    ALL of them (plus any organically repeated 5-gram passages), and
+    documents reassemble from surviving tokens
+    (operators/text_dedup.py: remove_duplicate_spans). The digest of
+    the rewritten text value-checks the rebuild byte-for-byte."""
+    from .operators.text_dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = " common boilerplate passage appears in many documents verbatim"
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(boiler))
+        ).otherwise(F.col("text")),
+    )
+    out = remove_duplicate_spans(seeded, span_tokens=5, min_docs=2)
+    return out.select(
+        "doc_id", "n_tokens_removed", F.md5("text").alias("clean_digest")
+    )
+
+
+ORACLE_EXACT_SUBSTRING_REMOVAL = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text ||
+                ' common boilerplate passage appears in many documents verbatim'
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS w
+  FROM docs2
+),
+spans AS (
+  SELECT doc_id, s['spos'] AS spos, s['sp'] AS sp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 3),
+                  i -> {'spos': i, 'sp': array_to_string(w[i:i+4], ' ')})) AS s
+    FROM tok WHERE len(w) >= 5
+  )
+),
+dup AS (
+  SELECT sp FROM spans GROUP BY sp HAVING count(DISTINCT doc_id) >= 2
+),
+starts AS (
+  SELECT doc_id, list(spos) AS st
+  FROM spans WHERE sp IN (SELECT sp FROM dup)
+  GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id, t.w,
+         list_distinct(flatten(list_transform(coalesce(s.st, []),
+                       x -> range(x, x + 5)))) AS cov
+  FROM tok t LEFT JOIN starts s USING (doc_id)
+),
+final AS (
+  SELECT doc_id, w,
+         list_filter(range(1, len(w) + 1),
+                     p -> NOT list_contains(cov, p)) AS keptpos
+  FROM rebuilt
+)
+SELECT doc_id,
+       CAST(len(w) - len(keptpos) AS BIGINT) AS n_tokens_removed,
+       md5(coalesce(array_to_string(list_transform(keptpos, p -> w[p]), ' '),
+                    ''))
+         AS clean_digest
+FROM final
+"""
+
+
 _FRESH_WORDS = [
     "fresh", "alpha", "beta", "gamma", "delta",
     "eps", "zeta", "eta", "theta", "iota",
@@ -3499,6 +3575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob_quality": q_unigram_logprob_quality,
     "dsir_importance_select": q_dsir_importance_select,
     "incremental_minhash_dedup": q_incremental_minhash_dedup,
+    "exact_substring_removal": q_exact_substring_removal,
     "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
@@ -3575,6 +3652,7 @@ ORACLES: dict[str, str] = {
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
     "dsir_importance_select": ORACLE_DSIR_IMPORTANCE_SELECT,
     "incremental_minhash_dedup": ORACLE_INCREMENTAL_MINHASH_DEDUP,
+    "exact_substring_removal": ORACLE_EXACT_SUBSTRING_REMOVAL,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,

@@ -309,7 +309,31 @@ def main() -> None:
         )
         return incremental_minhash_dedup(batch, corpus, threshold=0.6).count()
 
+    # exact-substring removal over 500k docs, 10% carrying a shared
+    # 7-token boilerplate passage: census + per-doc regroup + in-array
+    # rebuild
+    def substring_removal_500k():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            remove_duplicate_spans,
+        )
+
+        docs = _synth_docs(500_000).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" shared boiler plate passage appears verbatim here"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        out = remove_duplicate_spans(docs, span_tokens=5, min_docs=2)
+        cleaned = out.where(F.col("n_tokens_removed") >= 7).count()
+        assert cleaned >= 50_000, cleaned
+        return cleaned
+
     timed("sessionize_10m_events", sessionize_10m)
+    timed("exact_substring_removal_500k_docs", substring_removal_500k)
     timed("dsir_importance_2m_docs", dsir_2m)
     timed("perplexity_buckets_2m_docs", ppl_buckets_2m)
     timed("incremental_minhash_400k_batch_vs_1m_corpus", incremental_minhash_1m)

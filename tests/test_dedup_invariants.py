@@ -384,3 +384,34 @@ def test_incremental_minhash_dedup_semantics(spark):
         batch, corpus, threshold=0.6, corpus_keys=ckeys
     )
     assert {r.doc_id for r in kept2.collect()} == {102}
+
+
+def test_remove_duplicate_spans_rewrites_token_precisely(spark):
+    """Exact-substring removal: the shared passage vanishes from every
+    carrier (including overlap-extended coverage), unshared text and
+    within-doc-only repeats survive, empty docs pass through."""
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here the same legal footer text here today"),
+            (2, "other document body the same legal footer text here banana"),
+            (3, "totally unrelated content with no shared passage at all"),
+            # within-doc repeat only: distinct-doc support must NOT fire
+            (4, "p q r s t p q r s t p q r s t p q r s t"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, span_tokens=5, min_docs=2).collect()
+    }
+    assert out[1].text == "intro words here today"
+    assert out[1].n_tokens_removed == 6
+    assert out[2].text == "other document body banana"
+    assert out[3].n_tokens_removed == 0
+    assert out[4].n_tokens_removed == 0  # repeats live in ONE doc
+    assert out[5].text == "" and out[5].n_tokens_removed == 0
