@@ -46,6 +46,67 @@ def streaming_content_dedup(
     )
 
 
+def streaming_near_dedup_ingest(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+    **lsh_kwargs,
+):
+    """Start a query that near-dedups each micro-batch against the
+    ACCUMULATED corpus at ``corpus_path`` (parquet) and appends only
+    the survivors — the streaming flavor of the per-crawl-snapshot
+    ingest loop (operators/text_dedup.py: incremental_minhash_dedup).
+
+    Cross-batch state is the corpus itself, not Spark streaming state:
+    every batch sees all previous batches' survivors because they were
+    appended before the checkpoint committed. An empty/missing corpus
+    dir means a first batch (the operator then only dedups within the
+    batch). At 100 TB the corpus side would also maintain a banded-key
+    table (the operator's ``corpus_keys`` seam) so each batch reads
+    keys, not text; here the corpus re-derives keys per batch, which is
+    exact but re-scans the corpus.
+
+    Returns the StreamingQuery.
+    """
+    from ..operators.text_dedup import incremental_minhash_dedup
+
+    spark = stream.sparkSession
+
+    def _ingest(batch: DataFrame, _epoch: int) -> None:
+        try:
+            corpus = spark.read.parquet(corpus_path).select(*batch.columns)
+            has_corpus = True
+        except Exception as exc:  # first batch: corpus dir not yet created
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            has_corpus = False
+        if has_corpus:
+            kept = incremental_minhash_dedup(
+                batch, corpus, id_col=id_col, text_col=text_col,
+                threshold=threshold, **lsh_kwargs,
+            )
+        else:
+            from ..operators.text_dedup import minhash_dedup
+
+            kept = minhash_dedup(
+                batch, id_col, text_col, threshold=threshold, **lsh_kwargs
+            )
+        kept.write.mode("append").parquet(corpus_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_decontaminate(
     stream: DataFrame,
     eval_df: DataFrame,

@@ -568,3 +568,57 @@ def test_streaming_decontaminate_equals_batch(spark, sf_dir, tmpdir):
     }
     assert got == expected
     assert len(expected) < docs.count()  # the screen actually fired
+
+
+def test_streaming_near_dedup_ingest_accumulates_corpus(spark, tmpdir):
+    """Each micro-batch near-dedups against the survivors of all prior
+    batches: a later re-crawl of an already-ingested page (trailing
+    chrome appended) is dropped, genuinely fresh pages append."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.streaming.curation import (
+        streaming_near_dedup_ingest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "first batch unique content with several words inside")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [
+            (11, base + " trailing chrome"),          # near-dup of doc 1
+            (12, "second batch fresh content entirely new words here"),
+            (13, "second batch fresh content entirely new words here x"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = f"{tmpdir}/ingest_src"
+    b1.coalesce(1).write.parquet(src)
+    # the file source orders batches by modification time — keep the
+    # two files in distinct mtime buckets so batch 1 ingests first
+    import time as _time
+
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    corpus = f"{tmpdir}/ingest_corpus"
+    q = streaming_near_dedup_ingest(
+        stream, corpus, f"{tmpdir}/ingest_ckpt", threshold=0.6
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    # 11 dropped vs accumulated corpus; 12/13 near-dup chain keeps 12
+    assert 1 in got and 2 in got and 12 in got
+    assert 11 not in got and 13 not in got
