@@ -39,10 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning for free — the reference's `SELECT ...` against Postgres heap
     (SURVEY §2.1 S2) maps to this plus Catalyst pruning the read schema.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it via the legacy nanos-as-long
-    path and restore a proper TimestampType (microsecond truncation —
-    same as DuckDB's ns->us cast, so oracles agree).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects — read via the legacy
+    nanos-as-long path and restored to TimestampType with microsecond
+    truncation, matching DuckDB's ns->us cast) and as TIMESTAMP(MICROS)
+    without the UTC-adjusted flag (which Spark reads as TIMESTAMP_NTZ —
+    passed through; downstream epoch math handles NTZ explicitly, see
+    streaming/sessionize._epoch_micros). Both shapes load correctly.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
