@@ -109,3 +109,70 @@ def normalize_nutrition_xml(payloads: DataFrame, payload_col: str = "payload") -
         F.col("doc.daily_values.sodium._units").alias("sodium_units"),
     )
     return foods, daily_values
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parent-child fan-out of documents into overlapping token-window
+    chunks (the context-window splitting step of training-data and
+    retrieval pipelines): one row per (doc, chunk) with
+
+      - ``chunk_id``    0-based window index within the doc
+      - ``chunk_text``  tokens [chunk_id*stride+1, +chunk_tokens] joined
+                        by single spaces (canonical whitespace)
+      - ``n_chunk_tokens``  actual token count (the last window may be
+                        short)
+
+    ``stride < chunk_tokens`` overlaps consecutive windows by
+    ``chunk_tokens - stride`` tokens; ``stride == chunk_tokens`` tiles.
+    Windows start while their start position is within the document, so
+    every token lands in >= 1 chunk and empty documents produce no
+    rows (same child-table contract as the J4 normalizers: missing
+    children yield no rows).
+
+    Scale shape: pure per-row array math below a single Generate
+    (posexplode) — no shuffle at all; chunking parallelizes with the
+    scan. The J4 surrogate-key window is NOT used: (id_col, chunk_id)
+    is already a deterministic natural key, so no global ordering pass.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    from ..functions.text import whitespace_tokens
+
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n > 0, F.ceil((n - 1) / F.lit(stride)) + 1).otherwise(
+        F.lit(0)
+    ).cast("int")
+    # guard: ceil((n-1)/stride)+1 overcounts when the last window would
+    # start past the text — only starts <= n spawn windows
+    chunks = F.when(
+        n > 0,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks),
+                lambda c: F.struct(
+                    c.alias("chunk_id"),
+                    (c * stride + 1).alias("start"),
+                ),
+            ),
+            lambda s: s["start"] <= n,
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_id:int,start:int>>"))
+    return docs.select(
+        id_col, F.explode(chunks).alias("__c"), toks.alias("__toks")
+    ).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("__c.start"), chunk_tokens)
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.size(F.col("__toks")) - F.col("__c.start") + 1
+        ).cast("long").alias("n_chunk_tokens"),
+    )

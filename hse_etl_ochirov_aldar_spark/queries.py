@@ -3292,6 +3292,42 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(nb, corpus).select("doc_id", "lang", "source")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document fans out into overlapping
+    64-token windows at stride 48 (operators/normalize.py:
+    chunk_documents — pure per-row array math below one Generate, zero
+    shuffles). Chunk text value-checked via md5 digest."""
+    from .operators.normalize import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, chunk_tokens=64, stride=48)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_digest"),
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS s
+  FROM tok WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS INT) AS chunk_id,
+       CAST(least(64, len(w) - s + 1) AS BIGINT) AS n_chunk_tokens,
+       md5(coalesce(array_to_string(w[s:s+63], ' '), '')) AS chunk_digest
+FROM starts
+"""
+
+
 def q_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style exact-substring removal: a boilerplate sentence
     injected into every 4th document is excised token-precisely from
@@ -3576,6 +3612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance_select": q_dsir_importance_select,
     "incremental_minhash_dedup": q_incremental_minhash_dedup,
     "exact_substring_removal": q_exact_substring_removal,
+    "chunk_documents": q_chunk_documents,
     "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
@@ -3653,6 +3690,7 @@ ORACLES: dict[str, str] = {
     "dsir_importance_select": ORACLE_DSIR_IMPORTANCE_SELECT,
     "incremental_minhash_dedup": ORACLE_INCREMENTAL_MINHASH_DEDUP,
     "exact_substring_removal": ORACLE_EXACT_SUBSTRING_REMOVAL,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,

@@ -68,3 +68,35 @@ def test_nutrition_xml_normalization(spark):
     d = dv.collect()[0]
     assert d.total_fat == 70 and d.total_fat_units == "g"
     assert d.sodium == 2400 and d.sodium_units == "mg"
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from hse_etl_ochirov_aldar_spark.operators.normalize import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y z"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    got = [(r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in rows]
+    assert got == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "d e f g", 4),   # overlaps previous by chunk-stride=1
+        (1, 2, "g h i j", 4),
+        (1, 3, "j", 1),         # short tail window
+        (2, 0, "x y z", 3),     # doc shorter than one window
+    ]  # empty doc 3 yields no child rows (J4 contract)
+    # every token of doc 1 appears in at least one chunk
+    covered = set()
+    for _, _, text, _ in got[:4]:
+        covered |= set(text.split())
+    assert covered == set("a b c d e f g h i j".split())
+    # tiling mode: stride == chunk_tokens, no overlap, exact partition
+    tiled = chunk_documents(docs, chunk_tokens=5, stride=5)
+    t1 = sorted(
+        [r.chunk_text for r in tiled.where("doc_id = 1").collect()]
+    )
+    assert t1 == ["a b c d e", "f g h i j"]
