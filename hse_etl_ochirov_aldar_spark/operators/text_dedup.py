@@ -611,6 +611,7 @@ def remove_duplicate_spans(
     boilerplate doc degrades to O(n^2) array ops on one row, bounded
     by doc length).
     """
+    docs = _spread(docs)  # span hashing + rebuild are per-row CPU work
     toks = whitespace_tokens(F.col(text_col))
     n = F.size(toks)
     k = span_tokens

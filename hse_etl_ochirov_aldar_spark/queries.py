@@ -3404,6 +3404,143 @@ FROM final
 """
 
 
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 substring-and-quality flagship composition — the
+    passage-level cleaning and LM-quality routing chain, ONE program:
+
+      exact-substring removal (5-token spans; boilerplate seeded into
+        every 4th doc so the stage does real work)
+        -> self-corpus unigram-LM scoring of the REWRITTEN text
+        -> CCNet perplexity buckets per language, drop the tail third
+        -> context-window chunking (64 tokens, stride 48)
+        -> per-language report: docs kept, chunks, chunk tokens
+
+    Every stage is an already-oracled operator; the oracle is the
+    composed CTE chain of their SQL twins. Outputs are BIGINT only."""
+    from .operators.lm_score import perplexity_buckets, unigram_logprob_scores
+    from .operators.normalize import chunk_documents
+    from .operators.text_dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    boiler = " common boilerplate passage appears in many documents verbatim"
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(boiler))
+        ).otherwise(F.col("text")),
+    )
+    # materialize the cleaned layer: scoring (census + token join +
+    # doc join) and bucketing (bounds + data) each re-reference it, and
+    # without a barrier the whole substring-removal pipeline re-executes
+    # per reference (34s -> ~8s at sf0.1). The medallion answer at
+    # 100 TB is writing the clean layer to storage (plans/pipeline.py
+    # does exactly that); persist() is its in-session equivalent.
+    cleaned = remove_duplicate_spans(seeded, span_tokens=5, min_docs=2).persist()
+    scored = unigram_logprob_scores(cleaned)
+    bucketed = perplexity_buckets(scored, ["lang"])
+    kept = bucketed.where(
+        (F.col("n_tokens") > 0) & (F.col("ppl_bucket") != "tail")
+    ).persist()
+    chunks = chunk_documents(
+        kept.select("doc_id", "text"), chunk_tokens=64, stride=48
+    )
+    return (
+        chunks.join(kept.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("chunk_tokens"),
+        )
+    )
+
+
+ORACLE_CURATION_PIPELINE_V3 = r"""
+WITH docs2 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 4 = 0
+              THEN text ||
+                ' common boilerplate passage appears in many documents verbatim'
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS w
+  FROM docs2
+),
+spans AS (
+  SELECT doc_id, s['spos'] AS spos, s['sp'] AS sp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 3),
+                  i -> {'spos': i, 'sp': array_to_string(w[i:i+4], ' ')})) AS s
+    FROM tok WHERE len(w) >= 5
+  )
+),
+dup AS (
+  SELECT sp FROM spans GROUP BY sp HAVING count(DISTINCT doc_id) >= 2
+),
+starts AS (
+  SELECT doc_id, list(spos) AS st
+  FROM spans WHERE sp IN (SELECT sp FROM dup)
+  GROUP BY doc_id
+),
+cleaned AS (
+  SELECT t.doc_id, t.lang,
+         list_transform(
+           list_filter(range(1, len(t.w) + 1),
+             p -> NOT list_contains(
+               list_distinct(flatten(list_transform(coalesce(s.st, []),
+                             x -> range(x, x + 5)))), p)),
+           p -> t.w[p]) AS kt
+  FROM tok t LEFT JOIN starts s USING (doc_id)
+),
+toks2 AS (
+  SELECT doc_id, lower(unnest(kt)) AS tok FROM cleaned
+),
+counts AS (SELECT tok, count(*) AS c FROM toks2 GROUP BY tok),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+lp AS (
+  SELECT tok,
+         CAST(round(ln((c + 1.0) / (total + vocab)) * 1000000, 0) AS BIGINT)
+         AS lp_micro
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n, sum(p.lp_micro) AS s
+  FROM toks2 t JOIN lp p USING (tok) GROUP BY t.doc_id
+),
+scored AS (
+  SELECT c.lang, c.doc_id, pd.n, pd.s / (1000000.0 * pd.n) AS avg
+  FROM cleaned c JOIN per_doc pd USING (doc_id)
+),
+bounds AS (
+  SELECT lang, quantile_cont(avg, 1.0/3.0) AS t_lo
+  FROM scored GROUP BY lang
+),
+kept AS (
+  SELECT s.lang, s.doc_id, s.n
+  FROM scored s JOIN bounds b USING (lang)
+  WHERE s.avg >= b.t_lo
+),
+chunked AS (
+  SELECT lang, doc_id,
+         list_transform(range(1, n + 1, 48),
+                        x -> least(64, n - x + 1)) AS ch
+  FROM kept
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(ch)) AS BIGINT) AS n_chunks,
+       CAST(sum(list_sum(ch)) AS BIGINT) AS chunk_tokens
+FROM chunked GROUP BY lang
+"""
+
+
 _FRESH_WORDS = [
     "fresh", "alpha", "beta", "gamma", "delta",
     "eps", "zeta", "eta", "theta", "iota",
@@ -3613,6 +3750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_minhash_dedup": q_incremental_minhash_dedup,
     "exact_substring_removal": q_exact_substring_removal,
     "chunk_documents": q_chunk_documents,
+    "curation_pipeline_v3": q_curation_pipeline_v3,
     "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
@@ -3691,6 +3829,7 @@ ORACLES: dict[str, str] = {
     "incremental_minhash_dedup": ORACLE_INCREMENTAL_MINHASH_DEDUP,
     "exact_substring_removal": ORACLE_EXACT_SUBSTRING_REMOVAL,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "curation_pipeline_v3": ORACLE_CURATION_PIPELINE_V3,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,
