@@ -171,3 +171,47 @@ def test_unigram_logprob_totals_broadcast(spark, sf_dir):
     # 1-row corpus totals ride a broadcast; token join is an equi-join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_plan_has_no_shuffle(spark, sf_dir):
+    """Chunking is per-row array math below one Generate — the plan
+    must contain no Exchange at all (parallelizes with the scan)."""
+    plan = _plan(spark, sf_dir, "chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_dsir_plan_broadcasts_model_totals_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dsir_importance_select")
+    # the 1-row corpus-totals frames attach via broadcast, and nothing
+    # in the two-model composition degenerates into a cartesian product
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_bounds_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "perplexity_buckets")
+    # per-language threshold frame joins back as a broadcast hash join
+    # on lang — never a shuffle of the scored corpus against bounds
+    assert "BroadcastHashJoin [lang" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_minhash_corpus_probe_is_semi_join(spark, sf_dir):
+    """The corpus side is probed with a LEFT SEMI on the batch's banded
+    keys; corpus text must never reach an exchange."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        banded_minhash_keys,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 50 == 0)
+    bkeys = banded_minhash_keys(batch)
+    ckeys = banded_minhash_keys(docs)
+    probe = bkeys.select("band", "bucket").distinct()
+    hits = ckeys.join(F.broadcast(probe), ["band", "bucket"], "left_semi")
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
