@@ -39,6 +39,7 @@ from .functions.text import (
     predicted_lang,
     stopword_count,
     token_count,
+    whitespace_tokens,
 )
 from .operators.aggregates import conditional_count, daily_avg, mode_by_group
 from .operators.dedup import dedup_keep_first
@@ -3292,6 +3293,51 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(nb, corpus).select("doc_id", "lang", "source")
 
 
+def q_vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness: distinct token types vs total
+    tokens and the type-token ratio in integer micro-units — the
+    lexical-diversity screen that separates template/boilerplate
+    sources (low TTR) from organic text in corpus triage. One token
+    explode + one (source, token) census with map-side partials; the
+    per-source rollup rides the same shuffle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            whitespace_tokens(F.lower(F.col("text")))
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.count_distinct("tok").alias("distinct_tokens"),
+        )
+        .withColumn(
+            "ttr_micro",
+            F.expr(
+                "CAST(distinct_tokens * 1000000 DIV total_tokens AS BIGINT)"
+            ),
+        )
+    )
+
+
+ORACLE_VOCAB_GROWTH_STATS = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))
+         AS tok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+       CAST(count(DISTINCT tok) * 1000000 // count(*) AS BIGINT) AS ttr_micro
+FROM toks GROUP BY source
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: every document fans out into overlapping
     64-token windows at stride 48 (operators/normalize.py:
@@ -3751,6 +3797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_removal": q_exact_substring_removal,
     "chunk_documents": q_chunk_documents,
     "curation_pipeline_v3": q_curation_pipeline_v3,
+    "vocab_growth_stats": q_vocab_growth_stats,
     "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
@@ -3830,6 +3877,7 @@ ORACLES: dict[str, str] = {
     "exact_substring_removal": ORACLE_EXACT_SUBSTRING_REMOVAL,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "curation_pipeline_v3": ORACLE_CURATION_PIPELINE_V3,
+    "vocab_growth_stats": ORACLE_VOCAB_GROWTH_STATS,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,
