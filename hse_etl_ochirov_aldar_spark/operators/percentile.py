@@ -82,6 +82,31 @@ def percentile_trim(
     return out.drop("p_lo", "p_hi")
 
 
+def percentile_clamp(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    bounds_over: DataFrame | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Winsorize: CLAMP values into the global [p_lo, p_hi] band
+    instead of dropping rows (percentile_trim's row-preserving twin —
+    the outlier treatment for aggregates that must keep every
+    observation, e.g. revenue totals where trimming would undercount).
+    Same two-scan shape and broadcast 1-row bounds frame as the trim.
+    """
+    bounds = global_percentile_bounds(
+        bounds_over if bounds_over is not None else df,
+        value_col, lower, upper, approx=approx,
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    clamped = F.greatest(
+        F.col("p_lo"), F.least(F.col("p_hi"), F.col(value_col))
+    )
+    return out.withColumn(value_col, clamped).drop("p_lo", "p_hi")
+
+
 def trim_predicate(value_col: str) -> Column:
     return F.col(value_col).between(F.col("p_lo"), F.col("p_hi"))
 

@@ -234,6 +234,39 @@ WHERE value BETWEEN p.p_lo AND p.p_hi
 """
 
 
+def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type totals: clamp values into the global [p5,
+    p95] band instead of dropping rows (percentile_trim's
+    row-preserving twin, operators/percentile.py:percentile_clamp),
+    then exact-unit sums per event type — every observation kept, the
+    tails flattened. Clamped values equal the interpolated bound (the
+    same double in both engines), so the cent-unit sums stay
+    order-proof."""
+    from .operators.percentile import percentile_clamp
+
+    base = _events_base(spark, sf_dir)
+    w = percentile_clamp(base, "value")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        as_value(units_sum("value")).alias("sum_value"),
+    )
+
+
+ORACLE_WINSORIZED_EVENT_STATS = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi FROM base),
+w AS (SELECT event_type,
+             greatest(p.p_lo, least(p.p_hi, value)) AS value
+      FROM base CROSS JOIN p)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_value
+FROM w GROUP BY event_type
+"""
+
+
 def q_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q2: AVG by day over the trimmed clean layer (A1 + F4)."""
     return daily_avg(q_clean_percentile_trim(spark, sf_dir))
@@ -3798,6 +3831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "curation_pipeline_v3": q_curation_pipeline_v3,
     "vocab_growth_stats": q_vocab_growth_stats,
+    "winsorized_event_stats": q_winsorized_event_stats,
     "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_screen": q_repetition_screen,
@@ -3878,6 +3912,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "curation_pipeline_v3": ORACLE_CURATION_PIPELINE_V3,
     "vocab_growth_stats": ORACLE_VOCAB_GROWTH_STATS,
+    "winsorized_event_stats": ORACLE_WINSORIZED_EVENT_STATS,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "repetition_screen": ORACLE_REPETITION_SCREEN,

@@ -332,7 +332,36 @@ def main() -> None:
         assert cleaned >= 50_000, cleaned
         return cleaned
 
+    # exact vs approx percentile bounds over 10M doubles — the
+    # documented 100 TB escape hatch, measured (exact keeps a
+    # per-partition value digest; approx bounds memory at rank error
+    # <= 1/accuracy)
+    def _pct_vals():
+        return spark.range(10_000_000).select(
+            (F.pmod(F.xxhash64("id"), 1_000_000) / 100.0).alias("value")
+        )
+
+    def percentile_exact_10m():
+        from hse_etl_ochirov_aldar_spark.operators.percentile import (
+            global_percentile_bounds,
+        )
+
+        r = global_percentile_bounds(_pct_vals(), "value").collect()[0]
+        return [r.p_lo, r.p_hi]
+
+    def percentile_approx_10m():
+        from hse_etl_ochirov_aldar_spark.operators.percentile import (
+            global_percentile_bounds,
+        )
+
+        r = global_percentile_bounds(
+            _pct_vals(), "value", approx=True, accuracy=10_000
+        ).collect()[0]
+        return [r.p_lo, r.p_hi]
+
     timed("sessionize_10m_events", sessionize_10m)
+    timed("percentile_exact_bounds_10m", percentile_exact_10m)
+    timed("percentile_approx_bounds_10m", percentile_approx_10m)
     timed("exact_substring_removal_500k_docs", substring_removal_500k)
     timed("dsir_importance_2m_docs", dsir_2m)
     timed("perplexity_buckets_2m_docs", ppl_buckets_2m)
