@@ -176,3 +176,52 @@ def test_sessionize_batch_invariants(spark, rows):
         for prev, nxt in zip(ss, ss[1:]):
             delta = (nxt.session_start - prev.session_end).total_seconds()
             assert delta > gap, (u, prev, nxt)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abc xyz"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_documents_coverage_properties(spark, texts, chunk):
+    """For any corpus and window size: tiling (stride == chunk) chunks
+    concatenate back to the canonical token stream, token counts are
+    preserved, and empty docs emit no chunks."""
+    from hse_etl_ochirov_aldar_spark.operators.normalize import chunk_documents
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_tokens=chunk, stride=chunk).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        rows = sorted(by_doc.get(i, []), key=lambda r: r.chunk_id)
+        if not toks:
+            assert rows == []
+            continue
+        rebuilt = " ".join(r.chunk_text for r in rows).split()
+        assert rebuilt == toks  # exact partition, order preserved
+        assert sum(r.n_chunk_tokens for r in rows) == len(toks)
+        assert all(r.n_chunk_tokens <= chunk for r in rows)
+
+
+def test_importance_weights_self_target_is_zero(spark, sf_dir):
+    """Scoring a corpus against ITSELF as target must yield exactly
+    zero importance for every document (identical models cancel
+    token-by-token in integer space) — catches any asymmetry between
+    the target and raw model constructions."""
+    from hse_etl_ochirov_aldar_spark.operators.lm_score import importance_weights
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = importance_weights(docs, docs)
+    assert w.where(F.col("imp_micro") != 0).count() == 0
