@@ -3637,7 +3637,10 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-able because LSH+verify recovers exactly the exact-Jaccard
     pair set on this fixture (the near_dedup_minhash recall argument);
     the DuckDB twin brute-forces batch x corpus Jaccard and replays the
-    within-batch transitive closure."""
+    within-batch transitive closure. The twin is QUADRATIC by design
+    (NOT EXISTS over all batch x corpus pairs) — tractable at the
+    driver's sf0.01 gate, not at sf0.1+; the Spark side stays
+    sub-quadratic via the banded-key probe at every scale."""
     from .operators.text_dedup import incremental_minhash_dedup
 
     docs = load_table(spark, sf_dir, "documents").select(
