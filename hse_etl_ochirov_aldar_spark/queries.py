@@ -3992,4 +3992,7 @@ BENCH_QUERIES: list[str] = [
     "duplicate_span_screen",
     "dsir_importance_select",
     "perplexity_buckets",
+    "vocab_growth_stats",
+    "winsorized_event_stats",
+    "chunk_documents",
 ]
