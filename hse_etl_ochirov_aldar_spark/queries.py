@@ -1650,7 +1650,7 @@ WITH toks AS (
   FROM documents
 ),
 packed AS (
-  SELECT {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+  SELECT CAST({_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard,
          n_tokens,
          CAST(floor(coalesce(sum(n_tokens) OVER (
            PARTITION BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 8

@@ -23,6 +23,39 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     assert_matches_oracle(df, con, ORACLES[name], name)
 
 
+# Types whose DuckDB binary serialization the driver's value hasher agrees
+# on with Spark's. DuckDB silently widens to HUGEINT (list_sum, count over
+# HUGEINT) and DECIMAL (avg over DECIMAL), which hash differently from
+# Spark's BIGINT/DOUBLE even when the values are equal — the round-2
+# pack_sequences red row. Every oracle output column must land in this set.
+# INTEGER is included because it round-trips to the same Python int as
+# Spark's IntegerType (row_number etc.) — the 12 oracles that emit it were
+# all green on the driver's hash in rounds 1-2.
+_HASH_SAFE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BOOLEAN",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_oracle_output_types_hash_safe(name, con):
+    rel = con.sql(ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in _HASH_SAFE_TYPES
+    ]
+    assert not bad, (
+        f"{name}: oracle output columns with hash-unsafe DuckDB types {bad}; "
+        f"cast them (e.g. CAST(... AS BIGINT)) so the driver hash matches Spark"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
 def test_query_runs_nonempty(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
