@@ -142,6 +142,13 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # a gap of (stride - chunk_tokens) tokens between windows would
+        # break the every-token-lands-in->=1-chunk contract above
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would "
+            "skip tokens between windows"
+        )
     from ..functions.text import whitespace_tokens
 
     toks = whitespace_tokens(F.col(text_col))

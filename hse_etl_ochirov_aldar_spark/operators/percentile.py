@@ -101,8 +101,12 @@ def percentile_clamp(
         value_col, lower, upper, approx=approx,
     )
     out = df.crossJoin(F.broadcast(bounds))
-    clamped = F.greatest(
-        F.col("p_lo"), F.least(F.col("p_hi"), F.col(value_col))
+    # greatest/least SKIP nulls (least(p_hi, NULL) = p_hi), so an
+    # unguarded clamp would fabricate p_hi for NULL inputs; preserve
+    # NULL explicitly instead.
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col(value_col))),
     )
     return out.withColumn(value_col, clamped).drop("p_lo", "p_hi")
 

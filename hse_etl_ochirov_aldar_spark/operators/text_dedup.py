@@ -357,7 +357,13 @@ def minhash_dedup(
         # set into the scan as an isin filter instead of a join — one
         # predicate, no build side, no exchange
         loser_ids = [r.id for r in comp.collect() if r.rep != r.id]
-        return df.where(~F.col(id_col).isin(loser_ids))
+        # NULL ids never appear in pairs (they can't equal anything), so
+        # they are always keepers — but ~isin() evaluates to NULL for
+        # them and would silently drop the rows; the isNull guard keeps
+        # parity with the distributed left_anti path below.
+        return df.where(
+            F.col(id_col).isNull() | ~F.col(id_col).isin(loser_ids)
+        )
     losers = comp.where(F.col("rep") != F.col("id")).select(
         F.col("id").alias(id_col)
     )
@@ -684,6 +690,7 @@ def incremental_minhash_dedup(
     shingle_n: int = 3,
     max_bucket_size: int = 1024,
     corpus_keys: DataFrame | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """NEAR-duplicate dedup of an ingest batch against a large corpus:
     drop batch docs whose n-gram Jaccard vs ANY corpus doc reaches
@@ -708,6 +715,12 @@ def incremental_minhash_dedup(
     per-batch cost is one corpus-keys scan, not a re-signature of the
     corpus; pass the materialized frame as ``corpus_keys`` to skip the
     signature step.
+
+    Caching: two batch-bounded intermediates are ``persist()``-ed (see
+    inline comment). Long-running callers that invoke this per batch
+    (the streaming ingest wrapper) should pass ``persisted_out=[]`` and
+    ``unpersist()`` its contents after their terminal action, or cached
+    blocks accumulate for the query lifetime.
     """
     lshkw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
     bkeys = banded_minhash_keys(new_batch, id_col, text_col, **lshkw)
@@ -731,6 +744,8 @@ def incremental_minhash_dedup(
         .distinct()
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(cand)
     bsh = new_batch.select(
         F.col(id_col).alias("id_a"),
         word_shingles(F.col(text_col), shingle_n).alias("sh_a"),
@@ -750,6 +765,8 @@ def incremental_minhash_dedup(
         .distinct()
     )
     fresh = new_batch.join(F.broadcast(dup_ids), id_col, "left_anti").persist()
+    if persisted_out is not None:
+        persisted_out.append(fresh)
     return minhash_dedup(
         fresh,
         id_col,

@@ -77,17 +77,19 @@ def streaming_near_dedup_ingest(
     spark = stream.sparkSession
 
     def _ingest(batch: DataFrame, _epoch: int) -> None:
-        try:
+        from ..sources.sinks import _hadoop_fs
+
+        # Explicit FS existence probe, not exception-message matching: a
+        # genuine read failure whose text happened to contain
+        # "Path does not exist" (e.g. a missing nested path) must raise,
+        # not silently skip cross-corpus dedup for the batch.
+        fs, jpath = _hadoop_fs(spark, corpus_path)
+        persisted: list = []
+        if fs.exists(jpath):
             corpus = spark.read.parquet(corpus_path).select(*batch.columns)
-            has_corpus = True
-        except Exception as exc:  # first batch: corpus dir not yet created
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                raise
-            has_corpus = False
-        if has_corpus:
             kept = incremental_minhash_dedup(
                 batch, corpus, id_col=id_col, text_col=text_col,
-                threshold=threshold, **lsh_kwargs,
+                threshold=threshold, persisted_out=persisted, **lsh_kwargs,
             )
         else:
             from ..operators.text_dedup import minhash_dedup
@@ -96,6 +98,10 @@ def streaming_near_dedup_ingest(
                 batch, id_col, text_col, threshold=threshold, **lsh_kwargs
             )
         kept.write.mode("append").parquet(corpus_path)
+        # per-batch cache hygiene: without this a long-running ingest
+        # accumulates cached blocks for the query lifetime
+        for df_ in persisted:
+            df_.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_ingest)
