@@ -482,3 +482,186 @@ def ivf_kmeans_topk(
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# --- exact-arithmetic IVF (deterministic, oracle-comparable) ----------------
+
+
+def _halfup_div(s: int, n: int) -> int:
+    """Signed half-up integer division s/n (n > 0), identical to the
+    SQL twin in queries.ORACLE_ANN_IVF_KMEANS: both split on sign so
+    engine floor-vs-truncate differences never apply."""
+    return (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+
+
+def micro_vec(vec: Column, scale: int = 6) -> Column:
+    """array<float> -> array<bigint> exact micro-units (functions.exact
+    pattern lifted to vectors): round(x * 10^scale) per component. All
+    downstream quantizer math is then BIGINT — order-independent and
+    bit-identical across engines."""
+    m = F.lit(float(10**scale))
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * m, 0).cast("long")
+    )
+
+
+def _int_l2sq(vcol: Column, cent: list[int]) -> Column:
+    """Exact squared L2 between a BIGINT micro-vector column and a
+    literal centroid. Bounds: |component| <= ~1e6 micro-units, so each
+    square <= ~4e12 and a 64-dim sum <= ~3e14 — far inside BIGINT."""
+    arr = F.array(*[F.lit(int(c)) for c in cent])
+    return F.aggregate(
+        F.zip_with(vcol, arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_ranks(vcol: Column, cents: list[list[int]]) -> Column:
+    """Array of cell ids sorted by (exact distance, cell_id) — struct
+    ordering gives the deterministic tie-break for free."""
+    return F.transform(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        _int_l2sq(vcol, c).alias("d"),
+                        F.lit(i).cast("long").alias("cell_id"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        ),
+        lambda s: s["cell_id"],
+    )
+
+
+def exact_kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> list[list[int]]:
+    """Deterministic Lloyd k-means in exact BIGINT micro-unit
+    arithmetic; returns the centroid micro-vectors as Python ints.
+
+    Why not pyspark.ml KMeans (kmeans_centroids above): its float
+    partial sums combine in shuffle-fetch order, so centroids — and
+    boundary assignments — can flip between runs, which is why the
+    round-1/2 catalog entry was rows-only. Here every step is
+    order-independent integer math, so the fit is a pure function of
+    the data and SQL-expressible (the DuckDB twin unrolls the same
+    iterations):
+
+    - init: the ``n_cells`` vectors ranked first by
+      (md5-hash32(id), id) — a seeded, engine-portable sample
+      (sampled_centroids' hash trick with the portable hash).
+    - assign: argmin over cells of exact squared L2 on micro-units,
+      tie-break on cell_id.
+    - update: per-dimension BIGINT sums, signed half-up division;
+      empty cells keep their previous centroid.
+
+    Scale shape: each iteration is one full-corpus scan reduced to
+    n_cells x dims BIGINTs (map-side partials; the groupBy key has
+    n_cells values). Centroids live on the driver (n_cells x dims ints,
+    bounded and tiny) and re-enter the plan as literals — the classic
+    broadcast-model iteration. iters is fixed and small: the quantizer
+    gates efficiency/recall, not correctness, so convergence is not
+    chased (same trade as sampled_centroids).
+    """
+    from .text_dedup import md5_hash32
+
+    qv = vectors.select(
+        F.col(id_col).alias("_id"), micro_vec(F.col(vec_col), scale).alias("_v")
+    )
+    init_rows = (
+        qv.orderBy(md5_hash32(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [[int(x) for x in r["_v"]] for r in init_rows]
+    dims = len(cents[0])
+    for _ in range(iters):
+        assigned = qv.select(
+            F.element_at(_cell_ranks(F.col("_v"), cents), 1).alias("_cell"),
+            "_v",
+        )
+        agg = assigned.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at(F.col("_v"), i + 1)).alias(f"_s{i}")
+                for i in range(dims)
+            ],
+        )
+        new_cents = [list(c) for c in cents]
+        for r in agg.collect():  # <= n_cells rows, bounded
+            new_cents[int(r["_cell"])] = [
+                _halfup_div(int(r[f"_s{i}"]), int(r["_n"])) for i in range(dims)
+            ]
+        cents = new_cents
+    return cents
+
+
+def ivf_kmeans_exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 6,
+) -> DataFrame:
+    """End-to-end IVF search on the exact-arithmetic quantizer: fit
+    (exact_kmeans_centroids) -> label corpus (1 cell each, literal
+    centroid argmin — no join) -> multi-probe queries (n_probe cells)
+    -> exact cosine top-k within probed cells.
+
+    Fully deterministic, so unlike ivf_kmeans_topk it carries a DuckDB
+    oracle (ORACLE_ANN_IVF_KMEANS) that re-derives the same centroids,
+    labels, probes, and ranking. Search cost is the same
+    ~n_probe/n_cells corpus fraction per query.
+    """
+    cents = exact_kmeans_centroids(
+        corpus, n_cells, iters, id_col, vec_col, scale
+    )
+    labeled = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(
+            _cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1
+        ).alias("c_cell"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(
+                _cell_ranks(micro_vec(F.col(vec_col), scale), cents),
+                1,
+                n_probe,
+            )
+        ).alias("q_cell"),
+    )
+    scored = (
+        _spread(labeled)
+        .join(F.broadcast(probes), F.col("c_cell") == F.col("q_cell"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

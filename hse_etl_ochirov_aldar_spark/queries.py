@@ -1826,16 +1826,140 @@ QUALIFY rank <= 5
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF: k-means coarse quantizer fit on the corpus, corpus
     labeled with its nearest cell, queries multi-probed (2 of 8 cells),
-    exact top-5 within candidates. Recall vs brute force is asserted in
-    tests; the quantizer fit is non-SQL-expressible -> rows-only driver
-    check."""
-    from .operators.similarity import ivf_kmeans_topk
+    exact top-5 within candidates.
+
+    Round 3: switched from pyspark.ml KMeans (float partial sums combine
+    in shuffle-fetch order -> run-to-run nondeterminism -> rows-only
+    check) to the exact BIGINT micro-unit Lloyd fit
+    (operators/similarity.exact_kmeans_centroids), which is a pure
+    function of the data. The DuckDB twin (ORACLE_ANN_IVF_KMEANS)
+    re-derives the same init ranking, 3 Lloyd iterations, labels,
+    probes, and ranking — a full hash check instead of rows-only. The
+    float-ml variant remains available (ivf_kmeans_topk) with its
+    recall-vs-brute-force pytest."""
+    from .operators.similarity import ivf_kmeans_exact_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_kmeans_topk(emb, qs, k=5, n_cells=8, n_probe=2)
+    return ivf_kmeans_exact_topk(emb, qs, k=5, n_cells=8, n_probe=2, iters=3)
+
+
+def _oracle_ivf_kmeans(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    iters: int = 3,
+    dims: int = 64,
+    scale: int = 6,
+) -> str:
+    """Unrolled-iteration DuckDB twin of ivf_kmeans_exact_topk: the
+    same deterministic integer Lloyd fit as SQL CTEs. Every arithmetic
+    step is BIGINT (micro-units, signed half-up division split on sign
+    so engine floor-vs-truncate semantics never matter); only the final
+    cosine is float, rounded to 6 like the other green ANN oracles."""
+    h = _oracle_hash32("CAST(vec_id AS VARCHAR)")
+    m = 10**scale
+    dist = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (q.v[i] - s.c[i]) * (q.v[i] - s.c[i])))"
+    ).format(d=dims + 1)
+    halfup = (
+        "CAST(CASE WHEN s >= 0 THEN (2*s + n) // (2*n) "
+        "ELSE -((-2*s + n) // (2*n)) END AS BIGINT)"
+    )
+    ctes = [
+        f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {m}) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"cells AS (SELECT CAST(range AS BIGINT) AS cell_id FROM range(0, {n_cells}))",
+        f"""cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY {h}, vec_id) - 1 AS BIGINT) AS cell_id,
+         v AS c
+  FROM qv
+  QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {n_cells}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""assign{t} AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT q.vec_id, q.v, s.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, s.cell_id) AS rn
+    FROM qv q CROSS JOIN cents{t - 1} s
+  ) WHERE rn = 1
+)""",
+        )
+        ctes.append(
+            f"""cents{t} AS (
+  SELECT cells.cell_id, coalesce(newc.c, prev.c) AS c
+  FROM cells
+  LEFT JOIN (
+    SELECT cell_id, list({halfup} ORDER BY i) AS c
+    FROM (
+      SELECT a.cell_id, t.i, CAST(sum(a.v[t.i]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM assign{t} a, range(1, {dims + 1}) t(i)
+      GROUP BY a.cell_id, t.i
+    ) GROUP BY cell_id
+  ) newc USING (cell_id)
+  LEFT JOIN cents{t - 1} prev ON prev.cell_id = cells.cell_id
+)""",
+        )
+    final = iters
+    ctes.append(
+        f"""labeled AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT q.vec_id, s.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, s.cell_id) AS rn
+    FROM qv q CROSS JOIN cents{final} s
+  ) WHERE rn = 1
+)""",
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.vec_id AS query_id, s.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, s.cell_id) AS rn
+    FROM qv q CROSS JOIN cents{final} s
+    WHERE q.vec_id < 10
+  ) WHERE rn <= {n_probe}
+)""",
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 6)
+           AS cos_sim
+  FROM probes p
+  JOIN labeled l ON l.cell_id = p.cell_id AND l.vec_id <> p.query_id
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ce ON ce.vec_id = l.vec_id
+)""",
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+    )
+
+
+ORACLE_ANN_IVF_KMEANS = _oracle_ivf_kmeans()
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3936,6 +4060,7 @@ ORACLES: dict[str, str] = {
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "ann_ivf_kmeans_topk": ORACLE_ANN_IVF_KMEANS,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,
     "rolling_7d_avg": ORACLE_ROLLING_7D_AVG,
     "raw_typing_roundtrip": ORACLE_RAW_TYPING_ROUNDTRIP,
