@@ -614,11 +614,24 @@ def test_streaming_near_dedup_ingest_accumulates_corpus(spark, tmpdir):
         .parquet(src)
     )
     corpus = f"{tmpdir}/ingest_corpus"
+    stats: list[dict] = []
     q = streaming_near_dedup_ingest(
-        stream, corpus, f"{tmpdir}/ingest_ckpt", threshold=0.6
+        stream, corpus, f"{tmpdir}/ingest_ckpt", threshold=0.6,
+        on_batch_stats=stats.append,
     )
     q.awaitTermination()
     got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     # 11 dropped vs accumulated corpus; 12/13 near-dup chain keeps 12
     assert 1 in got and 2 in got and 12 in got
     assert 11 not in got and 13 not in got
+    # VERDICT r2 #7: per-batch signature work is O(batch). Batch 1 is
+    # bootstrap (no corpus -> zero corpus scans); batch 2 probes the
+    # materialized key table and touches corpus TEXT exactly once (the
+    # candidate-bounded verification semi-join) — never re-signatures it.
+    assert [s["corpus_text_scans"] for s in stats] == [0, 1]
+    # the maintained key table covers exactly the corpus survivors
+    kids = {
+        r.id
+        for r in spark.read.parquet(f"{corpus}_keys").select("id").distinct().collect()
+    }
+    assert kids == got
