@@ -222,3 +222,132 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(staging)
     _swap_into(spark, staging, path)
     return n_files
+
+
+# --- versioned atomic-commit table (plain-parquet Delta-log idiom) ----------
+
+
+def _versioned_log_dir(root: str) -> str:
+    return root.rstrip("/") + "/_log"
+
+
+def _versioned_data_dir(root: str, version: int) -> str:
+    return f"{root.rstrip('/')}/v{version:08d}"
+
+
+def current_version(spark: SparkSession, root: str) -> int | None:
+    """Highest COMMITTED version of a versioned table, or None.
+
+    A version exists iff its commit marker ``_log/<n>.commit`` exists;
+    data directories without a marker are invisible (crashed writers).
+    """
+    fs, jlog = _hadoop_fs(spark, _versioned_log_dir(root))
+    if not fs.exists(jlog):
+        return None
+    versions = []
+    for status in fs.listStatus(jlog):
+        name = status.getPath().getName()
+        if name.endswith(".commit"):
+            try:
+                versions.append(int(name[: -len(".commit")]))
+            except ValueError:
+                continue
+    return max(versions) if versions else None
+
+
+def read_versioned(spark: SparkSession, root: str) -> DataFrame:
+    """Read the current committed snapshot of a versioned table."""
+    v = current_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    return spark.read.parquet(_versioned_data_dir(root, v))
+
+
+def versioned_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    key_cols: list[str],
+    version_col: str,
+    keep_versions: int = 2,
+    _crash_before_commit: bool = False,
+) -> int:
+    """S10/I3, ATOMIC form (VERDICT r2 #6): keep-newest-per-key upsert
+    into a versioned table whose readers can never observe a partial
+    state — the plain-parquet reconstruction of the Delta/Iceberg
+    commit protocol, with zero new dependencies.
+
+    Protocol (single writer, as Delta without optimistic concurrency):
+
+    1. merge = keep-newest(current snapshot ∪ df) — same ranking as
+       upsert_keep_newest.
+    2. write the FULL merged snapshot to a fresh data dir
+       ``v<n+1>`` — invisible to readers, who only follow commit
+       markers. An orphan dir left by a crashed writer at the same
+       version is deleted first.
+    3. publish by renaming ``_log/<n+1>.commit.tmp`` ->
+       ``_log/<n+1>.commit``. Rename-to-a-NEW-NAME is atomic on HDFS
+       and local filesystems (and an S3 PUT of the marker object is
+       atomic too), so a reader either resolves version n or version
+       n+1 — never a mix, never a partial directory. This is exactly
+       the one-file-per-commit log idiom; a ``_SUCCESS``-flag-in-place
+       scheme cannot give this, because overwriting a flag truncates in
+       place.
+    4. retain the last ``keep_versions`` data dirs (time travel /
+       in-flight readers), GC older ones; markers are tiny and kept.
+
+    A crash before step 3 leaves only an orphan data dir: readers are
+    untouched and the next upsert reclaims the version number. Crash
+    after step 3 is a completed commit. The partition-scoped variant
+    (upsert_keep_newest with partition_col) intentionally remains
+    non-versioned: it rewrites only touched partitions at the cost of
+    the cross-partition atomicity documented there; this sink pays a
+    full-snapshot write for all-or-nothing visibility — at 100 TB you
+    reserve it for dimension/mart tables (fact tables take the
+    partition-scoped path or a real Delta/Iceberg MERGE).
+
+    Returns the committed version number.
+    """
+    cur = current_version(spark, root)
+    if cur is None:
+        merged = df
+        nxt = 1
+    else:
+        existing = spark.read.parquet(_versioned_data_dir(root, cur))
+        merged = existing.unionByName(df, allowMissingColumns=True)
+        nxt = cur + 1
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    result = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    data_dir = _versioned_data_dir(root, nxt)
+    fs, jdata = _hadoop_fs(spark, data_dir)
+    if fs.exists(jdata):  # orphan of a crashed writer at this version
+        fs.delete(jdata, True)
+    result.write.parquet(data_dir)
+
+    log_dir = _versioned_log_dir(root)
+    _, jlog = _hadoop_fs(spark, log_dir)
+    fs.mkdirs(jlog)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(jlog, f"{nxt:08d}.commit.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(jlog, f"{nxt:08d}.commit")
+    out = fs.create(tmp, True)
+    out.write(bytearray(f"v{nxt:08d}\n", "utf-8"))
+    out.close()
+    if _crash_before_commit:  # test hook: die with data written, unpublished
+        raise RuntimeError("simulated crash before commit rename")
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"commit {nxt} already exists under {log_dir}: concurrent writer "
+            "(this sink is single-writer; use Delta/Iceberg for OCC)"
+        )
+
+    for v in range(1, nxt - keep_versions + 1):
+        _, jold = _hadoop_fs(spark, _versioned_data_dir(root, v))
+        if fs.exists(jold):
+            fs.delete(jold, True)
+    return nxt

@@ -635,3 +635,78 @@ def test_streaming_near_dedup_ingest_accumulates_corpus(spark, tmpdir):
         for r in spark.read.parquet(f"{corpus}_keys").select("id").distinct().collect()
     }
     assert kids == got
+
+
+def test_versioned_upsert_atomic_merge(spark, tmpdir):
+    """Versioned sink basics: bootstrap commit, keep-newest merge on a
+    second commit, version retention GC."""
+    from hse_etl_ochirov_aldar_spark.sources.sinks import (
+        current_version,
+        read_versioned,
+        versioned_upsert,
+    )
+
+    root = f"{tmpdir}/vtable"
+    cols = ["k", "ver", "val"]
+    v = versioned_upsert(
+        spark, spark.createDataFrame([("a", 1, 10), ("b", 1, 20)], cols),
+        root, ["k"], "ver",
+    )
+    assert v == 1 and current_version(spark, root) == 1
+
+    v = versioned_upsert(
+        spark, spark.createDataFrame([("a", 2, 11), ("c", 1, 30)], cols),
+        root, ["k"], "ver", keep_versions=1,
+    )
+    assert v == 2
+    got = {(r.k, r.ver, r.val) for r in read_versioned(spark, root).collect()}
+    assert got == {("a", 2, 11), ("b", 1, 20), ("c", 1, 30)}
+    # keep_versions=1 GC'd the v1 data dir; its commit marker remains
+    import os
+
+    assert not os.path.exists(f"{root}/v00000001")
+    assert os.path.exists(f"{root}/_log/00000001.commit")
+
+
+def test_versioned_upsert_crash_between_write_and_commit(spark, tmpdir):
+    """The atomicity claim (VERDICT r2 #6): a writer that dies AFTER
+    writing the new data directory but BEFORE the commit rename leaves
+    readers on the previous version — the target is never observably
+    partial — and the next upsert reclaims the version number with the
+    correct merged result."""
+    import pytest as _pytest
+
+    from hse_etl_ochirov_aldar_spark.sources.sinks import (
+        current_version,
+        read_versioned,
+        versioned_upsert,
+    )
+
+    root = f"{tmpdir}/vtable_crash"
+    cols = ["k", "ver", "val"]
+    versioned_upsert(
+        spark, spark.createDataFrame([("a", 1, 10), ("b", 1, 20)], cols),
+        root, ["k"], "ver",
+    )
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        versioned_upsert(
+            spark, spark.createDataFrame([("a", 2, 99)], cols),
+            root, ["k"], "ver", _crash_before_commit=True,
+        )
+    # reader sees version 1, complete and unchanged — the orphan v2 data
+    # dir exists on disk but is invisible without its commit marker
+    import os
+
+    assert os.path.exists(f"{root}/v00000002")
+    assert current_version(spark, root) == 1
+    got = {(r.k, r.ver, r.val) for r in read_versioned(spark, root).collect()}
+    assert got == {("a", 1, 10), ("b", 1, 20)}
+
+    # recovery: the next upsert reclaims version 2 over the orphan
+    v = versioned_upsert(
+        spark, spark.createDataFrame([("a", 3, 12)], cols), root, ["k"], "ver"
+    )
+    assert v == 2
+    got = {(r.k, r.ver, r.val) for r in read_versioned(spark, root).collect()}
+    assert got == {("a", 3, 12), ("b", 1, 20)}
