@@ -40,17 +40,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # Regression guard (PERF.md policy): compare against the last
+    # accepted round's per-query numbers; any >1.5x move is flagged in
+    # the JSON line and needs a PERF.md "Known costs" entry (precedent:
+    # near_dedup_minhash's r2 CC-clustering cost). Only applied at the
+    # reference's scale so sf0.01 smoke runs don't false-positive.
+    regressions: dict[str, dict] = {}
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_REFERENCE.json")
+    if os.path.exists(ref_path) and sf == "0.1":
+        ref = json.load(open(ref_path))["queries"]
+        for name, t in timings.items():
+            base = ref.get(name)
+            if base and base >= 0.2 and t > 1.5 * base:
+                regressions[name] = {"ref": base, "now": t,
+                                     "ratio": round(t / base, 2)}
+                print(f"# REGRESSION {name}: {base}s -> {t}s "
+                      f"({t / base:.2f}x)", file=sys.stderr)
+
+    out = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -111,6 +111,47 @@ def normalize_nutrition_xml(payloads: DataFrame, payload_col: str = "payload") -
     return foods, daily_values
 
 
+SPARSE_ITEMS_XML_SCHEMA = """
+    item ARRAY<STRUCT<
+        _id: BIGINT,
+        _cat: STRING,
+        _grade: STRING,
+        dims: STRUCT<_units: STRING, _w: BIGINT, _h: BIGINT>,
+        note: STRING,
+        price: STRUCT<_ccy: STRING, _VALUE: BIGINT>
+    >>
+"""
+
+
+def normalize_sparse_items_xml(
+    payloads: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Attribute-heavy XML with MISSING OPTIONAL nodes -> flat table
+    (F10 second fixture; reference shape HW-2/init/init.sql:42-45).
+
+    Exercises the sparse side of from_xml's contract the nutrition
+    normalizer doesn't: an absent ATTRIBUTE parses to NULL, an absent
+    ELEMENT parses to a NULL struct whose field access is null-safe
+    (F9), and an attribute+text leaf carries both ``_attr`` fields and
+    ``_VALUE``. No surrogate-key window — the id attribute is the
+    natural key, so this is a pure per-row Generate (scales with the
+    scan, no ordering pass)."""
+    parsed = payloads.select(
+        F.from_xml(F.col(payload_col), SPARSE_ITEMS_XML_SCHEMA).alias("doc")
+    )
+    return parsed.select(F.explode("doc.item").alias("i")).select(
+        F.col("i._id").alias("item_id"),
+        F.col("i._cat").alias("category"),
+        F.col("i._grade").alias("grade"),
+        F.col("i.dims._units").alias("dims_units"),
+        F.col("i.dims._w").alias("dims_w"),
+        F.col("i.dims._h").alias("dims_h"),
+        F.col("i.note").alias("note"),
+        F.col("i.price._VALUE").alias("price"),
+        F.col("i.price._ccy").alias("price_ccy"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

@@ -2312,6 +2312,91 @@ FROM part WHERE p_partkey <= 30
 """
 
 
+def q_xml_attrs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10b extension (VERDICT r2 #9): ATTRIBUTE-heavy XML with
+    MISSING OPTIONAL nodes — the part of the reference's nutrition shape
+    (HW-2/init/init.sql:42-45: attributed elements, attribute+text
+    leaves, per-record optional children) the first fixture doesn't
+    exercise. Per item:
+
+      - optional ``grade`` ATTRIBUTE (present iff p_partkey % 3 = 0)
+      - optional self-closing attributes-only ``<dims/>`` ELEMENT
+        (present iff p_partkey even) — missing element must surface as
+        a NULL struct whose field accesses are null-safe (F9 contract)
+      - optional ``<note>`` text ELEMENT (present iff p_size > 25)
+      - ``<price ccy=..>`` attribute-plus-text leaf (always present)
+
+    One schema'd from_xml (JVM-side, F10), no surrogate window — the
+    id attribute is the natural key, so normalization is a pure
+    per-row Generate with no ordering pass."""
+    from .operators.normalize import normalize_sparse_items_xml
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 40)
+    item_xml = F.concat(
+        F.lit('<item id="'),
+        F.col("p_partkey").cast("string"),
+        F.lit('" cat="'),
+        F.col("p_brand"),
+        F.lit('"'),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit(' grade="'), F.col("p_type"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit(">"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(
+                F.lit('<dims units="cm" w="'),
+                F.col("p_size").cast("string"),
+                F.lit('" h="'),
+                (F.col("p_size") * 2).cast("string"),
+                F.lit('"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("p_size") > 25,
+            F.concat(F.lit("<note>"), F.col("p_name"), F.lit("</note>")),
+        ).otherwise(F.lit("")),
+        F.lit('<price ccy="USD">'),
+        F.floor("p_retailprice").cast("string"),
+        F.lit("</price></item>"),
+    )
+    payload = part.agg(
+        F.concat(
+            F.lit("<inventory>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("p_partkey").alias("k"), item_xml.alias("x")
+                            )
+                        )
+                    ),
+                    lambda s: s["x"],
+                ),
+            ),
+            F.lit("</inventory>"),
+        ).alias("payload")
+    )
+    return normalize_sparse_items_xml(payload)
+
+
+ORACLE_XML_ATTRS_SPARSE = """
+SELECT CAST(p_partkey AS BIGINT) AS item_id,
+       p_brand AS category,
+       CASE WHEN p_partkey % 3 = 0 THEN p_type END AS grade,
+       CASE WHEN p_partkey % 2 = 0 THEN 'cm' END AS dims_units,
+       CASE WHEN p_partkey % 2 = 0 THEN CAST(p_size AS BIGINT) END AS dims_w,
+       CASE WHEN p_partkey % 2 = 0 THEN CAST(p_size * 2 AS BIGINT) END AS dims_h,
+       CASE WHEN p_size > 25 THEN p_name END AS note,
+       CAST(floor(p_retailprice) AS BIGINT) AS price,
+       'USD' AS price_ccy
+FROM part WHERE p_partkey <= 40
+"""
+
+
 def q_customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join surface (EXISTS / NOT EXISTS): per market segment,
     customers with and without any events. Both plans are one hash
@@ -3989,6 +4074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_salted": q_skew_join_salted,
     "json_normalize_pets": q_json_normalize_pets,
     "xml_normalize_foods": q_xml_normalize_foods,
+    "xml_attrs_sparse": q_xml_attrs_sparse,
     "customer_order_presence": q_customer_order_presence,
     "pivot_status_by_month": q_pivot_status_by_month,
     "status_unpivot": q_status_unpivot,
@@ -4067,6 +4153,7 @@ ORACLES: dict[str, str] = {
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "json_normalize_pets": ORACLE_JSON_NORMALIZE_PETS,
     "xml_normalize_foods": ORACLE_XML_NORMALIZE_FOODS,
+    "xml_attrs_sparse": ORACLE_XML_ATTRS_SPARSE,
     "customer_order_presence": ORACLE_CUSTOMER_ORDER_PRESENCE,
     "pivot_status_by_month": ORACLE_PIVOT_STATUS_BY_MONTH,
     "status_unpivot": ORACLE_STATUS_UNPIVOT,
