@@ -92,3 +92,51 @@ def write_stream_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def write_stream_versioned_upsert(
+    result: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    keep_versions: int = 2,
+    query_name: str = "stream_versioned_upsert",
+):
+    """foreachBatch keyed upsert into the ATOMIC versioned sink
+    (sources.sinks.versioned_upsert): each micro-batch commits a new
+    all-or-nothing snapshot, so a reader concurrent with the stream
+    never observes a partially-merged table — the guarantee the plain
+    write_stream_upsert (rename swap) cannot give across partitions.
+
+    Single writer by construction: Structured Streaming serializes
+    foreachBatch invocations within a query, matching the sink's
+    single-writer contract. A batch replayed after a crash re-commits
+    the same merge as a NEW version — keep-newest is idempotent on
+    (key, version), so the snapshot converges (at-least-once batches,
+    exactly-once visible state). Runs to completion with availableNow;
+    returns the finished StreamingQuery.
+    """
+    from ..sources.sinks import versioned_upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versioned_upsert(
+            batch_df.sparkSession,
+            batch_df,
+            root,
+            key_cols,
+            version_col,
+            keep_versions=keep_versions,
+        )
+
+    q = (
+        result.writeStream.foreachBatch(merge_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

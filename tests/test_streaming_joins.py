@@ -164,3 +164,47 @@ def test_native_session_window_streaming(spark, sf_dir, tmpdir):
     assert len(streamed) > 0
     for key, n in streamed.items():
         assert batch.get(key) == n, key
+
+
+def test_write_stream_versioned_upsert(spark, tmp_path):
+    """Streaming micro-batches land as atomic versioned commits; the
+    final snapshot equals a batch keep-newest over all input."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.sources.sinks import (
+        current_version,
+        read_versioned,
+    )
+    from hse_etl_ochirov_aldar_spark.streaming.joins import (
+        write_stream_versioned_upsert,
+    )
+
+    src = str(tmp_path / "vsrc")
+    cols = ["k", "ver", "val"]
+    spark.createDataFrame([("a", 1, 10), ("b", 1, 20)], cols).coalesce(
+        1
+    ).write.parquet(src)
+    import time
+
+    time.sleep(1.1)  # distinct mtime buckets -> two micro-batches in order
+    spark.createDataFrame([("a", 2, 11), ("c", 1, 30)], cols).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ver", T.LongType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    root = str(tmp_path / "vtable_stream")
+    write_stream_versioned_upsert(
+        stream, root, str(tmp_path / "vckpt"), ["k"], "ver"
+    )
+    assert current_version(spark, root) == 2
+    got = {(r.k, r.ver, r.val) for r in read_versioned(spark, root).collect()}
+    assert got == {("a", 2, 11), ("b", 1, 20), ("c", 1, 30)}
