@@ -665,3 +665,70 @@ def ivf_kmeans_exact_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup_flags(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) flags: cluster the
+    corpus with the exact-integer k-means fit, then mark as redundant
+    every vector that has a same-cluster neighbor with smaller id at
+    cosine >= ``threshold`` (keep-first semantics, matching the other
+    dedup families).
+
+    Differs from ``embedding_near_dup_ids`` with quantizer blocking in
+    both intent and mechanics: there the cells are a recall structure
+    (multi-probe, threshold ~0.95, drop only true near-copies); here the
+    clustering IS the semantic grouping (single assignment, learned
+    Lloyd centroids, moderate threshold) and cross-cluster pairs are
+    deliberately never compared — the SemDeDup trade that makes pruning
+    O(sum of cluster sizes squared) instead of O(n^2).
+
+    Scale shape: the fit is iters full scans reduced to n_cells x dims
+    BIGINTs; labeling is a literal-centroid argmin (no join, no
+    shuffle); the candidate self-join runs on (cluster, id) pairs only
+    (embedding payloads stay out of the shuffle, cosine is paid once
+    per distinct pair via cosine_dup_ids). At 100 TB size n_cells so
+    the expected cluster population keeps the pair space tractable
+    (PERF.md finding 8's sizing rule applies unchanged).
+
+    Returns the input columns + ``cluster_id`` + boolean ``is_dup``.
+    Fully deterministic -> carries a DuckDB oracle
+    (queries.ORACLE_SEMANTIC_DEDUP re-derives fit, labels, and flags).
+    """
+    cents = exact_kmeans_centroids(
+        vectors, n_cells, iters, id_col, vec_col, scale
+    )
+    labeled = vectors.withColumn(
+        "cluster_id",
+        F.element_at(_cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1),
+    )
+    dup_ids = embedding_near_dup_ids(
+        labeled, threshold, id_col, vec_col, block_col="cluster_id", scale=scale
+    )
+    return labeled.join(
+        dup_ids.withColumn("is_dup", F.lit(True)), id_col, "left"
+    ).withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup survivors: the corpus minus semantically redundant
+    vectors (see semantic_dedup_flags), with their cluster_id."""
+    flags = semantic_dedup_flags(
+        vectors, threshold, n_cells, iters, id_col, vec_col, scale
+    )
+    return flags.where(~F.col("is_dup")).drop("is_dup")

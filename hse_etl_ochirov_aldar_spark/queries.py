@@ -1846,19 +1846,20 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_exact_topk(emb, qs, k=5, n_cells=8, n_probe=2, iters=3)
 
 
-def _oracle_ivf_kmeans(
+def _kmeans_label_ctes(
+    source: str = "embeddings",
     n_cells: int = 8,
-    n_probe: int = 2,
-    k: int = 5,
     iters: int = 3,
     dims: int = 64,
     scale: int = 6,
-) -> str:
-    """Unrolled-iteration DuckDB twin of ivf_kmeans_exact_topk: the
-    same deterministic integer Lloyd fit as SQL CTEs. Every arithmetic
-    step is BIGINT (micro-units, signed half-up division split on sign
-    so engine floor-vs-truncate semantics never matter); only the final
-    cosine is float, rounded to 6 like the other green ANN oracles."""
+) -> list[str]:
+    """Shared DuckDB CTE scaffolding for the deterministic integer
+    Lloyd fit (exact_kmeans_centroids twin): micro-unit quantization,
+    hash-ranked init, ``iters`` unrolled assign/update rounds, and a
+    final ``labeled(vec_id, cell_id)`` assignment over ``source``.
+    Every arithmetic step is BIGINT (signed half-up division split on
+    sign so engine floor-vs-truncate semantics never matter). Used by
+    both the IVF-search oracle and the SemDeDup oracle."""
     h = _oracle_hash32("CAST(vec_id AS VARCHAR)")
     m = 10**scale
     dist = (
@@ -1874,7 +1875,7 @@ def _oracle_ivf_kmeans(
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {m}) AS BIGINT)) AS v
-  FROM embeddings
+  FROM {source}
 )""",
         f"cells AS (SELECT CAST(range AS BIGINT) AS cell_id FROM range(0, {n_cells}))",
         f"""cents0 AS (
@@ -1922,6 +1923,26 @@ def _oracle_ivf_kmeans(
   ) WHERE rn = 1
 )""",
     )
+    return ctes
+
+
+def _oracle_ivf_kmeans(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    iters: int = 3,
+    dims: int = 64,
+    scale: int = 6,
+) -> str:
+    """Unrolled-iteration DuckDB twin of ivf_kmeans_exact_topk on the
+    shared _kmeans_label_ctes scaffolding; only the final cosine is
+    float, rounded to 6 like the other green ANN oracles."""
+    dist = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (q.v[i] - s.c[i]) * (q.v[i] - s.c[i])))"
+    ).format(d=dims + 1)
+    final = iters
+    ctes = _kmeans_label_ctes("embeddings", n_cells, iters, dims, scale)
     ctes.append(
         f"""probes AS (
   SELECT query_id, cell_id FROM (
@@ -2206,6 +2227,86 @@ FROM corpus
 WHERE vec_id NOT IN (SELECT vec_id FROM dups)
 GROUP BY label
 """
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): prune semantically redundant
+    vectors INSIDE learned k-means clusters only. 20 lightly-scaled
+    copies (cosine exactly 1.0, tiny L2 offset so they co-cluster with
+    their originals) are injected; threshold 0.45 additionally prunes
+    the corpus's natural semantic redundancy (max natural cosine ~0.51
+    at sf0.01). Per-cluster kept/dropped census as output.
+
+    Everything is deterministic — exact-integer Lloyd fit
+    (operators/similarity.exact_kmeans_centroids), integer argmin
+    labeling, cosine rounded to 6dp — so the DuckDB twin re-derives
+    the full fit+label+flag pipeline (shared _kmeans_label_ctes
+    scaffolding) and the driver hash-checks it."""
+    from .operators.similarity import semantic_dedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.02)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(copies)
+    flags = semantic_dedup_flags(corpus, threshold=0.45, n_cells=8, iters=3)
+    return (
+        flags.groupBy("cluster_id")
+        .agg(
+            F.count(F.when(~F.col("is_dup"), 1)).alias("n_kept"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_semantic_dedup(
+    threshold: float = 0.45,
+    n_cells: int = 8,
+    iters: int = 3,
+    dims: int = 64,
+    scale: int = 6,
+) -> str:
+    corpus = """corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x * 1.02 AS FLOAT)),
+         label
+  FROM embeddings WHERE vec_id < 20
+)"""
+    ctes = [corpus] + _kmeans_label_ctes("corpus", n_cells, iters, dims, scale)
+    ctes.append(
+        f"""dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM labeled a
+  JOIN labeled b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN corpus ea ON ea.vec_id = a.vec_id
+  JOIN corpus eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])),
+              {scale}) >= {threshold}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT l.cell_id AS cluster_id,
+       CAST(count(*) FILTER (d.vec_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (d.vec_id IS NOT NULL) AS BIGINT) AS n_dropped
+FROM labeled l LEFT JOIN dups d ON l.vec_id = d.vec_id
+GROUP BY l.cell_id
+ORDER BY cluster_id
+"""
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
 
 
 # --- semi-structured normalization (SURVEY Q10: S3/S4, J4, F8, F10) ---------
@@ -4013,9 +4114,230 @@ GROUP BY sp.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-class analytic shapes (Q3/Q4/Q10/Q18 re-hosted on the testdata).
+# The reference's mart layer (final-module-3/airflow/dags/
+# build_analytical_marts.py:17-100) is the same join+aggregate+rank
+# pattern at coursework scale; these four queries prove the classic
+# warehouse shapes the engine must sustain at 100 TB: dim-filtered
+# fact join with top-k, EXISTS semi-join, quarter report with
+# broadcast dims, and a HAVING-subquery self-join on the fact table.
+# All money math is exact integer cents (functions/exact.py).
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1998-06-01"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue orders not yet fully
+    shipped at the cutoff, for one market segment.
+
+    Plan: the segment filter reduces customer to ~1/5 and only the key
+    column survives pruning, so it broadcasts into a LEFT SEMI against
+    the date-filtered orders (no customer payload carried through the
+    join). The orders-lineitem join hash-shuffles on orderkey; both
+    date filters are pushed into the parquet scans. Top-10 runs as
+    TakeOrderedAndProject (per-partition heap, no global sort) with a
+    unique-key tie-break so LIMIT is deterministic."""
+    cutoff = F.lit(_Q3_CUTOFF).cast("timestamp")
+    bld = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    return (
+        orders.join(F.broadcast(bld), orders.o_custkey == bld.c_custkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev4).alias("s_rev4"))
+        .select(
+            "l_orderkey",
+            as_value("s_rev4", 4).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       CAST(sum({oracle_units('l_extendedprice')}
+                * (100 - {oracle_units('l_discount')})) AS DOUBLE) / 10000.0
+         AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of one quarter's orders with
+    at least one line shipped >30 days after the order date.
+
+    EXISTS compiles to a LEFT SEMI hash join on orderkey with the
+    non-equi date predicate evaluated as the join's extra condition —
+    lineitem is never aggregated or deduped first, and the semi join
+    emits each qualifying order once regardless of how many late lines
+    it has. At 100 TB both sides shuffle on orderkey; the quarter
+    filter prunes the orders scan first."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o.o_orderkey
+      AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter, with their nation.
+
+    Plan: the quarter-filtered orders join lineitem('R') on orderkey
+    (both filters pushed to the scans), then the per-customer rollup
+    joins customer+nation. customer broadcasts at test scale; at
+    100 TB customer is a fact-sized table, so the aggregate-first
+    ordering matters — revenue is grouped to one row per customer
+    BEFORE touching the customer table, and the final join carries
+    only those grouped rows into the shuffle."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    per_cust = (
+        orders.join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev4).alias("s_rev4"))
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            as_value("s_rev4", 4).alias("revenue"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEMS_REPORT = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum({oracle_units('l_extendedprice')}
+             * (100 - {oracle_units('l_discount')})) AS s_rev4
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-04-01'
+    AND l_returnflag = 'R'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name,
+       CAST(s_rev4 AS DOUBLE) / 10000.0 AS revenue,
+       n_name
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds 250,
+    with the ordering customer.
+
+    The HAVING subquery is a fact-table self-aggregation: lineitem
+    rolls up to one BIGINT quantity per orderkey (map-side partials,
+    one shuffle), the >250 filter collapses it to a handful of rows,
+    and AQE turns the join back to orders into a broadcast at runtime
+    because the build side is now tiny — no second fact-fact shuffle.
+    The customer join carries only the surviving orders."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(units("l_quantity", 0)).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMER = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum({oracle_units('l_quantity', 0)}) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum({oracle_units('l_quantity', 0)}) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
+    "shipping_priority": q_shipping_priority,
+    "order_priority_count": q_order_priority_count,
+    "returned_items_report": q_returned_items_report,
+    "large_volume_customer": q_large_volume_customer,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -4069,6 +4391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "multimodal_features": q_multimodal_features,
     "embedding_near_dedup": q_embedding_near_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "rolling_7d_avg": q_rolling_7d_avg,
     "raw_typing_roundtrip": q_raw_typing_roundtrip,
     "skew_join_salted": q_skew_join_salted,
@@ -4092,6 +4415,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "regional_revenue": ORACLE_REGIONAL_REVENUE,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "order_priority_count": ORACLE_ORDER_PRIORITY_COUNT,
+    "returned_items_report": ORACLE_RETURNED_ITEMS_REPORT,
+    "large_volume_customer": ORACLE_LARGE_VOLUME_CUSTOMER,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -4148,6 +4475,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "ann_ivf_kmeans_topk": ORACLE_ANN_IVF_KMEANS,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "rolling_7d_avg": ORACLE_ROLLING_7D_AVG,
     "raw_typing_roundtrip": ORACLE_RAW_TYPING_ROUNDTRIP,
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
@@ -4172,6 +4500,10 @@ ORACLES: dict[str, str] = {
 BENCH_QUERIES: list[str] = [
     "pricing_summary",
     "regional_revenue",
+    "shipping_priority",
+    "order_priority_count",
+    "returned_items_report",
+    "large_volume_customer",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",
@@ -4188,6 +4520,7 @@ BENCH_QUERIES: list[str] = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dedup",
+    "semantic_dedup",
     "sessionize_events",
     "asof_last_order",
     "rolling_7d_avg",

@@ -503,3 +503,52 @@ def test_minhash_ingest_step_backfills_keys_over_existing_corpus(spark, tmpdir):
         r.id for r in spark.read.parquet(keys_path).select("id").distinct().collect()
     }
     assert kids == {1}
+
+
+def test_semantic_dedup_drops_coclustered_copies(spark, sf_dir):
+    """SemDeDup semantics: a lightly-scaled copy (cosine 1.0, small L2
+    offset) co-clusters with its original and is flagged; survivors
+    keep the lowest id per redundant pair; every flagged vector has a
+    kept same-cluster neighbor at/above the threshold."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        cosine,
+        semantic_dedup_flags,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.02)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(copies)
+    flags = semantic_dedup_flags(corpus, threshold=0.45, n_cells=8, iters=2)
+    flags.persist()
+    rows = {r["vec_id"]: r for r in flags.collect()}
+    # each copy shares a cluster with its original -> exactly one of the
+    # pair is flagged (the higher id, keep-first)
+    for vid in range(10):
+        orig, copy = rows[vid], rows[vid + 1_000_000]
+        assert orig["cluster_id"] == copy["cluster_id"], vid
+        assert not orig["is_dup"] and copy["is_dup"], vid
+    # every flagged vector has a kept, smaller-id, same-cluster witness
+    kept = flags.where(~F.col("is_dup")).select(
+        F.col("vec_id").alias("w_id"),
+        F.col("cluster_id").alias("w_cluster"),
+        F.col("embedding").alias("w_vec"),
+    )
+    flagged = flags.where(F.col("is_dup"))
+    witnesses = flagged.join(
+        kept,
+        (F.col("cluster_id") == F.col("w_cluster"))
+        & (F.col("w_id") < F.col("vec_id"))
+        & (F.round(cosine(F.col("embedding"), F.col("w_vec")), 6) >= 0.45),
+        "left_semi",
+    )
+    assert witnesses.count() == flagged.count()
+    flags.unpersist()

@@ -215,3 +215,60 @@ def test_incremental_minhash_corpus_probe_is_semi_join(spark, sf_dir):
     hits = ckeys.join(F.broadcast(probe), ["band", "bucket"], "left_semi")
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "BroadcastExchange" in plan
+
+
+def test_shipping_priority_semi_join_and_topk(spark, sf_dir):
+    """Q3 shape: segment-filtered customer keys ride a broadcast LEFT
+    SEMI (no customer payload in the fact join), both date filters are
+    pushed to the scans, and the top-10 is a per-partition heap
+    (TakeOrderedAndProject), never a global sort."""
+    plan = _plan(spark, sf_dir, "shipping_priority")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_order_priority_count_exists_is_semi_join(spark, sf_dir):
+    """Q4 shape: EXISTS compiles to one LEFT SEMI hash join carrying
+    the non-equi ship-date predicate; lineitem is never aggregated
+    before the probe and no extra distinct/shuffle appears."""
+    plan = _plan(spark, sf_dir, "order_priority_count")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the quarter filter reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan
+
+
+def test_returned_items_aggregates_before_customer_join(spark, sf_dir):
+    """Q10 shape: revenue must collapse to one row per customer BEFORE
+    the customer table joins in (the grouped side is what shuffles at
+    100 TB, not the raw line items). The returnflag filter is pushed."""
+    plan = _plan(spark, sf_dir, "returned_items_report")
+    assert "EqualTo(l_returnflag,R)" in plan
+    # HashAggregate on o_custkey appears below the join with customer:
+    # customer's scan must not feed the same subtree as lineitem's agg
+    agg_pos = plan.find("HashAggregate")
+    cust_pos = plan.find("customer.parquet")
+    assert 0 <= agg_pos < cust_pos
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_large_volume_customer_having_no_second_fact_shuffle(spark, sf_dir):
+    """Q18 shape: the HAVING subquery rolls lineitem up once; the
+    filtered (tiny) result joins back via broadcast/AQE, so the plan
+    never shuffles two fact tables against each other."""
+    plan = _plan(spark, sf_dir, "large_volume_customer")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_semantic_dedup_pairs_are_equi_join(spark, sf_dir):
+    """SemDeDup's candidate pairs come from a hash equi-join on
+    cluster_id over (cluster, id) rows — never a cartesian product,
+    and the embedding payload stays out of the pair shuffle."""
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
