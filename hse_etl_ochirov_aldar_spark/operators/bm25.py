@@ -1,0 +1,138 @@
+"""BM25 ranked retrieval over a document corpus.
+
+Okapi BM25 (Robertson et al., TREC-3) with the Lucene idf variant —
+the standard lexical-retrieval primitive a training-data pipeline uses
+for eval-set construction, hard-negative mining, and RAG-corpus
+indexing. Reference analogue: the tf census + corpus-statistic join
+idiom of the per-group mode (A7, user_mart.sql) and tfidf_top_terms,
+extended with per-document length normalization.
+
+Cross-engine exactness (functions/exact.py policy): k1 = 1.2 and
+b = 0.75 are fixed exact rationals (6/5, 3/4), so each term's score
+
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+with avgdl = L/N (total corpus tokens over document count) rewrites —
+multiplying numerator and denominator by 10*L — to the pure BIGINT
+expression
+
+    score_micro = (idf_micro * 22 * L * tf) div (10*L*tf + 3*L + 9*dl*N)
+
+where idf_micro = round(ln((N+1)/(df_t+0.5)) * 1e6) snaps the one
+transcendental to micro-units. Every engine computes the identical
+BIGINT, so rankings and value hashes match exactly. Overflow bound:
+idf_micro*22*L*tf must stay under 2^63 — safe to ~1e10 corpus tokens
+with tf <= ~400; beyond that, shard the corpus or switch the final
+product to DOUBLE (ranking is insensitive to the last bits; the
+integer form is the *verification* contract, not a scale requirement).
+
+Scale shape (100 TB corpus, small query set):
+  1. dl is row-local (size of the token array) — no shuffle;
+  2. N and L are a 1-row aggregate, broadcast;
+  3. tokens are filtered to QUERY terms before the tf census, so the
+     only corpus-sized shuffle is on (doc, query-term) — bounded by
+     query vocabulary, not corpus vocabulary;
+  4. df_t derives from that same bounded census;
+  5. query->term map and df_t both broadcast into the score join;
+  6. per-query top-k is a window partitioned by query id — never a
+     global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens
+
+MICRO = 1_000_000
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 (k1=1.2, b=0.75 exact).
+
+    ``queries`` is a list of (query_id, query_text); terms are the
+    distinct whitespace tokens of the lowercased query text. Output:
+    (query_id, doc_id, score_micro BIGINT, rank INT) with rank 1..k by
+    (score desc, doc_id asc). Documents sharing no term with a query
+    never appear (score 0 rows are not emitted, matching an inverted-
+    index engine). Empty documents contribute dl=0 but can match no
+    term, so they only affect the corpus statistics.
+    """
+    qterms = (
+        spark.createDataFrame(queries, ["query_id", "query_text"])
+        .select(
+            "query_id",
+            F.explode(
+                F.array_distinct(whitespace_tokens(F.lower("query_text")))
+            ).alias("term"),
+        )
+    )
+    term_set = sorted({t for _, q in queries for t in q.lower().split()})
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).select("id", "toks", F.size("toks").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("corpus_len"),
+    )
+    # query-term filter BEFORE the census: the shuffle is bounded by
+    # |queries|*|docs|, not corpus vocabulary (scale note in module doc)
+    tf = (
+        base.select("id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(term_set))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = dfreq.join(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df_t") + F.lit(0.5))
+            )
+            * F.lit(MICRO),
+            0,
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "query_id",
+            "id",
+            F.expr(
+                "(idf_micro * 22 * corpus_len * tf)"
+                " div (10 * corpus_len * tf + 3 * corpus_len"
+                "      + 9 * dl * n_docs)"
+            ).alias("term_score_micro"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.sum("term_score_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            "score_micro",
+            "rank",
+        )
+    )

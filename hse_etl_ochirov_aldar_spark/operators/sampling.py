@@ -43,17 +43,57 @@ def hash_split(
     100 TB-safe form of ``randomSplit``, which resamples on retry and
     cannot be reproduced outside Spark.
     """
+    return df.withColumn("split", split_assign(key_col, weights))
+
+
+def split_assign(key, weights: dict[str, int] | None = None):
+    """Split-name Column for a key column/name: hash bucket in [0,100)
+    mapped through the cumulative weight ranges (shared by hash_split
+    and leakage_safe_split)."""
     weights = weights or {"train": 80, "val": 10, "test": 10}
     if sum(weights.values()) != 100:
         raise ValueError("split weights must sum to 100")
-    b = hash_bucket(key_col, 100)
+    b = hash_bucket(key, 100)
     expr = None
     lo = 0
     for name, pct in weights.items():
         cond = (b >= F.lit(lo)) & (b < F.lit(lo + pct))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += pct
-    return df.withColumn("split", expr)
+    return expr
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_map: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: every duplicate
+    CLUSTER lands wholly in one split, so no near-copy of a training
+    document can leak into the held-out sets (the standard eval-
+    integrity requirement for LLM corpora — doc-level hash splits
+    silently put near-identical pairs on both sides of the boundary).
+
+    ``cluster_map`` is the (id, rep) output of
+    text_dedup.connected_components_min over the verified near-dup
+    pair graph: rows join their cluster representative (rep = min id
+    of the component) and are bucketed by md5(rep) instead of md5(id);
+    un-clustered rows fall back to their own id (left join + coalesce
+    — identical to hash_split for them). One extra join against the
+    cluster map, which is pair-graph-sized (orders of magnitude
+    smaller than the corpus) and broadcastable at any realistic dup
+    rate; assignment stays a pure function of (key, cluster graph),
+    recomputable by any engine.
+    """
+    reps = cluster_map.select(
+        F.col("id").alias(key_col), F.col("rep").alias("_rep")
+    )
+    joined = df.join(F.broadcast(reps), key_col, "left")
+    split_key = F.coalesce(F.col("_rep"), F.col(key_col))
+    return joined.withColumn("split", split_assign(split_key, weights)).drop(
+        "_rep"
+    )
 
 
 def pack_sequences(
@@ -161,4 +201,43 @@ def quota_sample(
         df.withColumn("__qr", F.row_number().over(w))
         .where(F.col("__qr") <= quota)
         .drop("__qr")
+    )
+
+
+def training_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Seeded deterministic global shuffle for training-order
+    randomization: adds ``shard`` (which output file a row lands in)
+    and ``position`` (its 0-based rank inside the shard).
+
+    Training runs need the corpus in a random-looking order that is
+    (a) reproducible bit-for-bit across runs and cluster sizes,
+    (b) re-derivable per epoch by changing ``seed``, and (c) never a
+    global sort. Shard and in-shard order come from two salted md5
+    hashes of (seed, key): one hash pair per row, one shuffle on
+    ``shard``, a per-shard window for the position — the same scale
+    shape as pack_sequences (shard count scales with the cluster; no
+    global ordering structure exists at all). rand()-based shuffles
+    break (a) on task retry; zipWithIndex-style shuffles break (c)
+    and pin the order to the physical partition layout. Distinct
+    salts ("s:" / "o:") keep the in-shard order independent of the
+    shard assignment residue.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.col(key_col).cast("string")
+    shard_h = F.concat(F.lit(f"{seed}:s:"), key)
+    order_h = F.concat(F.lit(f"{seed}:o:"), key)
+    w = Window.partitionBy("shard").orderBy(F.col("_oh"), F.col(key_col))
+    return (
+        df.withColumn("shard", hash_bucket(shard_h, n_shards))
+        .withColumn("_oh", hash_bucket(order_h, 1_000_000_007))
+        .withColumn(
+            "position", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        .drop("_oh")
     )

@@ -675,6 +675,7 @@ def semantic_dedup_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) flags: cluster the
     corpus with the exact-integer k-means fit, then mark as redundant
@@ -701,8 +702,13 @@ def semantic_dedup_flags(
     Returns the input columns + ``cluster_id`` + boolean ``is_dup``.
     Fully deterministic -> carries a DuckDB oracle
     (queries.ORACLE_SEMANTIC_DEDUP re-derives fit, labels, and flags).
+
+    ``centroids`` (micro-unit int vectors) skips the in-line fit —
+    the production shape for repeated runs over a growing corpus: fit
+    once offline (exact_kmeans_centroids, or a hash-sample via
+    sampled_centroids quantized through micro_vec), reuse per batch.
     """
-    cents = exact_kmeans_centroids(
+    cents = centroids if centroids is not None else exact_kmeans_centroids(
         vectors, n_cells, iters, id_col, vec_col, scale
     )
     labeled = vectors.withColumn(
@@ -725,10 +731,11 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """SemDeDup survivors: the corpus minus semantically redundant
     vectors (see semantic_dedup_flags), with their cluster_id."""
     flags = semantic_dedup_flags(
-        vectors, threshold, n_cells, iters, id_col, vec_col, scale
+        vectors, threshold, n_cells, iters, id_col, vec_col, scale, centroids
     )
     return flags.where(~F.col("is_dup")).drop("is_dup")

@@ -1539,6 +1539,88 @@ FROM b GROUP BY 1
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split
+    (operators/sampling.leakage_safe_split): over the dup-injected
+    corpus, verified near-dup pairs (LSH -> Jaccard >= 0.6) collapse to
+    connected components, and the split is assigned by md5 of the
+    CLUSTER representative — so a near-copy can never land on the other
+    side of the eval boundary from its original (doc-keyed hash splits
+    leak here by construction). Per-split doc count + membership
+    checksum; the no-straddle invariant itself is pytest-asserted
+    (test_properties.py).
+
+    Oracle: same recursive transitive closure as
+    ORACLE_NEAR_DEDUP_MINHASH (LSH+verify == exact-Jaccard pairs on
+    this corpus, the proven 100%-recall invariant), then min-of-
+    component rep -> hash bucket -> split."""
+    from .operators.sampling import leakage_safe_split
+    from .operators.text_dedup import connected_components_min
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    verified = ngram_jaccard_pairs(
+        corpus, minhash_lsh_candidates(corpus), threshold=0.6
+    )
+    comp = connected_components_min(verified.select("id_a", "id_b"))
+    s = leakage_safe_split(corpus, comp, "doc_id")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+minreach AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+reps AS (
+  SELECT c.doc_id, least(c.doc_id, coalesce(m.mb, c.doc_id)) AS rep
+  FROM corpus c LEFT JOIN minreach m ON m.a = c.doc_id
+),
+b AS (
+  SELECT doc_id,
+         {_oracle_hash32("CAST(rep AS VARCHAR)")} % 100 AS bucket
+  FROM reps
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM b GROUP BY 1
+"""
+
+
 def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture balancing: cap every source domain at 15 docs, chosen by
     hash order of doc_id (operators/sampling.quota_sample) — a
@@ -1669,6 +1751,37 @@ SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
        CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
        CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens
 FROM per_pack GROUP BY shard
+"""
+
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic training-order shuffle
+    (operators/sampling.training_shuffle): every document gets a shard
+    and an in-shard position from two salted md5 hashes of
+    (seed, doc_id) — a reproducible, cluster-size-independent global
+    shuffle with no global sort (per-shard windows only), re-derivable
+    per epoch by bumping the seed. Full (doc_id, shard, position)
+    assignment as output; the oracle recomputes it hash-for-hash."""
+    from .operators.sampling import training_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_shuffle(docs, "doc_id", n_shards=4, seed=1).select(
+        "doc_id", "shard", "position"
+    )
+
+
+ORACLE_TRAINING_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_oracle_hash32("'1:s:' || CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         {_oracle_hash32("'1:o:' || CAST(doc_id AS VARCHAR)")} % 1000000007
+           AS oh
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1
+            AS BIGINT) AS position
+FROM h
 """
 
 
@@ -2678,6 +2791,76 @@ GROUP BY 1
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by their first
+    active week; for each (cohort, weeks-since-cohort) cell, how many
+    of them were active, plus retention in exact basis points against
+    the cohort's week-0 size.
+
+    The classic warehouse triangle query. Plan shape: one distinct
+    (user, week) census, one per-user min (cohort), a user-keyed join
+    back (both sides pre-shuffled on user_id — AQE reuses the
+    partitioning), and a tiny (cohort, offset) rollup; week-0 sizes
+    re-enter via a broadcast join. No window over the full corpus, no
+    global sort. Both engines truncate weeks to ISO Monday, and
+    retention_bp is BIGINT arithmetic (n*10000 div size) so the matrix
+    is engine-exact."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    acts = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    per = (
+        acts.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("week"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("offset_w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = per.where(F.col("offset_w") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        per.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset_w",
+            "n_users",
+            F.expr("CAST(n_users * 10000 div cohort_size AS BIGINT)").alias(
+                "retention_bp"
+            ),
+        )
+        .orderBy("cohort", "offset_w")
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events WHERE ts IS NOT NULL
+),
+firsts AS (
+  SELECT user_id, min(week) AS cohort FROM acts GROUP BY user_id
+),
+per AS (
+  SELECT cohort,
+         CAST(datediff('day', cohort, week) // 7 AS BIGINT) AS offset_w,
+         count(*) AS n_users
+  FROM acts JOIN firsts USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT p.cohort, p.offset_w, p.n_users,
+       CAST(p.n_users * 10000 // s.n_users AS BIGINT) AS retention_bp
+FROM per p
+JOIN (SELECT cohort, n_users FROM per WHERE offset_w = 0) s
+  ON p.cohort = s.cohort
+ORDER BY p.cohort, p.offset_w
+"""
+
+
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (year -> month -> grand total) over
     orders, exact-units money. Grouping-set aggregates are a single
@@ -3249,6 +3432,84 @@ ranked AS (
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_micro,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3 AND doc_id < 100
+"""
+
+
+# BM25 query set: literals shared verbatim between the Spark query and
+# the DuckDB oracle (terms drawn from the documents vocabulary).
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "spark window join"),
+    (2, "hash merge sort batch"),
+    (3, "stream query filter vector"),
+]
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/bm25.bm25_topk): top-10
+    documents per query for a fixed 3-query set, Okapi BM25 with
+    k1=1.2 / b=0.75 held as exact rationals so the whole score is one
+    BIGINT integer division — rankings and hashes are engine-exact
+    (module docstring derives the rewrite). The lexical-retrieval leg
+    of eval-set construction / hard-negative mining next to the
+    embedding ANN queries; corpus-sized work is bounded by the query
+    vocabulary (terms filter before the tf census)."""
+    from .operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(spark, docs, _BM25_QUERIES, k=10)
+
+
+_BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+
+ORACLE_BM25_RETRIEVAL = rf"""
+WITH q AS (
+  SELECT * FROM (VALUES {_BM25_VALUES}) AS t(query_id, qtext)
+),
+qt AS (
+  SELECT query_id, unnest(list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(qtext)), '\s+'), x -> x <> ''
+         ))) AS term
+  FROM q
+),
+b2 AS (
+  SELECT doc_id AS id, toks, len(toks) AS dl
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS corpus_len FROM b2
+),
+tf AS (
+  SELECT id, dl, term, count(*) AS tf
+  FROM (SELECT id, dl, unnest(toks) AS term FROM b2)
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / (df_t + 0.5)) * 1000000,
+                    0) AS BIGINT) AS idf_micro
+  FROM dfreq, stats
+),
+scored AS (
+  SELECT qt.query_id, tf.id,
+         CAST(sum((idf.idf_micro * 22 * stats.corpus_len * tf.tf)
+                  // (10 * stats.corpus_len * tf.tf + 3 * stats.corpus_len
+                      + 9 * tf.dl * stats.n_docs)) AS BIGINT) AS score_micro
+  FROM tf JOIN qt USING (term) JOIN idf USING (term), stats
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id, score_micro,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -4331,6 +4592,404 @@ LIMIT 100
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue a blanket discount-policy change would
+    have forfeited — one year of shipments, discounts in [5%, 7%],
+    small quantities; revenue = sum(extendedprice * discount).
+
+    The canonical scan-dominated aggregate: every predicate pushes to
+    the parquet scan (shipdate range + quantity + discount, the latter
+    compared in exact cent units), the sum runs as map-side partials
+    into a 1-row result, and no shuffle moves more than one partial
+    per task. At 100 TB this is the query shape that proves pushdown:
+    the scan should read 3 columns and skip every non-1997 row group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_u = units("l_discount")  # cents-scale: 0.05 -> 5
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+            & disc_u.between(5, 7)
+        )
+        .agg(F.sum(units("l_extendedprice") * disc_u).alias("s_rev4"))
+        .select(as_value("s_rev4", 4).alias("revenue"))
+    )
+
+
+ORACLE_FORECAST_REVENUE_CHANGE = f"""
+SELECT CAST(sum({oracle_units('l_extendedprice')}
+             * {oracle_units('l_discount')}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_quantity < 24
+  AND {oracle_units('l_discount')} BETWEEN 5 AND 7
+"""
+
+
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two trading nations, by
+    (supplier nation, customer nation, ship year) — both directions.
+
+    Plan: the two nation filters prune supplier and customer BEFORE
+    any fact join (each keeps ~1/25 of rows and only the key + name
+    survive projection), so they broadcast into lineitem and orders
+    respectively; the only fact-fact shuffle is lineitem⋈orders on
+    orderkey. The cross-nation disjunction evaluates post-join on two
+    tiny dimension columns. Revenue in exact 10^-4 units."""
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev4).alias("s_rev4"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            as_value("s_rev4", 4).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_NATION_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({oracle_units('l_extendedprice')}
+                * (100 - {oracle_units('l_discount')})) AS DOUBLE) / 10000.0
+         AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many
+    non-urgent orders they placed (how many customers have 0 orders,
+    1 order, ...). The left outer join keeps order-less customers as
+    count 0 — the classic histogram-of-a-histogram double aggregate.
+
+    Plan: orders pre-aggregates to one BIGINT per customer (map-side
+    partials) before joining customer, so the outer join build side is
+    group-sized; the second groupBy is distribution-sized (≤ max order
+    count) and collapses to almost nothing. No row ever carries more
+    than two BIGINTs through a shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's discounted revenue from
+    PROMO-type parts, in exact basis points (BIGINT 10000·promo div
+    total — the integer-division contract makes the percentage
+    engine-exact, where the spec's 100.0·x/y double ratio would hash
+    on summation order).
+
+    Plan: the month filter prunes lineitem at the scan; part carries
+    only (key, is-promo) through projection and broadcasts; one
+    map-side-partial aggregate produces both sums in a single pass
+    (conditional sum, no second scan)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("is_promo"), rev4).otherwise(F.lit(0))).alias(
+                "s_promo4"
+            ),
+            F.sum(rev4).alias("s_total4"),
+        )
+        .select(
+            F.expr("CAST(s_promo4 * 10000 div s_total4 AS BIGINT)").alias(
+                "promo_share_bp"
+            ),
+            as_value("s_promo4", 4).alias("promo_revenue"),
+            as_value("s_total4", 4).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = f"""
+WITH s AS (
+  SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN {oracle_units('l_extendedprice')}
+                       * (100 - {oracle_units('l_discount')})
+                  ELSE 0 END) AS s_promo4,
+         sum({oracle_units('l_extendedprice')}
+             * (100 - {oracle_units('l_discount')})) AS s_total4
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+SELECT CAST(s_promo4 * 10000 // s_total4 AS BIGINT) AS promo_share_bp,
+       CAST(s_promo4 AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(s_total4 AS DOUBLE) / 10000.0 AS total_revenue
+FROM s
+"""
+
+
+def q_small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked up in small special orders —
+    lines of one brand's parts whose quantity is below 20% of that
+    part's average ordered quantity; reports the 7-year average.
+
+    The correlated scalar subquery (per-part avg) becomes a fact
+    self-aggregation joined back: lineitem rolls up to (part, sum_qty,
+    cnt) — brand-filtered FIRST, so only ~1/25 of parts aggregate —
+    and the threshold compare is the exact integer cross-product
+    5·qty·cnt < sum_qty (no division, engine-exact). avg_yearly is one
+    IEEE double division of the exact unit sum — deterministic both
+    engines."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty_u = units("l_quantity", 0)
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(qty_u).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("agg_partkey"))
+        .where(qty_u * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(units_sum("l_extendedprice").alias("s_price2"))
+        .select(
+            (F.col("s_price2").cast("double") / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.coalesce(F.col("s_price2"), F.lit(0)).alias("total_price2"),
+        )
+    )
+
+
+ORACLE_SMALL_QTY_ORDER_REVENUE = f"""
+WITH brand AS (
+  SELECT l_partkey, {oracle_units('l_quantity', 0)} AS qty_u,
+         {oracle_units('l_extendedprice')} AS price2
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(qty_u) AS BIGINT) AS sum_qty,
+         count(*) AS cnt
+  FROM brand GROUP BY l_partkey
+)
+SELECT CAST(CAST(sum(price2) AS BIGINT) AS DOUBLE) / 100.0 / 7.0
+         AS avg_yearly,
+       coalesce(CAST(sum(price2) AS BIGINT), 0) AS total_price2
+FROM brand JOIN per_part USING (l_partkey)
+WHERE qty_u * 5 * cnt < sum_qty
+"""
+
+
+def q_disjunctive_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue from three disjoint
+    (brand, size-range, quantity-range) order profiles — the
+    disjunctive-predicate query (adapted to this schema's part
+    columns: no container/shipmode).
+
+    Plan: the three OR branches share the part join key, so the join
+    runs ONCE (broadcast part carrying only brand+size) and the
+    disjunction evaluates as a single post-join filter — not three
+    unioned scans. Discount bounds compare in exact cent units."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.sum(rev4).alias("s_rev4"))
+        .select(
+            as_value(F.coalesce(F.col("s_rev4"), F.lit(0)), 4).alias("revenue"),
+            F.coalesce(F.col("s_rev4"), F.lit(0)).alias("revenue4"),
+        )
+    )
+
+
+ORACLE_DISJUNCTIVE_DISCOUNTED_REVENUE = f"""
+SELECT CAST(coalesce(CAST(sum({oracle_units('l_extendedprice')}
+                * (100 - {oracle_units('l_discount')})) AS BIGINT), 0)
+            AS DOUBLE) / 10000.0 AS revenue,
+       coalesce(CAST(sum({oracle_units('l_extendedprice')}
+                * (100 - {oracle_units('l_discount')})) AS BIGINT), 0)
+         AS revenue4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and total balance of
+    better-than-average customers who never ordered (adapted: nation
+    key stands in for the spec's phone country code).
+
+    Plan: the global positive-balance average is a 1-row aggregate
+    broadcast as a scalar threshold — compared in exact integer
+    cross-product form (bal·cnt > sum, no division); "idle" = no order
+    since the cutoff, a NOT EXISTS that plans as a LEFT ANTI join
+    against the DISTINCT custkeys of date-filtered orders (filter
+    pushed to the scan, key-only projection). At 100 TB the anti join
+    shuffles only keys; the nation rollup is dimension-sized."""
+    nations = ["NATION_3", "NATION_5", "NATION_7", "NATION_11", "NATION_13"]
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(nations))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    bal_u = units("c_acctbal")
+    avg_pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_u).alias("sum_bal"), F.count(F.lit(1)).alias("cnt_bal")
+    )
+    okeys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .where(bal_u * F.col("cnt_bal") > F.col("sum_bal"))
+        .join(okeys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_u).alias("s_bal2"),
+        )
+        .select(
+            "n_name",
+            "numcust",
+            as_value("s_bal2").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_IDLE_CUSTOMER_BALANCE = f"""
+WITH cust AS (
+  SELECT c_custkey, n_name, {oracle_units('c_acctbal')} AS bal_u
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_5', 'NATION_7', 'NATION_11',
+                   'NATION_13')
+),
+thr AS (
+  SELECT CAST(sum(bal_u) AS BIGINT) AS sum_bal, count(*) AS cnt_bal
+  FROM cust WHERE bal_u > 0
+)
+SELECT n_name, count(*) AS numcust,
+       CAST(CAST(sum(bal_u) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+FROM cust, thr
+WHERE bal_u * cnt_bal > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -4338,6 +4997,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_count": q_order_priority_count,
     "returned_items_report": q_returned_items_report,
     "large_volume_customer": q_large_volume_customer,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue_share": q_promo_revenue_share,
+    "small_qty_order_revenue": q_small_qty_order_revenue,
+    "disjunctive_discounted_revenue": q_disjunctive_discounted_revenue,
+    "idle_customer_balance": q_idle_customer_balance,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -4368,6 +5034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_event_stats": q_winsorized_event_stats,
     "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_retrieval": q_bm25_retrieval,
     "repetition_screen": q_repetition_screen,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "quality_classifier": q_quality_classifier,
@@ -4382,9 +5049,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_filters": q_gopher_quality_filters,
     "pii_redaction": q_pii_redaction,
     "train_val_test_split": q_train_val_test_split,
+    "leakage_safe_split": q_leakage_safe_split,
     "domain_quota_sample": q_domain_quota_sample,
     "decontaminate_docs": q_decontaminate_docs,
     "pack_sequences": q_pack_sequences,
+    "training_shuffle": q_training_shuffle,
     "mixture_sample": q_mixture_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4403,6 +5072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "status_unpivot": q_status_unpivot,
     "quality_report": q_quality_report,
     "daily_unique_users": q_daily_unique_users,
+    "retention_cohorts": q_retention_cohorts,
     "sales_rollup": q_sales_rollup,
     "layer_counts": q_layer_counts,
     "latest_event_per_user": q_latest_event_per_user,
@@ -4419,6 +5089,13 @@ ORACLES: dict[str, str] = {
     "order_priority_count": ORACLE_ORDER_PRIORITY_COUNT,
     "returned_items_report": ORACLE_RETURNED_ITEMS_REPORT,
     "large_volume_customer": ORACLE_LARGE_VOLUME_CUSTOMER,
+    "forecast_revenue_change": ORACLE_FORECAST_REVENUE_CHANGE,
+    "nation_volume_shipping": ORACLE_NATION_VOLUME_SHIPPING,
+    "customer_order_distribution": ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
+    "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
+    "small_qty_order_revenue": ORACLE_SMALL_QTY_ORDER_REVENUE,
+    "disjunctive_discounted_revenue": ORACLE_DISJUNCTIVE_DISCOUNTED_REVENUE,
+    "idle_customer_balance": ORACLE_IDLE_CUSTOMER_BALANCE,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -4455,6 +5132,7 @@ ORACLES: dict[str, str] = {
     "winsorized_event_stats": ORACLE_WINSORIZED_EVENT_STATS,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "bm25_retrieval": ORACLE_BM25_RETRIEVAL,
     "repetition_screen": ORACLE_REPETITION_SCREEN,
     "corpus_snapshot_diff": ORACLE_CORPUS_SNAPSHOT_DIFF,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
@@ -4467,9 +5145,11 @@ ORACLES: dict[str, str] = {
     "gopher_quality_filters": ORACLE_GOPHER_QUALITY_FILTERS,
     "pii_redaction": ORACLE_PII_REDACTION,
     "train_val_test_split": ORACLE_TRAIN_VAL_TEST_SPLIT,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
     "decontaminate_docs": ORACLE_DECONTAMINATE_DOCS,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "training_shuffle": ORACLE_TRAINING_SHUFFLE,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
@@ -4487,6 +5167,7 @@ ORACLES: dict[str, str] = {
     "status_unpivot": ORACLE_STATUS_UNPIVOT,
     "quality_report": ORACLE_QUALITY_REPORT,
     "daily_unique_users": ORACLE_DAILY_UNIQUE_USERS,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "sales_rollup": ORACLE_SALES_ROLLUP,
     "layer_counts": ORACLE_LAYER_COUNTS,
     "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
@@ -4504,6 +5185,13 @@ BENCH_QUERIES: list[str] = [
     "order_priority_count",
     "returned_items_report",
     "large_volume_customer",
+    "forecast_revenue_change",
+    "nation_volume_shipping",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "small_qty_order_revenue",
+    "disjunctive_discounted_revenue",
+    "idle_customer_balance",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",
@@ -4530,6 +5218,7 @@ BENCH_QUERIES: list[str] = [
     "gopher_quality_filters",
     "decontaminate_docs",
     "pack_sequences",
+    "training_shuffle",
     "mixture_sample",
     "line_dedup_docs",
     "unigram_logprob_quality",
@@ -4540,4 +5229,5 @@ BENCH_QUERIES: list[str] = [
     "vocab_growth_stats",
     "winsorized_event_stats",
     "chunk_documents",
+    "bm25_retrieval",
 ]

@@ -359,6 +359,51 @@ def main() -> None:
         ).collect()[0]
         return [r.p_lo, r.p_hi]
 
+    # 22) SemDeDup at 100k vectors: offline-fit centroids (hash sample
+    #     quantized to micro-units) injected, 128 learned clusters,
+    #     within-cluster pairs only (~100k*390/2 = 20M candidate pairs
+    #     collapsed by cluster blocking from the 5e9 exact pair space)
+    def semantic_dedup_100k():
+        from hse_etl_ochirov_aldar_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        n, cells = 100_000, 128
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 1000.0).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+        sample = (
+            vecs.orderBy(F.xxhash64("vec_id"), "vec_id").limit(cells).collect()
+        )
+        cents = [
+            [int(round(float(x) * 1_000_000)) for x in r["embedding"]]
+            for r in sample
+        ]
+        return semantic_dedup(
+            vecs, threshold=0.998, n_cells=cells, centroids=cents
+        ).count()
+
+    # 23) seeded training shuffle over 10M docs into 1024 shards: one
+    #     row-local hash pair + one shuffle + per-shard windows
+    def training_shuffle_10m():
+        from hse_etl_ochirov_aldar_spark.operators.sampling import (
+            training_shuffle,
+        )
+
+        docs = spark.range(10_000_000).select(F.col("id").alias("doc_id"))
+        out = training_shuffle(docs, "doc_id", n_shards=1024, seed=3)
+        return out.select(
+            F.sum(F.col("position") * ((F.col("shard") % 7) + 1))
+        ).collect()[0][0]
+
+    timed("semantic_dedup_100k_vectors", semantic_dedup_100k)
+    timed("training_shuffle_10m_docs", training_shuffle_10m)
     timed("sessionize_10m_events", sessionize_10m)
     timed("percentile_exact_bounds_10m", percentile_exact_10m)
     timed("percentile_approx_bounds_10m", percentile_approx_10m)

@@ -272,3 +272,47 @@ def test_semantic_dedup_pairs_are_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forecast_revenue_pushdown_and_pruning(spark, sf_dir):
+    """Q6 is the pushdown proof: the shipdate range reaches the parquet
+    scan as pushed filters and the 11-column lineitem scan prunes to
+    the 4 referenced columns (quantity/discount compare post-scan in
+    exact units, but their IsNotNull guards still push)."""
+    plan = _plan(spark, sf_dir, "forecast_revenue_change")
+    # pushed filter list renders truncated; the first range bound and
+    # the pruned ReadSchema are the stable signals
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate" in plan
+    )
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in plan
+
+
+def test_nation_volume_dims_broadcast_one_fact_shuffle(spark, sf_dir):
+    """Q7's only fact-fact join is lineitem⋈orders; both nation-pruned
+    dimension sides ride broadcasts, so the plan carries exactly one
+    shuffle-side join over fact keys (plus AQE may broadcast orders at
+    test scale — assert no cartesian and >= 2 broadcasts instead of
+    pinning the orders join kind)."""
+    plan = _plan(spark, sf_dir, "nation_volume_shipping")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_promo_revenue_single_scan_conditional_sum(spark, sf_dir):
+    """Q14 computes promo and total revenue in ONE aggregate over one
+    lineitem scan (conditional sum) — a second scan would double the
+    100 TB read."""
+    plan = _plan(spark, sf_dir, "promo_revenue_share")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_idle_customer_never_ordered_is_anti_join(spark, sf_dir):
+    """Q22's NOT EXISTS plans as a left anti join on custkey, and the
+    scalar average threshold rides a broadcast — no cartesian blowup."""
+    plan = _plan(spark, sf_dir, "idle_customer_balance")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

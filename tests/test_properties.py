@@ -225,3 +225,75 @@ def test_importance_weights_self_target_is_zero(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = importance_weights(docs, docs)
     assert w.where(F.col("imp_micro") != 0).count() == 0
+
+
+def test_training_shuffle_positions_contiguous_and_seeded(spark, sf_dir):
+    """training_shuffle invariants: per-shard positions are exactly
+    0..n-1 (a permutation, no gaps/dupes); membership is seed-invariant
+    while the order changes with the seed (epoch re-shuffle)."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import training_shuffle
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s1 = training_shuffle(docs, "doc_id", n_shards=4, seed=1).persist()
+    per_shard = s1.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+        F.countDistinct("position").alias("nd"),
+    )
+    for r in per_shard.collect():
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1 and r["nd"] == r["n"]
+    s2 = training_shuffle(docs, "doc_id", n_shards=4, seed=2)
+    j = s1.alias("a").join(s2.alias("b"), "doc_id")
+    total = j.count()
+    moved = j.where(
+        (F.col("a.shard") != F.col("b.shard"))
+        | (F.col("a.position") != F.col("b.position"))
+    ).count()
+    assert total == docs.count()
+    assert moved > total // 2  # a different epoch reshuffles most rows
+    s1.unpersist()
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark, sf_dir):
+    """leakage_safe_split no-straddle invariant: every verified near-dup
+    cluster lands wholly inside one split — no (train, val/test) pair of
+    near-duplicates can exist. Doc-keyed hash_split is the negative
+    control: on the same corpus it must straddle at least one cluster
+    (that leak is exactly what the operator removes)."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        connected_components_min,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from hse_etl_ochirov_aldar_spark.queries import _docs_with_near_dups
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    verified = ngram_jaccard_pairs(
+        corpus, minhash_lsh_candidates(corpus), threshold=0.6
+    )
+    comp = connected_components_min(verified.select("id_a", "id_b"))
+    assert comp.count() > 0  # the injected dups must form clusters
+
+    def straddles(split_df):
+        labeled = split_df.join(
+            comp.select(F.col("id").alias("doc_id"), "rep"), "doc_id"
+        )
+        return (
+            labeled.groupBy("rep")
+            .agg(F.countDistinct("split").alias("n_splits"))
+            .where(F.col("n_splits") > 1)
+            .count()
+        )
+
+    assert straddles(leakage_safe_split(corpus, comp, "doc_id")) == 0
+    assert straddles(hash_split(corpus, "doc_id")) > 0
