@@ -53,7 +53,10 @@ def main() -> None:
         ref = json.load(open(ref_path))["queries"]
         for name, t in timings.items():
             base = ref.get(name)
-            if base and base >= 0.2 and t > 1.5 * base:
+            # ratio alone over-flags sub-second queries (reference values
+            # are per-query minima, so ±0.3s scheduler noise reads as
+            # 1.5x); require a material absolute move too
+            if base and base >= 0.2 and t > 1.5 * base and t - base > 0.75:
                 regressions[name] = {"ref": base, "now": t,
                                      "ratio": round(t / base, 2)}
                 print(f"# REGRESSION {name}: {base}s -> {t}s "

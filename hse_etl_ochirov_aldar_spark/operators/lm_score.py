@@ -121,6 +121,118 @@ def keep_by_avg_logprob(scored: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``df`` + interpolated-bigram-LM score columns — the one-notch-up
+    quality screen over the unigram model (context-sensitive: penalizes
+    word salad that unigram frequency alone scores well).
+
+    Model: add-1-smoothed bigram interpolated with the add-1 unigram at
+    the exact rational λ = 3/4:
+
+        p(cur | prev) = (3·(c2+1)/(c_prev+V) + (cu+1)/(T+V)) / 4
+
+    (c2 = bigram count, c_prev/cu = unigram counts, T = corpus tokens,
+    V = vocabulary). A document scores its first token with the
+    unigram model and every later token with the interpolated bigram;
+    per-token log-probs snap to BIGINT micro-units before summation
+    (module exactness contract), and λ, k are fixed rationals so both
+    engines evaluate the identical parenthesized double expression
+    before the one ln/round snap.
+
+    Output columns: ``n_tokens`` BIGINT, ``lp2_micro`` BIGINT (full
+    interpolated score sum), ``avg_logprob2`` DOUBLE convenience.
+    Self-scoring only (the model is ``df`` itself) — the cross-corpus
+    variant needs OOV mass plumbing like unigram_logprob_scores.
+
+    Scale shape (100 TB): bigram census shuffles (prev, cur) pairs —
+    Zipf-compressed like the vocabulary census but wider; the scoring
+    join is on the same pair keys; totals broadcast; one per-document
+    regroup. All joins are equi-joins on token keys; no Python.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    n = F.size("__toks")
+    pairs = base.select(
+        "__id",
+        F.arrays_zip(
+            F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))).alias("prev"),
+            F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))").alias(
+                "cur"
+            ),
+        ).alias("__bi"),
+    ).select("__id", F.explode("__bi").alias("__p")).select(
+        "__id",
+        F.col("__p.prev").alias("__prev"),
+        F.col("__p.cur").alias("__cur"),
+    )
+    uni = base.select(F.explode("__toks").alias("__tok")).groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = uni.agg(
+        F.sum("__c").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    bi = pairs.groupBy(
+        F.col("__prev").alias("__bprev"), F.col("__cur").alias("__bcur")
+    ).agg(F.count(F.lit(1)).alias("__c2"))
+    cp = uni.select(F.col("__tok").alias("__prev"), F.col("__c").alias("__cp"))
+    cu = uni.select(F.col("__tok").alias("__cur"), F.col("__c").alias("__cu"))
+    p2 = (F.col("__c2") + F.lit(1.0)) / (F.col("__cp") + F.col("__vocab"))
+    p1 = (F.col("__cu") + F.lit(1.0)) / (F.col("__total") + F.col("__vocab"))
+    bigram_lp = (
+        pairs.join(
+            bi,
+            (F.col("__prev") == F.col("__bprev"))
+            & (F.col("__cur") == F.col("__bcur")),
+        )
+        .join(cp, "__prev")
+        .join(cu, "__cur")
+        .join(F.broadcast(totals))
+        .select(
+            "__id",
+            F.round(
+                F.log((F.lit(3.0) * p2 + p1) / F.lit(4.0)) * F.lit(MICRO), 0
+            )
+            .cast("long")
+            .alias("__lp"),
+        )
+    )
+    first_lp = (
+        base.where(n > 0)
+        .select("__id", F.col("__toks")[0].alias("__cur"))
+        .join(cu, "__cur")
+        .join(F.broadcast(totals))
+        .select(
+            "__id",
+            F.round(F.log(p1) * F.lit(MICRO), 0).cast("long").alias("__lp"),
+        )
+    )
+    per_doc = (
+        bigram_lp.unionByName(first_lp)
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("__lp").alias("lp2_micro"))
+    )
+    return (
+        df.join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("lp2_micro", F.coalesce(F.col("lp2_micro"), F.lit(0)))
+        .withColumn(
+            "avg_logprob2",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("lp2_micro").cast("double")
+                / (F.lit(float(MICRO)) * F.col("n_tokens")),
+            ),
+        )
+    )
+
+
 def _lp_table(tokens: DataFrame, k: float):
     """(per-token log-prob table, 1-row unknown-token mass) for an
     add-``k``-smoothed unigram model over a ``__tok`` column. Log-probs

@@ -739,3 +739,71 @@ def semantic_dedup(
         vectors, threshold, n_cells, iters, id_col, vec_col, scale, centroids
     )
     return flags.where(~F.col("is_dup")).drop("is_dup")
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_cos: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Hard negatives for contrastive training: for each query vector,
+    the top-``k`` most-cosine-similar corpus vectors whose label
+    DIFFERS from the query's — the negatives that actually move a
+    contrastive loss (random negatives are trivially separable; the
+    near-boundary ones carry the gradient signal).
+
+    ``max_cos`` additionally screens out false negatives: a
+    different-label vector at cosine ~1.0 is almost surely a labeling
+    error or near-duplicate, and training against it as a negative is
+    poison — the standard hard-negative-mining guard.
+
+    Same scale shape as brute_force_topk: the query set broadcasts
+    (queries are batch-sized, the corpus is the 100 TB side), the
+    corpus streams ONCE through the scored cross join regardless of
+    query count, and top-k is a window partitioned by query id. The
+    label filter runs before ranking so the window sees only true
+    candidates. For corpus-x-corpus mining at scale, feed this
+    per-cell inside the IVF quantizer exactly like ivf_topk — the
+    blocking composes, it is not re-implemented here.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    scored = (
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                F.col(label_col).alias("neighbor_label"),
+            )
+        )
+        .crossJoin(q)
+        .where(F.col("neighbor_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") < F.lit(max_cos))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= k)

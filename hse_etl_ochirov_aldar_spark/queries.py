@@ -1936,6 +1936,37 @@ QUALIFY rank <= 5
 """
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives
+    (operators/similarity.hard_negative_mining): for each of the 10
+    query vectors, the top-5 most-similar corpus vectors with a
+    DIFFERENT label, capped at cosine < 0.99 to screen near-duplicate
+    false negatives. The corpus streams once; queries broadcast."""
+    from .operators.similarity import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, _ann_queries(spark, sf_dir), k=5)
+
+
+ORACLE_HARD_NEGATIVE_MINING = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_ORACLE_COS} AS cos_sim
+  FROM q CROSS JOIN embeddings c
+  WHERE c.label <> q.label
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)
+            AS INT) AS rank
+FROM scored
+WHERE cos_sim < 0.99
+QUALIFY rank <= 5
+"""
+
+
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF: k-means coarse quantizer fit on the corpus, corpus
     labeled with its nearest cell, queries multi-probed (2 of 8 cells),
@@ -3251,6 +3282,87 @@ SELECT lang,
        CAST(sum(n) AS BIGINT) AS total_tokens,
        CAST(sum(s) AS BIGINT) AS lp_micro_sum,
        CAST(sum(CASE WHEN n > 0 AND s >= -3405000 * n THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept
+FROM alldocs GROUP BY lang
+"""
+
+
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram-LM quality screen
+    (operators/lm_score.bigram_logprob_scores): the context-sensitive
+    upgrade of the unigram filter — word salad with plausible unigram
+    frequencies scores badly once bigram context enters. λ = 3/4
+    interpolation with the unigram model, add-1 smoothing, per-token
+    log-probs snapped to BIGINT micro-units before summation. Per-
+    language rollup plus the count of docs above -3.4 nats/token
+    (threshold tested as lp2 >= thr·n in pure BIGINT)."""
+    from .operators.lm_score import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_logprob_scores(docs)
+    thr = -3_400_000  # micro-nats per token
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("lp2_micro").alias("lp2_micro_sum"),
+        F.sum(
+            F.when(
+                (F.col("n_tokens") > 0)
+                & (F.col("lp2_micro") >= F.lit(thr) * F.col("n_tokens")),
+                1,
+            ).otherwise(0)
+        ).alias("docs_kept"),
+    )
+
+
+ORACLE_BIGRAM_LOGPROB_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')
+         AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, bi.prev AS prev, bi.cur AS cur
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(prev := toks[i], cur := toks[i+1]))) AS bi
+        FROM base)
+),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+),
+tot AS (SELECT sum(c) AS T, count(*) AS V FROM uni),
+bi AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+blp AS (
+  SELECT p.doc_id,
+         CAST(round(ln((3.0 * ((b.c2 + 1.0) / (up.c + V))
+                        + ((uc.c + 1.0) / (T + V))) / 4.0) * 1000000, 0)
+              AS BIGINT) AS lp
+  FROM pairs p
+  JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+  JOIN uni up ON up.tok = p.prev
+  JOIN uni uc ON uc.tok = p.cur, tot
+),
+flp AS (
+  SELECT b.doc_id,
+         CAST(round(ln((u.c + 1.0) / (T + V)) * 1000000, 0) AS BIGINT) AS lp
+  FROM base b JOIN uni u ON u.tok = b.toks[1], tot
+  WHERE len(b.toks) > 0
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n, CAST(sum(lp) AS BIGINT) AS s
+  FROM (SELECT * FROM blp UNION ALL SELECT * FROM flp) GROUP BY doc_id
+),
+alldocs AS (
+  SELECT d.lang, coalesce(pd.n, 0) AS n, coalesce(pd.s, 0) AS s
+  FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(s) AS BIGINT) AS lp2_micro_sum,
+       CAST(sum(CASE WHEN n > 0 AND s >= -3400000 * n THEN 1 ELSE 0 END)
             AS BIGINT) AS docs_kept
 FROM alldocs GROUP BY lang
 """
@@ -5025,6 +5137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_minhash": q_near_dedup_minhash,
     "line_dedup_docs": q_line_dedup_docs,
     "unigram_logprob_quality": q_unigram_logprob_quality,
+    "bigram_logprob_quality": q_bigram_logprob_quality,
     "dsir_importance_select": q_dsir_importance_select,
     "incremental_minhash_dedup": q_incremental_minhash_dedup,
     "exact_substring_removal": q_exact_substring_removal,
@@ -5056,6 +5169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shuffle": q_training_shuffle,
     "mixture_sample": q_mixture_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "hard_negative_mining": q_hard_negative_mining,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "multimodal_features": q_multimodal_features,
@@ -5123,6 +5237,7 @@ ORACLES: dict[str, str] = {
     "near_dedup_minhash": ORACLE_NEAR_DEDUP_MINHASH,
     "line_dedup_docs": ORACLE_LINE_DEDUP_DOCS,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
+    "bigram_logprob_quality": ORACLE_BIGRAM_LOGPROB_QUALITY,
     "dsir_importance_select": ORACLE_DSIR_IMPORTANCE_SELECT,
     "incremental_minhash_dedup": ORACLE_INCREMENTAL_MINHASH_DEDUP,
     "exact_substring_removal": ORACLE_EXACT_SUBSTRING_REMOVAL,
@@ -5152,6 +5267,7 @@ ORACLES: dict[str, str] = {
     "training_shuffle": ORACLE_TRAINING_SHUFFLE,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "ann_ivf_kmeans_topk": ORACLE_ANN_IVF_KMEANS,
     "embedding_near_dedup": ORACLE_EMBEDDING_NEAR_DEDUP,
@@ -5206,6 +5322,7 @@ BENCH_QUERIES: list[str] = [
     "training_data_prep",
     "winnow_fingerprints",
     "ann_cosine_topk",
+    "hard_negative_mining",
     "ann_ivf_topk",
     "embedding_near_dedup",
     "semantic_dedup",
@@ -5222,6 +5339,7 @@ BENCH_QUERIES: list[str] = [
     "mixture_sample",
     "line_dedup_docs",
     "unigram_logprob_quality",
+    "bigram_logprob_quality",
     "incremental_corpus_dedup",
     "duplicate_span_screen",
     "dsir_importance_select",

@@ -480,3 +480,101 @@ def test_perplexity_buckets_tertiles_and_empty(spark):
     assert [got[i] for i in range(6)] == [
         "tail", "tail", "middle", "middle", "head", "head"
     ]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated bigram LM vs a by-hand model: corpus
+    'a b a b c' / 'a a a' / '' / 'z' -> T=9, V=4; doc2 scores
+    ln(p1(a)) + 2*ln((3*p2(a|a) + p1(a))/4) in micro-units; empty doc
+    scores (0, 0)."""
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.lm_score import (
+        bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a a a"), (3, ""), (4, "z")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bigram_logprob_scores(docs).collect()}
+    T, V = 9, 4
+    p1 = lambda cu: (cu + 1.0) / (T + V)
+    p2 = lambda c2, cp: (c2 + 1.0) / (cp + V)
+    lp = lambda p: round(math.log(p) * 1e6)
+    assert out[2].n_tokens == 3
+    assert out[2].lp2_micro == lp(p1(5)) + 2 * lp((3.0 * p2(2, 5) + p1(5)) / 4.0)
+    assert out[3].n_tokens == 0 and out[3].lp2_micro == 0
+    assert out[4].n_tokens == 1 and out[4].lp2_micro == lp(p1(1))
+
+
+def test_bigram_penalizes_word_salad_vs_unigram(spark):
+    """The point of the bigram screen: shuffled word salad with the
+    same unigram counts as fluent text scores strictly worse under the
+    bigram model (unigram scores are identical by construction)."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.lm_score import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    fluent = "the cat sat on the mat " * 5
+    salad = "the the cat on sat mat the cat mat on sat the " + "cat sat on the mat the " * 3
+    docs = spark.createDataFrame(
+        [(1, fluent.strip()), (2, salad.strip())], ["doc_id", "text"]
+    )
+    uni = {r.doc_id: r.lp_micro for r in unigram_logprob_scores(docs).collect()}
+    bi = {
+        r.doc_id: r.lp2_micro / r.n_tokens
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert uni[1] == uni[2]  # same token multiset -> same unigram score
+    assert bi[1] > bi[2]  # context model separates them
+
+
+def test_hard_negative_mining_invariants(spark, sf_dir):
+    """No returned negative shares the query's label, none is at or
+    above the false-negative cosine ceiling, ranks are 1..k dense, and
+    every returned cosine is >= the best EXCLUDED different-label
+    cosine (they really are the hardest)."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_mining,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negative_mining(emb, qs, k=5).persist()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert labels[r.query_id] != r.neighbor_label
+        assert r.cos_sim < 0.99
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # hardest-first: min returned cosine >= max cosine of any excluded
+    # different-label candidate (checked via the unrestricted top-50)
+    wide = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(emb, qs, k=50).collect()
+        if labels[r.query_id] != labels.get(r.neighbor_id)
+        and r.cos_sim < 0.99
+    }
+    for qid, ranks in per_q.items():
+        got = {r.neighbor_id for r in rows if r.query_id == qid}
+        best_excluded = max(
+            (c for (q, n), c in wide.items() if q == qid and n not in got),
+            default=-1.0,
+        )
+        worst_kept = min(r.cos_sim for r in rows if r.query_id == qid)
+        assert worst_kept >= best_excluded
+    out.unpersist()
