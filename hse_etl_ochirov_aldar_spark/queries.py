@@ -5102,6 +5102,604 @@ ORDER BY n_name
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small STANDARD part, the European
+    supplier(s) with the minimum account balance (the schema has no
+    partsupp/ps_supplycost, so the part-supplier relation is derived
+    from DISTINCT (l_partkey, l_suppkey) and s_acctbal stands in for
+    supply cost — the correlated-MIN-per-part shape is what matters).
+
+    Plan: the correlated subquery becomes a window MIN over p_partkey —
+    ONE shuffle of the already part-filtered candidate relation instead
+    of the aggregate-plus-self-join's two. Part (type+size filtered,
+    3 columns) and region-restricted supplier (~1/5 of a tiny dim) both
+    broadcast; the distinct on (partkey, suppkey) is the only fact-sized
+    shuffle and carries two BIGINTs per row. Balance compares in exact
+    cents."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name", "p_size")
+    )
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bal_u = units("s_acctbal")
+    cand = (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("bal_u", bal_u)
+        .withColumn(
+            "min_bal", F.min("bal_u").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        cand.where(F.col("bal_u") == F.col("min_bal"))
+        .select(
+            as_value("bal_u").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = f"""
+WITH cand AS (
+  SELECT p_partkey, p_name, s_name, n_name,
+         {oracle_units('s_acctbal')} AS bal_u,
+         min({oracle_units('s_acctbal')})
+           OVER (PARTITION BY p_partkey) AS min_bal
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10 AND n_regionkey = 3
+)
+SELECT CAST(bal_u AS DOUBLE) / 100.0 AS s_acctbal, s_name, n_name,
+       p_partkey, p_name
+FROM cand WHERE bal_u = min_bal
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue sold
+    into ASIA, per order year 1995-1996. Share in exact basis points
+    (BIGINT integer division) so the ratio is engine-exact where the
+    spec's double division would hash on summation order.
+
+    Plan: part (type filter), supplier⋈nation (share flag only) and
+    customer⋈nation⋈region (market restriction) all shrink to key+flag
+    and broadcast; lineitem⋈orders on orderkey is the single fact-fact
+    shuffle. Both the numerator and denominator come out of ONE
+    map-side-partial conditional aggregate per year — no second scan."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", (F.col("n_name") == "NATION_5").alias("is_target"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.where(F.col("n_regionkey") == 2).select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("is_target"), rev4).otherwise(F.lit(0))).alias(
+                "s_nation4"
+            ),
+            F.sum(rev4).alias("s_total4"),
+        )
+        .select(
+            "o_year",
+            F.expr("CAST(s_nation4 * 10000 div s_total4 AS BIGINT)").alias(
+                "mkt_share_bp"
+            ),
+            as_value("s_nation4", 4).alias("nation_revenue"),
+            as_value("s_total4", 4).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_NATIONAL_MARKET_SHARE = f"""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {oracle_units('l_extendedprice')}
+           * (100 - {oracle_units('l_discount')}) AS rev4,
+         (n1.n_name = 'NATION_5') AS is_target
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE p_type = 'ECONOMY' AND n2.n_regionkey = 2
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN is_target THEN rev4 ELSE 0 END) * 10000
+            // sum(rev4) AS BIGINT) AS mkt_share_bp,
+       CAST(sum(CASE WHEN is_target THEN rev4 ELSE 0 END) AS DOUBLE)
+         / 10000.0 AS nation_revenue,
+       CAST(sum(rev4) AS DOUBLE) / 10000.0 AS total_revenue
+FROM base GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on widget-class parts by supplier nation
+    and order year (no partsupp in this schema, so p_retailprice stands
+    in for ps_supplycost: profit = disc_price − retailprice·qty, exact
+    1e-4 units — negatives are meaningful and kept).
+
+    Plan: the p_name LIKE filter prunes part to ~1/6 before broadcast
+    (key + cost only); supplier⋈nation broadcasts as key → nation;
+    lineitem⋈orders on orderkey is the only fact-fact shuffle, and the
+    (nation, year) rollup is dimension×year-sized with map-side
+    partials. All arithmetic stays in BIGINT units through the sum."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", units("p_retailprice").alias("cost_u"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    profit4 = units("l_extendedprice") * (100 - units("l_discount")) - F.col(
+        "cost_u"
+    ) * units("l_quantity", 0) * F.lit(100)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(profit4).alias("s_profit4"))
+        .select("n_name", "o_year", as_value("s_profit4", 4).alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+ORACLE_PRODUCT_TYPE_PROFIT = f"""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({oracle_units('l_extendedprice')}
+                * (100 - {oracle_units('l_discount')})
+                - {oracle_units('p_retailprice')}
+                  * {oracle_units('l_quantity', 0)} * 100) AS DOUBLE)
+         / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+"""
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from NATION_3's
+    suppliers exceeds 2× the mean part value — the HAVING-vs-global-
+    scalar-subquery query. The spec's fixed 0.0001 fraction is replaced
+    by a mean-relative threshold so the predicate scales with SF, and
+    the compare is the exact integer cross-product val·n > 2·tot (no
+    division).
+
+    Plan: the nation filter shrinks supplier to ~4 keys that broadcast
+    into the lineitem scan; the per-part rollup shuffles only (key,
+    BIGINT); the global (tot, n) is a 1-row aggregate broadcast back
+    via crossJoin — the same J1 scalar pattern as the percentile
+    trim."""
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    # persist the part-sized rollup: the scalar (tot, n) branch would
+    # otherwise re-derive it from a SECOND full lineitem scan (Catalyst
+    # does not dedupe the two agg subtrees) — at 100 TB that doubles
+    # the read; the cached relation is #parts rows of (key, BIGINT)
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(units_sum("l_extendedprice").alias("val_u"))
+        .persist()
+    )
+    totals = per_part.agg(
+        F.sum("val_u").alias("tot_u"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .where(F.col("val_u") * F.col("n_parts") > 2 * F.col("tot_u"))
+        .select("p_partkey", as_value("val_u").alias("value"))
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+ORACLE_IMPORTANT_PART_VALUE = f"""
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         CAST({oracle_units_sum('l_extendedprice')} AS BIGINT) AS val_u
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(val_u) AS BIGINT) AS tot_u, count(*) AS n_parts FROM v)
+SELECT p_partkey, CAST(val_u AS DOUBLE) / 100.0 AS value
+FROM v, t WHERE val_u * n_parts > 2 * tot_u
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among 1997 lineitems shipped ≥90 days after
+    their order date, how many belonged to high- vs low-priority
+    orders, per line status (the schema has no shipmode/commitdate/
+    receiptdate; l_linestatus stands in for shipmode and
+    shipdate-vs-orderdate lateness for the commit/receipt race).
+
+    Plan: the ship-year filter pushes to the lineitem scan; orders
+    carries only (key, priority) through projection; one shuffle on
+    orderkey, then a 2-row conditional aggregate with map-side
+    partials. The lateness predicate evaluates post-join on two
+    columns already in hand."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_LATE_SHIPMENT_PRIORITY = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in
+    1997Q3 — the create-view + WHERE total = (SELECT max(...)) query.
+    The max compares in exact 1e-4 revenue units, so ties (and the
+    equality itself) are engine-exact; all tied suppliers are returned,
+    as in the spec.
+
+    Plan: per-supplier rollup of the quarter-filtered scan shuffles
+    (key, BIGINT) only; the global max is a 1-row aggregate broadcast
+    back via crossJoin; the 100-row supplier dim broadcasts for the
+    name lookup after the filter has reduced the left side to the
+    winner(s)."""
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    # persist the supplier-sized rollup: the scalar max branch would
+    # otherwise re-scan the quarter of facts a second time (Catalyst
+    # does not dedupe the two agg subtrees); the cached relation is
+    # #suppliers rows of (key, BIGINT)
+    per_supp = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev4).alias("rev4"))
+        .persist()
+    )
+    mx = per_supp.agg(F.max("rev4").alias("max_rev4"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("rev4") == F.col("max_rev4"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            as_value("rev4", 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_REVENUE_SUPPLIER = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum({oracle_units('l_extendedprice')}
+                  * (100 - {oracle_units('l_discount')})) AS BIGINT) AS rev4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev4 AS DOUBLE) / 10000.0 AS total_revenue
+FROM per_supp JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev4 = (SELECT max(rev4) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) part class, excluding one brand, PROMO types,
+    off-list sizes, and blacklisted suppliers (the schema has no
+    s_comment, so negative account balance stands in for the
+    'complaints' blacklist — at tiny SF the list can be empty, which
+    still exercises the NOT-IN shape as a no-op anti join).
+
+    Plan: the part-supplier relation is the DISTINCT (l_partkey,
+    l_suppkey) projection — the only fact-sized shuffle, two BIGINTs
+    per row. The filtered part dim broadcasts; the blacklist plans as
+    a broadcast LEFT ANTI; count_distinct(suppkey) per class is a
+    class-count-sized aggregate."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & (~F.col("p_type").startswith("PROMO"))
+            & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49, 50))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: Asian suppliers who carried more than 20% of a
+    small-class part's 1997 shipped volume — the nested semi-join-chain
+    query (parts LIKE → per-(supplier, part) volume vs per-part total →
+    suppliers in a region). No partsupp/availqty in this schema, so a
+    supplier's own shipped quantity stands in for stock on hand and the
+    threshold is the exact integer cross-product 5·q > total.
+
+    Plan: the LIKE-filtered part dim broadcasts into the year-pruned
+    scan; the (suppkey, partkey) rollup is the one fact-sized shuffle;
+    the per-part total is a window SUM over the already-aggregated
+    (small) relation — no second fact shuffle; the final step is a
+    LEFT SEMI from the 100-row supplier dim against the flagged
+    pairs."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(units("l_quantity", 0)).alias("q_u"))
+        .withColumn(
+            "tot_u", F.sum("q_u").over(Window.partitionBy("l_partkey"))
+        )
+    )
+    flagged = (
+        sp.where(F.col("q_u") * 5 > F.col("tot_u")).select("l_suppkey").distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(flagged, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", as_value(units("s_acctbal")).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+ORACLE_EXCESS_VOLUME_SUPPLIERS = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum({oracle_units('l_quantity', 0)}) AS BIGINT) AS q_u
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT l_suppkey, q_u,
+         CAST(sum(q_u) OVER (PARTITION BY l_partkey) AS BIGINT) AS tot_u
+  FROM sp
+)
+SELECT s_suppkey, s_name,
+       CAST({oracle_units('s_acctbal')} AS DOUBLE) / 100.0 AS s_acctbal
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_regionkey = 2
+  AND s_suppkey IN (SELECT l_suppkey FROM w WHERE q_u * 5 > tot_u)
+ORDER BY s_name
+"""
+
+
+def q_waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
+    finished multi-supplier orders (the EXISTS other-supplier /
+    NOT EXISTS other-late-supplier pair). No commit/receipt dates in
+    this schema, so late := shipped more than 120 days after the order
+    date.
+
+    Plan: the correlated EXISTS pair is rewritten as per-order
+    aggregates — one shuffle on orderkey for the join + (orderkey,
+    suppkey) lateness rollup, then a window over orderkey on the
+    already-aggregated relation computes (supplier count, late count)
+    without re-touching facts; blame is a row-local predicate and the
+    final per-supplier count is 100-row-sized. Exactly the distributed
+    rewrite the spec's nested subqueries demand at scale."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")
+                ).cast("long")
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        li.withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn("nlate", F.sum("late").over(w))
+        .where(
+            (F.col("late") == 1) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+ORACLE_WAITING_ORDERS_BLAME = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT l_suppkey, late,
+         count(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+         sum(late) OVER (PARTITION BY l_orderkey) AS nlate
+  FROM li
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM w JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND nsupp >= 2 AND nlate = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -5116,6 +5714,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_order_revenue": q_small_qty_order_revenue,
     "disjunctive_discounted_revenue": q_disjunctive_discounted_revenue,
     "idle_customer_balance": q_idle_customer_balance,
+    "min_cost_supplier": q_min_cost_supplier,
+    "national_market_share": q_national_market_share,
+    "product_type_profit": q_product_type_profit,
+    "important_part_value": q_important_part_value,
+    "late_shipment_priority": q_late_shipment_priority,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
+    "excess_volume_suppliers": q_excess_volume_suppliers,
+    "waiting_orders_blame": q_waiting_orders_blame,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -5210,6 +5817,15 @@ ORACLES: dict[str, str] = {
     "small_qty_order_revenue": ORACLE_SMALL_QTY_ORDER_REVENUE,
     "disjunctive_discounted_revenue": ORACLE_DISJUNCTIVE_DISCOUNTED_REVENUE,
     "idle_customer_balance": ORACLE_IDLE_CUSTOMER_BALANCE,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "national_market_share": ORACLE_NATIONAL_MARKET_SHARE,
+    "product_type_profit": ORACLE_PRODUCT_TYPE_PROFIT,
+    "important_part_value": ORACLE_IMPORTANT_PART_VALUE,
+    "late_shipment_priority": ORACLE_LATE_SHIPMENT_PRIORITY,
+    "top_revenue_supplier": ORACLE_TOP_REVENUE_SUPPLIER,
+    "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
+    "excess_volume_suppliers": ORACLE_EXCESS_VOLUME_SUPPLIERS,
+    "waiting_orders_blame": ORACLE_WAITING_ORDERS_BLAME,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -5308,6 +5924,15 @@ BENCH_QUERIES: list[str] = [
     "small_qty_order_revenue",
     "disjunctive_discounted_revenue",
     "idle_customer_balance",
+    "min_cost_supplier",
+    "national_market_share",
+    "product_type_profit",
+    "important_part_value",
+    "late_shipment_priority",
+    "top_revenue_supplier",
+    "supplier_part_counts",
+    "excess_volume_suppliers",
+    "waiting_orders_blame",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",

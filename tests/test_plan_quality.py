@@ -316,3 +316,84 @@ def test_idle_customer_never_ordered_is_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "idle_customer_balance")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_window_not_self_join(spark, sf_dir):
+    """Q2's correlated MIN-per-part is a window over the candidate
+    relation — ONE lineitem scan (the derived part-supplier DISTINCT),
+    not an aggregate-plus-self-join that would scan facts twice; both
+    dims ride broadcasts."""
+    plan = _plan(spark, sf_dir, "min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_national_market_share_single_scan_conditional_sum(spark, sf_dir):
+    """Q8's numerator and denominator come from ONE conditional
+    aggregate over one lineitem scan; part/supplier/customer dims all
+    broadcast."""
+    plan = _plan(spark, sf_dir, "national_market_share")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_important_part_value_scalar_threshold_broadcast(spark, sf_dir):
+    """Q11's global (total, count) is a 1-row aggregate joined back as
+    a broadcast nested loop — the sanctioned scalar pattern — and the
+    part-sized rollup is persisted so BOTH branches read the cache
+    (two InMemoryTableScan nodes) instead of re-scanning facts."""
+    plan = _plan(spark, sf_dir, "important_part_value")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_late_shipment_priority_filter_pushdown(spark, sf_dir):
+    """Q12's ship-year range reaches the parquet scan as PushedFilters
+    so a year of facts is all that leaves storage."""
+    plan = _plan(spark, sf_dir, "late_shipment_priority")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_top_revenue_supplier_max_broadcast_single_scan(spark, sf_dir):
+    """Q15's WHERE total = (SELECT max(...)) reuses the PERSISTED
+    per-supplier rollup in both branches (two InMemoryTableScan nodes,
+    facts scanned once at execution); the 1-row max rides a broadcast
+    and the supplier dim broadcasts for the name."""
+    plan = _plan(spark, sf_dir, "top_revenue_supplier")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_supplier_part_counts_anti_join_two_col_scan(spark, sf_dir):
+    """Q16's NOT IN blacklist plans as a (broadcast) left anti join and
+    the fact scan reads ONLY the two join keys — the derived
+    part-supplier relation never drags other lineitem columns through
+    its DISTINCT shuffle."""
+    plan = _plan(spark, sf_dir, "supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_excess_volume_suppliers_semi_join_window_total(spark, sf_dir):
+    """Q20's nested chain ends in a LEFT SEMI against the flagged
+    pairs; the per-part total is a window over the already-aggregated
+    (suppkey, partkey) relation, so facts shuffle exactly once."""
+    plan = _plan(spark, sf_dir, "excess_volume_suppliers")
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_waiting_orders_blame_no_fact_rescan(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is per-order window aggregates over
+    the (orderkey, suppkey) lateness rollup — one lineitem scan, one
+    orders scan, no correlated re-scans, no cartesian."""
+    plan = _plan(spark, sf_dir, "waiting_orders_blame")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
