@@ -241,3 +241,43 @@ def training_shuffle(
         )
         .drop("_oh")
     )
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    total: int,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Diversity-balanced sampling over LEARNED clusters — the D4-style
+    coreset draw (Tirumala et al. 2023): fit the deterministic integer
+    k-means quantizer (similarity.exact_kmeans_centroids), label every
+    vector by literal-centroid argmin, then sample per-cluster quotas
+    proportional to sqrt(cluster size) — dense regions are down-
+    weighted, rare regions kept, so the sample covers the embedding
+    space instead of mirroring its density.
+
+    Determinism: the fit is exact integer Lloyd (SQL-reproducible), the
+    quotas are temperature_mixture_sample's INTEGER arithmetic, and the
+    in-cluster pick is md5-hash-order rank — the whole draw is a pure
+    function of the data, recomputable by any engine.
+
+    Scale shape (100 TB): labeling is a row-local argmin expression
+    (no join); the only shuffle is the quota window on cluster_id
+    (n_cells values — AQE splits the big cells); per-cluster counts
+    collect to the driver bounded by n_cells. Returns sampled rows
+    with a ``cluster_id`` column.
+    """
+    from .similarity import _cell_ranks, exact_kmeans_centroids, micro_vec
+
+    cents = exact_kmeans_centroids(
+        vectors, n_cells, iters, id_col, vec_col, scale
+    )
+    labeled = vectors.withColumn(
+        "cluster_id",
+        F.element_at(_cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1),
+    )
+    return temperature_mixture_sample(labeled, "cluster_id", id_col, total)

@@ -5700,6 +5700,191 @@ ORDER BY numwait DESC, s_name
 """
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity report (operators/diversity.
+    ngram_diversity_stats): distinct-1/2/3 ratios in basis points and
+    unigram Shannon entropy in exact micro-nats — the self-repetition
+    health check read before/after dedup to confirm the pipeline
+    raised diversity. All ratios are BIGINT integer divisions; entropy
+    follows the lm_score micro-unit snap contract, so the DuckDB twin
+    reproduces every value bit-for-bit."""
+    from .operators.diversity import ngram_diversity_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_diversity_stats(docs, "source", "text").orderBy("source")
+
+
+ORACLE_NGRAM_DIVERSITY = r"""
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT source, u.g FROM tok, unnest(t) AS u(g)
+),
+bi AS (
+  SELECT source, u.g
+  FROM tok, unnest(list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1])) AS u(g)
+),
+tri AS (
+  SELECT source, u.g
+  FROM tok, unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)
+),
+ucnt AS (SELECT source, g, count(*) AS c FROM uni GROUP BY 1, 2),
+ua AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_unigrams,
+         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS slc
+  FROM ucnt GROUP BY 1
+),
+ba AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+  FROM bi GROUP BY 1
+),
+ta AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_trigrams
+  FROM tri GROUP BY 1
+)
+SELECT ua.source, n_tokens, distinct_unigrams,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+       coalesce(n_trigrams, 0) AS n_trigrams,
+       coalesce(distinct_trigrams, 0) AS distinct_trigrams,
+       CAST(distinct_unigrams * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN CAST(distinct_bigrams * 10000 // n_bigrams AS BIGINT)
+            ELSE 0 END AS bigram_ttr_bp,
+       CASE WHEN coalesce(n_trigrams, 0) > 0
+            THEN CAST(distinct_trigrams * 10000 // n_trigrams AS BIGINT)
+            ELSE 0 END AS trigram_ttr_bp,
+       CAST(CAST(round(ln(n_tokens) * 1000000) AS BIGINT)
+            - (2 * slc + n_tokens) // (2 * n_tokens) AS DOUBLE)
+         / 1000000.0 AS unigram_entropy
+FROM ua LEFT JOIN ba USING (source) LEFT JOIN ta USING (source)
+ORDER BY source
+"""
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style cluster-balanced coreset draw (operators/sampling.
+    cluster_balanced_sample): exact-integer k-means cells over the
+    embeddings, per-cluster quotas proportional to sqrt(cluster size)
+    in INTEGER-only arithmetic, md5-hash-order pick inside each
+    cluster. Per-cluster sample census + membership checksum; the
+    oracle re-derives the full fit (shared _kmeans_label_ctes
+    scaffolding), the quotas, and the ranked membership."""
+    from .operators.sampling import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = cluster_balanced_sample(emb, total=100, n_cells=8, iters=3)
+    return (
+        s.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_CLUSTER_BALANCED_SAMPLE = (
+    "WITH "
+    + ",\n".join(_kmeans_label_ctes("embeddings", 8, 3, 64, 6))
+    + f""",
+counts AS (SELECT cell_id, count(*) AS n FROM labeled GROUP BY cell_id),
+w AS (SELECT cell_id, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM counts),
+quota AS (
+  SELECT cell_id, (100 * wt) // (SELECT sum(wt) FROM w) AS q FROM w
+),
+ranked AS (
+  SELECT cell_id, vec_id,
+         row_number() OVER (
+           PARTITION BY cell_id
+           ORDER BY {_oracle_hash32("CAST(vec_id AS VARCHAR)")} % 1000000007,
+                    vec_id) AS rn
+  FROM labeled
+)
+SELECT r.cell_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(r.vec_id) AS BIGINT) AS sum_vec_id
+FROM ranked r JOIN quota USING (cell_id)
+WHERE r.rn <= quota.q
+GROUP BY r.cell_id
+ORDER BY cluster_id
+"""
+)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression diagnostics per language:
+    BPE-ish tokens per whitespace word and characters per BPE token,
+    both in exact basis points — the standard check that a tokenizer
+    is not fragmenting one language's text far more than another's
+    (fertility inflation = wasted context window for that slice).
+    Pure row-local counting plus a language-sized rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("__chars"),
+        bpe_token_count(F.col("text")).cast("long").alias("__bpe"),
+        token_count(F.col("text")).cast("long").alias("__ws"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars").alias("total_chars"),
+            F.sum("__bpe").alias("total_bpe_tokens"),
+            F.sum("__ws").alias("total_ws_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_bpe_tokens",
+            "total_ws_tokens",
+            F.expr(
+                "CAST(total_bpe_tokens * 10000 div total_ws_tokens AS BIGINT)"
+            ).alias("bpe_per_word_bp"),
+            F.expr(
+                "CAST(total_chars * 10000 div total_bpe_tokens AS BIGINT)"
+            ).alias("chars_per_token_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang, CAST(len(text) AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}', 0)) AS BIGINT)
+           AS bpe,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS ws
+  FROM documents
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS total_chars,
+         CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+         CAST(sum(ws) AS BIGINT) AS total_ws_tokens
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_bpe_tokens, total_ws_tokens,
+       CAST(total_bpe_tokens * 10000 // total_ws_tokens AS BIGINT)
+         AS bpe_per_word_bp,
+       CAST(total_chars * 10000 // total_bpe_tokens AS BIGINT)
+         AS chars_per_token_bp
+FROM g ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -5723,6 +5908,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_part_counts": q_supplier_part_counts,
     "excess_volume_suppliers": q_excess_volume_suppliers,
     "waiting_orders_blame": q_waiting_orders_blame,
+    "ngram_diversity": q_ngram_diversity,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -5826,6 +6014,9 @@ ORACLES: dict[str, str] = {
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
     "excess_volume_suppliers": ORACLE_EXCESS_VOLUME_SUPPLIERS,
     "waiting_orders_blame": ORACLE_WAITING_ORDERS_BLAME,
+    "ngram_diversity": ORACLE_NGRAM_DIVERSITY,
+    "cluster_balanced_sample": ORACLE_CLUSTER_BALANCED_SAMPLE,
+    "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -5933,6 +6124,9 @@ BENCH_QUERIES: list[str] = [
     "supplier_part_counts",
     "excess_volume_suppliers",
     "waiting_orders_blame",
+    "ngram_diversity",
+    "cluster_balanced_sample",
+    "tokenizer_fertility",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",

@@ -578,3 +578,75 @@ def test_hard_negative_mining_invariants(spark, sf_dir):
         worst_kept = min(r.cos_sim for r in rows if r.query_id == qid)
         assert worst_kept >= best_excluded
     out.unpersist()
+
+
+def test_ngram_diversity_detects_duplication(spark, sf_dir):
+    """Duplicating every document must leave distinct counts unchanged
+    while doubling totals — so every TTR ratio halves (±1 bp for the
+    integer floor) and entropy is unchanged (the distribution shape is
+    identical). The diagnostic must move the right way under the exact
+    corruption it exists to detect."""
+    from hse_etl_ochirov_aldar_spark.operators.diversity import (
+        ngram_diversity_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    base = {
+        r["source"]: r.asDict()
+        for r in ngram_diversity_stats(docs, "source").collect()
+    }
+    doubled = {
+        r["source"]: r.asDict()
+        for r in ngram_diversity_stats(docs.union(docs), "source").collect()
+    }
+    for src, b in base.items():
+        d = doubled[src]
+        assert d["n_tokens"] == 2 * b["n_tokens"]
+        assert d["distinct_unigrams"] == b["distinct_unigrams"]
+        assert abs(d["ttr_bp"] - b["ttr_bp"] // 2) <= 1
+        assert abs(d["bigram_ttr_bp"] - b["bigram_ttr_bp"] // 2) <= 1
+        # H(2x copies) = H(x): every count doubles, shape unchanged
+        assert abs(d["unigram_entropy"] - b["unigram_entropy"]) < 2e-6
+
+
+def test_ngram_diversity_ordering_and_bounds(spark, sf_dir):
+    from hse_etl_ochirov_aldar_spark.operators.diversity import (
+        ngram_diversity_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    for r in ngram_diversity_stats(docs, "source").collect():
+        # higher-order n-grams are at least as distinct as lower-order
+        assert r["trigram_ttr_bp"] >= r["bigram_ttr_bp"] >= r["ttr_bp"]
+        assert 0 < r["ttr_bp"] <= 10000
+        # 0 <= H <= ln(distinct)
+        import math
+
+        assert -1e-6 <= r["unigram_entropy"] <= math.log(
+            r["distinct_unigrams"]
+        ) + 1e-6
+
+
+def test_cluster_balanced_sample_quotas_and_determinism(spark, sf_dir):
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s1 = cluster_balanced_sample(emb, total=60, n_cells=4, iters=2)
+    rows = s1.collect()
+    assert 0 < len(rows) <= 60
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    # sqrt weighting: no cluster may take the whole draw unless it is
+    # the only one
+    if len(by_cluster) > 1:
+        assert max(len(v) for v in by_cluster.values()) < 60
+    # deterministic under repartitioning (window orders by hash+key)
+    s2 = cluster_balanced_sample(
+        emb.repartition(7), total=60, n_cells=4, iters=2
+    )
+    ids1 = sorted(r["vec_id"] for r in rows)
+    ids2 = sorted(r["vec_id"] for r in s2.collect())
+    assert ids1 == ids2
