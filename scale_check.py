@@ -402,6 +402,107 @@ def main() -> None:
             F.sum(F.col("position") * ((F.col("shard") % 7) + 1))
         ).collect()[0][0]
 
+    # n-gram diversity over 2M docs x 20 sources: three Zipf-compressed
+    # censuses (uni/bi/tri) + micro-nat entropy, no joins in the row path
+    def _div_docs():
+        return _synth_docs(2_000_000).select(
+            (F.col("doc_id") % 20).cast("string").alias("source"), "text"
+        )
+
+    def ngram_diversity_2m():
+        from hse_etl_ochirov_aldar_spark.operators.diversity import (
+            ngram_diversity_stats,
+        )
+
+        out = ngram_diversity_stats(_div_docs(), "source").collect()
+        return int(sum(r["n_tokens"] for r in out))
+
+    def ngram_diversity_2m_approx():
+        from hse_etl_ochirov_aldar_spark.operators.diversity import (
+            ngram_diversity_stats,
+        )
+
+        out = ngram_diversity_stats(
+            _div_docs(), "source", approx=True
+        ).collect()
+        return int(sum(r["n_tokens"] for r in out))
+
+    # cluster-balanced draw over 200k x 16-dim vectors, 64 cells:
+    # integer Lloyd fit + row-local argmin labels + one quota window
+    def cluster_balanced_200k():
+        from hse_etl_ochirov_aldar_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+
+        vecs = spark.range(200_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        s = cluster_balanced_sample(vecs, total=10_000, n_cells=64, iters=2)
+        return s.count()
+
+    # Q21 EXISTS/NOT-EXISTS rewrite at 10M lineitems / 1.5M orders:
+    # one orderkey shuffle + window over the aggregated relation
+    def waiting_orders_10m():
+        li = spark.range(10_000_000).select(
+            (F.col("id") % 1_500_000).alias("l_orderkey"),
+            F.pmod(F.xxhash64("id"), 100).alias("l_suppkey"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.pmod(F.xxhash64("id", F.lit(2)), 20_000_000)
+            ).alias("l_shipdate"),
+        )
+        orders = spark.range(1_500_000).select(
+            F.col("id").alias("o_orderkey"),
+            F.timestamp_seconds(F.lit(1700000000)).alias("o_orderdate"),
+        )
+        from pyspark.sql import Window
+
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per = joined.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")
+                ).cast("long")
+            ).alias("late")
+        )
+        w = Window.partitionBy("l_orderkey")
+        blamed = (
+            per.withColumn("nsupp", F.count(F.lit(1)).over(w))
+            .withColumn("nlate", F.sum("late").over(w))
+            .where(
+                (F.col("late") == 1)
+                & (F.col("nsupp") >= 2)
+                & (F.col("nlate") == 1)
+            )
+        )
+        return blamed.groupBy("l_suppkey").count().count()
+
+    # the cardinality escape hatch: exact count_distinct vs HLL++
+    # approx_count_distinct on 10M rows / ~5M distinct keys
+    def distinct_exact_10m():
+        df = spark.range(10_000_000).select(
+            F.pmod(F.xxhash64("id"), 5_000_000).alias("k")
+        )
+        return df.agg(F.count_distinct("k")).collect()[0][0]
+
+    def distinct_approx_10m():
+        df = spark.range(10_000_000).select(
+            F.pmod(F.xxhash64("id"), 5_000_000).alias("k")
+        )
+        return df.agg(F.approx_count_distinct("k", 0.01)).collect()[0][0]
+
+    timed("ngram_diversity_2m_docs", ngram_diversity_2m)
+    timed("ngram_diversity_2m_docs_approx", ngram_diversity_2m_approx)
+    timed("cluster_balanced_sample_200k", cluster_balanced_200k)
+    timed("waiting_orders_blame_10m", waiting_orders_10m)
+    timed("distinct_exact_10m", distinct_exact_10m)
+    timed("distinct_approx_10m", distinct_approx_10m)
     timed("semantic_dedup_100k_vectors", semantic_dedup_100k)
     timed("training_shuffle_10m_docs", training_shuffle_10m)
     timed("sessionize_10m_events", sessionize_10m)

@@ -650,3 +650,31 @@ def test_cluster_balanced_sample_quotas_and_determinism(spark, sf_dir):
     ids1 = sorted(r["vec_id"] for r in rows)
     ids2 = sorted(r["vec_id"] for r in s2.collect())
     assert ids1 == ids2
+
+
+def test_ngram_diversity_approx_tracks_exact(spark, sf_dir):
+    """approx=True (the HLL escape hatch) must agree with exact mode on
+    totals/entropy bit-for-bit and on distinct counts within the
+    sketch's error budget."""
+    from hse_etl_ochirov_aldar_spark.operators.diversity import (
+        ngram_diversity_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    exact = {
+        r["source"]: r.asDict()
+        for r in ngram_diversity_stats(docs, "source").collect()
+    }
+    approx = {
+        r["source"]: r.asDict()
+        for r in ngram_diversity_stats(docs, "source", approx=True).collect()
+    }
+    for src, e in exact.items():
+        a = approx[src]
+        assert a["n_tokens"] == e["n_tokens"]
+        assert a["n_bigrams"] == e["n_bigrams"]
+        assert a["distinct_unigrams"] == e["distinct_unigrams"]
+        assert a["unigram_entropy"] == e["unigram_entropy"]
+        for col in ("distinct_bigrams", "distinct_trigrams"):
+            if e[col]:
+                assert abs(a[col] - e[col]) / e[col] < 0.05
