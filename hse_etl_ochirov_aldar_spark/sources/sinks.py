@@ -255,12 +255,73 @@ def current_version(spark: SparkSession, root: str) -> int | None:
     return max(versions) if versions else None
 
 
-def read_versioned(spark: SparkSession, root: str) -> DataFrame:
-    """Read the current committed snapshot of a versioned table."""
-    v = current_version(spark, root)
-    if v is None:
-        raise FileNotFoundError(f"no committed version under {root}")
+def list_versions(spark: SparkSession, root: str) -> list[int]:
+    """COMMITTED versions whose data is still retained (time-travel
+    targets), ascending. Commit markers are kept forever, data dirs
+    only for the last ``keep_versions`` — a version is readable iff
+    both exist."""
+    fs, jlog = _hadoop_fs(spark, _versioned_log_dir(root))
+    if not fs.exists(jlog):
+        return []
+    out = []
+    for status in fs.listStatus(jlog):
+        name = status.getPath().getName()
+        if name.endswith(".commit"):
+            try:
+                v = int(name[: -len(".commit")])
+            except ValueError:
+                continue
+            _, jdata = _hadoop_fs(spark, _versioned_data_dir(root, v))
+            if fs.exists(jdata):
+                out.append(v)
+    return sorted(out)
+
+
+def read_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot of a versioned table — the current one
+    by default, or ``version`` for time travel (plain-parquet twin of
+    Delta's ``versionAsOf``). Raises FileNotFoundError for a version
+    that was never committed or whose data dir has been retained out
+    (``keep_versions`` GC); a crashed writer's orphan data dir is not
+    readable because it has no commit marker."""
+    if version is None:
+        v = current_version(spark, root)
+        if v is None:
+            raise FileNotFoundError(f"no committed version under {root}")
+    else:
+        if version not in list_versions(spark, root):
+            raise FileNotFoundError(
+                f"version {version} of {root} is not committed+retained "
+                f"(available: {list_versions(spark, root)})"
+            )
+        v = version
     return spark.read.parquet(_versioned_data_dir(root, v))
+
+
+def versioned_diff(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Row-level diff between two retained snapshots: (id, status) with
+    status in ('added', 'removed', 'changed', 'unchanged') by content
+    md5 — time travel composed with operators/snapshot.corpus_diff, the
+    audit query "what did the last upsert actually change". One
+    full-outer join on the key; both sides are column-pruned scans of
+    (id, content)."""
+    from ..operators.snapshot import corpus_diff
+
+    return corpus_diff(
+        read_versioned(spark, root, v_old),
+        read_versioned(spark, root, v_new),
+        id_col=id_col,
+        text_col=content_col,
+    )
 
 
 def versioned_upsert(

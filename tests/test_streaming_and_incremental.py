@@ -710,3 +710,57 @@ def test_versioned_upsert_crash_between_write_and_commit(spark, tmpdir):
     assert v == 2
     got = {(r.k, r.ver, r.val) for r in read_versioned(spark, root).collect()}
     assert got == {("a", 3, 12), ("b", 1, 20)}
+
+
+def test_versioned_time_travel_and_diff(spark, tmpdir):
+    """Time travel (read_versioned(version=...), list_versions) and the
+    version-to-version audit diff: retained versions are readable as
+    committed, GC'd or uncommitted versions raise, and versioned_diff
+    reports exactly what the upsert changed."""
+    import pytest as _pytest
+
+    from hse_etl_ochirov_aldar_spark.sources.sinks import (
+        list_versions,
+        read_versioned,
+        versioned_diff,
+        versioned_upsert,
+    )
+
+    root = f"{tmpdir}/vtravel"
+    cols = ["k", "ver", "val"]
+    versioned_upsert(
+        spark,
+        spark.createDataFrame([("a", 1, "x"), ("b", 1, "y")], cols),
+        root, ["k"], "ver", keep_versions=3,
+    )
+    versioned_upsert(
+        spark,
+        spark.createDataFrame([("a", 2, "x2"), ("c", 1, "z")], cols),
+        root, ["k"], "ver", keep_versions=3,
+    )
+    assert list_versions(spark, root) == [1, 2]
+
+    v1 = {(r.k, r.val) for r in read_versioned(spark, root, 1).collect()}
+    assert v1 == {("a", "x"), ("b", "y")}
+    v2 = {(r.k, r.val) for r in read_versioned(spark, root, 2).collect()}
+    assert v2 == {("a", "x2"), ("b", "y"), ("c", "z")}
+
+    d = {
+        (r["k"], r["status"])
+        for r in versioned_diff(spark, root, 1, 2, "k", "val").collect()
+    }
+    assert d == {("a", "changed"), ("b", "unchanged"), ("c", "added")}
+
+    with _pytest.raises(FileNotFoundError, match="not committed"):
+        read_versioned(spark, root, 7)
+
+    # GC the v1 data dir via retention; its marker survives but time
+    # travel to it must now fail loudly, and list_versions drops it
+    versioned_upsert(
+        spark,
+        spark.createDataFrame([("d", 1, "w")], cols),
+        root, ["k"], "ver", keep_versions=1,
+    )
+    assert list_versions(spark, root) == [3]
+    with _pytest.raises(FileNotFoundError, match="not committed"):
+        read_versioned(spark, root, 1)
