@@ -224,3 +224,41 @@ def chunk_documents(
             F.lit(chunk_tokens), F.size(F.col("__toks")) - F.col("__c.start") + 1
         ).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def assemble_trajectories(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    item_col: str,
+    sep: str = ";",
+) -> DataFrame:
+    """Assemble per-group ordered item sequences — the SFT/trajectory
+    construction step of a training-data pipeline (events → dialog
+    turns → one training example per conversation), and the batch twin
+    of what sessionize does with state. Returns one row per group:
+    ``group_cols`` + ``n_items`` BIGINT + ``trajectory`` (items joined
+    by ``sep`` in ``order_cols`` order, ties broken by the item itself
+    so the output is a pure function of the data).
+
+    Scale shape (100 TB): ONE shuffle on the group key; ordering is
+    row-local array_sort over each group's collected items — no global
+    sort, no window. Groups are conversation-sized (bounded); a group
+    too large to collect into one array is a data bug upstream, the
+    same contract as collect_list anywhere. Reference analogue: the
+    per-session aggregation of mongo_to_postgres_replication.py:218-237
+    upgraded from scalar stats to sequence assembly.
+    """
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(item_col).alias("__item")
+    )
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(order_struct)),
+                lambda x: x["__item"],
+            ),
+        ).alias("trajectory"),
+    )

@@ -959,3 +959,46 @@ def minhash_ingest_step(
         for d in persisted:
             d.unpersist()
     return {"n_kept": n_kept, "corpus_text_scans": scans}
+
+
+def minhash_dedup_keep_best(
+    df: DataFrame,
+    score_col,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dedup keeping the HIGHEST-QUALITY member of each dup
+    cluster instead of the smallest id — the production keep rule
+    (of N crawled copies of a page, keep the cleanest/longest one,
+    not whichever crawled first). ``score_col`` is any per-row quality
+    column/expression; ties break to the smallest id so the survivor
+    set is a pure function of the data.
+
+    Same candidate/verify/cluster pipeline as minhash_dedup; the only
+    extra work is one argmax per cluster (``max_by`` over the cluster
+    membership — partial-aggregated, cluster-count-sized) and a
+    membership join back. The join runs distributed regardless of the
+    connected-components small-graph path (the membership frame is
+    pair-graph-sized either way).
+    """
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    verified = ngram_jaccard_pairs(
+        df, minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs),
+        id_col, text_col, threshold=threshold,
+    )
+    comp = connected_components_min(verified.select("id_a", "id_b"))
+    membership = comp.select(F.col("id").alias(id_col), "rep")
+    scored = df.join(membership, id_col, "left")
+    key = F.struct(score.alias("s"), (-F.col(id_col)).alias("nid"))
+    winners = (
+        scored.where(F.col("rep").isNotNull())
+        .groupBy("rep")
+        .agg(F.max_by(F.col(id_col), key).alias("__win"))
+    )
+    return (
+        scored.join(winners, "rep", "left")
+        .where(F.col("rep").isNull() | (F.col(id_col) == F.col("__win")))
+        .drop("rep", "__win")
+    )

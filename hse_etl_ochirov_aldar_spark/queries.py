@@ -5885,6 +5885,113 @@ FROM g ORDER BY lang
 """
 
 
+def q_trajectory_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-style trajectory construction (operators/normalize.
+    assemble_trajectories): each user-day's events become ONE ordered
+    event-type sequence — the dialog/trajectory assembly step that
+    turns raw logs into training examples. One group-key shuffle;
+    ordering is row-local array_sort (ties broken by the item), no
+    window, no global sort. Summarized per user-day with the
+    trajectory string itself hash-checked."""
+    from .operators.normalize import assemble_trajectories
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & (F.col("user_id") < 50))
+        .select("user_id", F.to_date("ts").alias("day"), "ts", "event_id",
+                "event_type")
+    )
+    return assemble_trajectories(
+        ev, ["user_id", "day"], ["ts", "event_id"], "event_type"
+    ).orderBy("user_id", "day")
+
+
+ORACLE_TRAJECTORY_ASSEMBLY = """
+SELECT user_id, CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_items,
+       string_agg(event_type, ';' ORDER BY ts, event_id, event_type)
+         AS trajectory
+FROM events
+WHERE ts IS NOT NULL AND user_id < 50
+GROUP BY 1, 2
+ORDER BY user_id, day
+"""
+
+
+def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup keeping the highest-quality cluster member
+    (operators/text_dedup.minhash_dedup_keep_best): quality = token
+    count, so the injected near-dup copies — which carry an extra tail
+    token — WIN over their originals, the opposite survivor set from
+    keep-min-id (the sum_doc_id checksum proves membership, not just
+    counts). Oracle: same 100%-recall exact-Jaccard closure as
+    near_dedup_minhash, plus one argmax per cluster."""
+    from .operators.text_dedup import minhash_dedup_keep_best
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    kept = minhash_dedup_keep_best(
+        corpus, token_count(F.col("text")), threshold=0.6
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_NEAR_DEDUP_KEEP_BEST = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         len(w) AS score,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a
+),
+winners AS (
+  SELECT rep, id FROM (
+    SELECT c.rep, c.id,
+           row_number() OVER (PARTITION BY c.rep
+                              ORDER BY sh.score DESC, c.id) AS rn
+    FROM clusters c JOIN sh ON sh.id = c.id
+  ) WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM clusters)
+   OR doc_id IN (SELECT id FROM winners)
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -5911,6 +6018,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_diversity": q_ngram_diversity,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "trajectory_assembly": q_trajectory_assembly,
+    "near_dedup_keep_best": q_near_dedup_keep_best,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -6017,6 +6126,8 @@ ORACLES: dict[str, str] = {
     "ngram_diversity": ORACLE_NGRAM_DIVERSITY,
     "cluster_balanced_sample": ORACLE_CLUSTER_BALANCED_SAMPLE,
     "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
+    "trajectory_assembly": ORACLE_TRAJECTORY_ASSEMBLY,
+    "near_dedup_keep_best": ORACLE_NEAR_DEDUP_KEEP_BEST,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -6127,6 +6238,8 @@ BENCH_QUERIES: list[str] = [
     "ngram_diversity",
     "cluster_balanced_sample",
     "tokenizer_fertility",
+    "trajectory_assembly",
+    "near_dedup_keep_best",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",

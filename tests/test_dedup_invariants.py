@@ -552,3 +552,33 @@ def test_semantic_dedup_drops_coclustered_copies(spark, sf_dir):
     )
     assert witnesses.count() == flagged.count()
     flags.unpersist()
+
+
+def test_keep_best_prefers_high_score_member(spark):
+    """keep-best must survive the highest-scoring member of each dup
+    cluster (tie-break min id), and keep singletons untouched — the
+    survivor SET differs from minhash_dedup's keep-min-id on the same
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        minhash_dedup,
+        minhash_dedup_keep_best,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),                       # cluster A, short
+        (2, base + " extra"),            # cluster A, longest -> winner
+        (3, "totally different words entirely unrelated content here"),
+        (4, base + " tail"),             # cluster A, tied with 2 on len
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    score = F.size(F.split("text", " "))
+    best = {r.doc_id for r in minhash_dedup_keep_best(
+        df, score, threshold=0.5).collect()}
+    # docs 2 and 4 tie at 9 tokens; min id 2 wins
+    assert best == {2, 3}
+    kmin = {r.doc_id for r in minhash_dedup(df, threshold=0.5).collect()}
+    assert kmin == {1, 3}
+    assert best != kmin

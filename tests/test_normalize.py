@@ -100,3 +100,29 @@ def test_chunk_documents_coverage_and_overlap(spark):
         [r.chunk_text for r in tiled.where("doc_id = 1").collect()]
     )
     assert t1 == ["a b c d e", "f g h i j"]
+
+
+def test_assemble_trajectories_order_and_determinism(spark):
+    """Items assemble in order-column order with item tie-break, one
+    row per group, invariant under input partitioning."""
+    from hse_etl_ochirov_aldar_spark.operators.normalize import (
+        assemble_trajectories,
+    )
+
+    rows = [
+        ("u1", 2, "b"), ("u1", 1, "a"), ("u1", 3, "c"),
+        ("u2", 1, "x"), ("u2", 1, "w"),   # tie on order col -> item order
+    ]
+    df = spark.createDataFrame(rows, ["u", "pos", "item"])
+    out = {
+        r.u: (r.n_items, r.trajectory)
+        for r in assemble_trajectories(df, ["u"], ["pos"], "item").collect()
+    }
+    assert out == {"u1": (3, "a;b;c"), "u2": (2, "w;x")}
+    out2 = {
+        r.u: (r.n_items, r.trajectory)
+        for r in assemble_trajectories(
+            df.repartition(5), ["u"], ["pos"], "item"
+        ).collect()
+    }
+    assert out2 == out
