@@ -281,3 +281,51 @@ def cluster_balanced_sample(
         F.element_at(_cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1),
     )
     return temperature_mixture_sample(labeled, "cluster_id", id_col, total)
+
+
+def distribution_matched_sample(
+    df: DataFrame,
+    target: DataFrame,
+    group_col: str,
+    key_col: str,
+    total: int,
+) -> DataFrame:
+    """Sample ~``total`` rows of ``df`` so that ``group_col``'s
+    distribution matches the TARGET corpus's distribution — the
+    domain/length/language rebalancing step when raw crawl proportions
+    must be bent toward a reference mix (the histogram-matching cousin
+    of DSIR: DSIR reweights by content, this matches a categorical
+    marginal exactly).
+
+    Quotas are INTEGER arithmetic only — ``quota_g = total * t_g //
+    t_total`` over the target's per-group counts — so any engine
+    recomputes identical membership; in-group selection is md5-hash-
+    order rank (deterministic, partitioning-independent). Groups absent
+    from the target get quota 0 (dropped); groups where ``df`` has
+    fewer rows than quota contribute what they have (the sample then
+    undershoots ``total`` — matching exactly would mean resampling
+    with replacement, which a dedup-minded pipeline never does).
+
+    Scale shape (100 TB): the target reduces to one driver-bounded
+    count per group (the same justified collect as
+    temperature_mixture_sample); ``df`` shuffles once on ``group_col``
+    for the rank window; AQE splits oversized groups.
+    """
+    tcounts = {
+        r[0]: r[1] for r in target.groupBy(group_col).count().collect()
+    }
+    t_total = sum(tcounts.values())
+    if t_total == 0:
+        return df.limit(0)
+    quotas = {g: total * c // t_total for g, c in sorted(tcounts.items())}
+    qmap = F.create_map(
+        *[x for g, q in quotas.items() for x in (F.lit(g), F.lit(q))]
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, 1_000_000_007), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= qmap[F.col(group_col)])
+        .drop("__rn")
+    )

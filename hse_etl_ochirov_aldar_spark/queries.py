@@ -5992,6 +5992,57 @@ GROUP BY lang
 """
 
 
+def q_length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched sampling (operators/sampling.
+    distribution_matched_sample): draw ~300 docs whose LENGTH-bucket
+    histogram matches the English slice's histogram — the categorical
+    marginal-matching cousin of DSIR's content reweighting. Integer
+    quotas from the target counts, md5-hash-rank membership; the
+    oracle recomputes both."""
+    from .operators.sampling import distribution_matched_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("CAST(n_chars div 100 AS BIGINT)")
+    )
+    target = docs.where(F.col("lang") == "en")
+    s = distribution_matched_sample(docs, target, "len_bucket", "doc_id", 300)
+    return (
+        s.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+ORACLE_LENGTH_MATCHED_SAMPLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_bucket FROM documents
+),
+t AS (
+  SELECT len_bucket, count(*) AS c FROM docs WHERE lang = 'en' GROUP BY 1
+),
+quota AS (
+  SELECT len_bucket, (300 * c) // (SELECT sum(c) FROM t) AS q FROM t
+),
+ranked AS (
+  SELECT len_bucket, doc_id,
+         row_number() OVER (
+           PARTITION BY len_bucket
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id) AS rn
+  FROM docs
+)
+SELECT r.len_bucket, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(r.doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked r JOIN quota USING (len_bucket)
+WHERE r.rn <= quota.q
+GROUP BY r.len_bucket
+ORDER BY len_bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -6020,6 +6071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "trajectory_assembly": q_trajectory_assembly,
     "near_dedup_keep_best": q_near_dedup_keep_best,
+    "length_matched_sample": q_length_matched_sample,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -6128,6 +6180,7 @@ ORACLES: dict[str, str] = {
     "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "trajectory_assembly": ORACLE_TRAJECTORY_ASSEMBLY,
     "near_dedup_keep_best": ORACLE_NEAR_DEDUP_KEEP_BEST,
+    "length_matched_sample": ORACLE_LENGTH_MATCHED_SAMPLE,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -6240,6 +6293,7 @@ BENCH_QUERIES: list[str] = [
     "tokenizer_fertility",
     "trajectory_assembly",
     "near_dedup_keep_best",
+    "length_matched_sample",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",

@@ -678,3 +678,30 @@ def test_ngram_diversity_approx_tracks_exact(spark, sf_dir):
         for col in ("distinct_bigrams", "distinct_trigrams"):
             if e[col]:
                 assert abs(a[col] - e[col]) / e[col] < 0.05
+
+
+def test_distribution_matched_sample_matches_target_marginal(spark, sf_dir):
+    """The sampled group shares must track the TARGET's shares (not the
+    raw corpus's), quotas are integer-exact, and membership is
+    deterministic under repartitioning."""
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en").select("source", "doc_id")
+    raw = docs.select("source", "doc_id")
+    s = distribution_matched_sample(raw, target, "source", "doc_id", 200)
+    got = {r.source: r.n for r in s.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    tcounts = {r.source: r.n for r in target.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    tt = sum(tcounts.values())
+    for g, n in got.items():
+        assert n == 200 * tcounts[g] // tt  # quota hit exactly (raw has enough)
+    ids1 = sorted(r.doc_id for r in s.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in distribution_matched_sample(
+            raw.repartition(9), target, "source", "doc_id", 200
+        ).collect()
+    )
+    assert ids1 == ids2
