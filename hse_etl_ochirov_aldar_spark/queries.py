@@ -6043,6 +6043,105 @@ ORDER BY len_bucket
 """
 
 
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 composition: keep-BEST near-dedup over the dup-injected
+    corpus, then the per-language n-gram diversity report of the
+    survivors — the before/after-dedup health check wired end-to-end
+    (dedup should RAISE per-slice diversity; the report proves it on
+    the surviving corpus). Oracle: the keep-best closure CTE feeding
+    the diversity aggregations."""
+    from .operators.diversity import ngram_diversity_stats
+    from .operators.text_dedup import minhash_dedup_keep_best
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    kept = minhash_dedup_keep_best(
+        corpus, token_count(F.col("text")), threshold=0.6
+    )
+    return (
+        ngram_diversity_stats(kept, "lang", "text")
+        .select("lang", "n_tokens", "distinct_unigrams", "ttr_bp",
+                "unigram_entropy")
+        .orderBy("lang")
+    )
+
+
+ORACLE_CURATION_PIPELINE_V4 = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         len(w) AS score,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a
+),
+winners AS (
+  SELECT rep, id FROM (
+    SELECT c.rep, c.id,
+           row_number() OVER (PARTITION BY c.rep
+                              ORDER BY sh.score DESC, c.id) AS rn
+    FROM clusters c JOIN sh ON sh.id = c.id
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT lang, text FROM corpus
+  WHERE doc_id NOT IN (SELECT id FROM clusters)
+     OR doc_id IN (SELECT id FROM winners)
+),
+tok AS (
+  SELECT lang,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM kept
+),
+ucnt AS (
+  SELECT lang, u.g, count(*) AS c
+  FROM tok, unnest(t) AS u(g) GROUP BY 1, 2
+),
+ua AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_unigrams,
+         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS slc
+  FROM ucnt GROUP BY 1
+)
+SELECT lang, n_tokens, distinct_unigrams,
+       CAST(distinct_unigrams * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+       CAST(CAST(round(ln(n_tokens) * 1000000) AS BIGINT)
+            - (2 * slc + n_tokens) // (2 * n_tokens) AS DOUBLE)
+         / 1000000.0 AS unigram_entropy
+FROM ua ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "regional_revenue": q_regional_revenue,
@@ -6072,6 +6171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trajectory_assembly": q_trajectory_assembly,
     "near_dedup_keep_best": q_near_dedup_keep_best,
     "length_matched_sample": q_length_matched_sample,
+    "curation_pipeline_v4": q_curation_pipeline_v4,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -6181,6 +6281,7 @@ ORACLES: dict[str, str] = {
     "trajectory_assembly": ORACLE_TRAJECTORY_ASSEMBLY,
     "near_dedup_keep_best": ORACLE_NEAR_DEDUP_KEEP_BEST,
     "length_matched_sample": ORACLE_LENGTH_MATCHED_SAMPLE,
+    "curation_pipeline_v4": ORACLE_CURATION_PIPELINE_V4,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -6294,6 +6395,7 @@ BENCH_QUERIES: list[str] = [
     "trajectory_assembly",
     "near_dedup_keep_best",
     "length_matched_sample",
+    "curation_pipeline_v4",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",
