@@ -312,7 +312,12 @@ def distribution_matched_sample(
     for the rank window; AQE splits oversized groups.
     """
     tcounts = {
-        r[0]: r[1] for r in target.groupBy(group_col).count().collect()
+        r[0]: r[1]
+        for r in target.groupBy(group_col).count().collect()
+        # a NULL group cannot be a map key (and "match the NULL slice"
+        # is not a meaningful target); NULL-group rows in df are
+        # dropped like any other quota-0 group
+        if r[0] is not None
     }
     t_total = sum(tcounts.values())
     if t_total == 0:

@@ -989,16 +989,19 @@ def minhash_dedup_keep_best(
         id_col, text_col, threshold=threshold,
     )
     comp = connected_components_min(verified.select("id_a", "id_b"))
-    membership = comp.select(F.col("id").alias(id_col), "rep")
+    # private column names: df may legitimately carry a "rep" column
+    membership = comp.select(
+        F.col("id").alias(id_col), F.col("rep").alias("__kb_rep")
+    )
     scored = df.join(membership, id_col, "left")
     key = F.struct(score.alias("s"), (-F.col(id_col)).alias("nid"))
     winners = (
-        scored.where(F.col("rep").isNotNull())
-        .groupBy("rep")
+        scored.where(F.col("__kb_rep").isNotNull())
+        .groupBy("__kb_rep")
         .agg(F.max_by(F.col(id_col), key).alias("__win"))
     )
     return (
-        scored.join(winners, "rep", "left")
-        .where(F.col("rep").isNull() | (F.col(id_col) == F.col("__win")))
-        .drop("rep", "__win")
+        scored.join(winners, "__kb_rep", "left")
+        .where(F.col("__kb_rep").isNull() | (F.col(id_col) == F.col("__win")))
+        .drop("__kb_rep", "__win")
     )
