@@ -297,3 +297,81 @@ def test_leakage_safe_split_no_cluster_straddles(spark, sf_dir):
 
     assert straddles(leakage_safe_split(corpus, comp, "doc_id")) == 0
     assert straddles(hash_split(corpus, "doc_id")) > 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.integers(min_value=0, max_value=50),     # pos (ties allowed)
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_assemble_trajectories_matches_python_sort(spark, rows):
+    """Trajectory = items joined in (pos, item) order per group — the
+    engine must agree with a plain-Python sorted() reference on
+    arbitrary data, including order-column ties."""
+    from hse_etl_ochirov_aldar_spark.operators.normalize import (
+        assemble_trajectories,
+    )
+
+    df = spark.createDataFrame(rows, ["g", "pos", "item"])
+    got = {
+        r.g: (r.n_items, r.trajectory)
+        for r in assemble_trajectories(df, ["g"], ["pos"], "item").collect()
+    }
+    expected: dict = {}
+    for g, pos, item in rows:
+        expected.setdefault(g, []).append((pos, item))
+    expected = {
+        g: (len(v), ";".join(item for _, item in sorted(v)))
+        for g, v in expected.items()
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),      # group
+            st.integers(min_value=0, max_value=10_000),  # key
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=50),  # total
+)
+def test_distribution_matched_quotas_property(spark, rows, total):
+    """For any corpus/target pair (target = even keys): per-group
+    sampled count == min(integer quota, group size); no group outside
+    the target survives."""
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+
+    df = spark.createDataFrame(rows, ["g", "k"])
+    target = df.where(F.col("k") % 2 == 0)
+    tcounts: dict = {}
+    for g, k in rows:
+        if k % 2 == 0:
+            tcounts[g] = tcounts.get(g, 0) + 1
+    tt = sum(tcounts.values())
+    out = distribution_matched_sample(df, target, "g", "k", total).collect()
+    got: dict = {}
+    for r in out:
+        got[r.g] = got.get(r.g, 0) + 1
+    sizes: dict = {}
+    for g, _ in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    if tt == 0:
+        assert got == {}
+        return
+    for g in set(sizes) | set(got):
+        quota = total * tcounts.get(g, 0) // tt
+        assert got.get(g, 0) == min(quota, sizes[g])
