@@ -1,7 +1,23 @@
 from .aggregates import conditional_count, daily_avg, mode_by_group
 from .dedup import dedup_keep_first
-from .normalize import normalize_nutrition_xml, normalize_pets_json
+from .diversity import ngram_diversity_stats
+from .normalize import (
+    assemble_trajectories,
+    chunk_documents,
+    normalize_nutrition_xml,
+    normalize_pets_json,
+)
 from .percentile import global_percentile_bounds, percentile_trim
+from .sampling import (
+    cluster_balanced_sample,
+    distribution_matched_sample,
+    hash_split,
+    leakage_safe_split,
+    pack_sequences,
+    quota_sample,
+    temperature_mixture_sample,
+    training_shuffle,
+)
 from .similarity import (
     brute_force_topk,
     cosine,
@@ -12,10 +28,15 @@ from .similarity import (
 from .skew import salted_join
 from .text_dedup import (
     exact_dedup,
+    incremental_dedup,
+    incremental_minhash_dedup,
     minhash_dedup,
+    minhash_dedup_keep_best,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
+    segment_boilerplate_removal,
     simhash,
     simhash_near_pairs,
 )
@@ -26,10 +47,21 @@ __all__ = [
     "daily_avg",
     "mode_by_group",
     "dedup_keep_first",
+    "ngram_diversity_stats",
+    "assemble_trajectories",
+    "chunk_documents",
     "normalize_nutrition_xml",
     "normalize_pets_json",
     "global_percentile_bounds",
     "percentile_trim",
+    "cluster_balanced_sample",
+    "distribution_matched_sample",
+    "hash_split",
+    "leakage_safe_split",
+    "pack_sequences",
+    "quota_sample",
+    "temperature_mixture_sample",
+    "training_shuffle",
     "brute_force_topk",
     "cosine",
     "embedding_near_dedup",
@@ -37,10 +69,15 @@ __all__ = [
     "ivf_topk",
     "salted_join",
     "exact_dedup",
+    "incremental_dedup",
+    "incremental_minhash_dedup",
     "minhash_dedup",
+    "minhash_dedup_keep_best",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "remove_duplicate_spans",
+    "segment_boilerplate_removal",
     "simhash",
     "simhash_near_pairs",
     "topk_extremes",
