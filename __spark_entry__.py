@@ -31,8 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each hash-checkable query.
 
-    Queries absent here fall back to the driver's weaker rows-only
-    check — reserved for non-SQL-expressible ops (LSH banding,
-    stateful streaming, mapInPandas multimodal plumbing).
+    Every catalog query has an oracle entry (round 3 closed the last
+    rows-only residual: multimodal decode now parses real PPM bytes
+    whose features are SQL-predictable).
     """
     return dict(ORACLES)

@@ -8,11 +8,14 @@ pipelines — the canonical Spark pattern for media feature extraction:
       -> mapInPandas(decode_and_extract, schema)   # per-batch Python
       -> typed feature columns (JVM side again)
 
-The actual decoders (PIL/librosa/ffmpeg) are NOT in this container, so
-``decode_image`` raises NotImplementedError behind a clearly-marked
-gate, and ``fake_decode_features`` provides a deterministic stand-in so
-the Spark-side plumbing — schema, batch iteration, partitioning, UDF
-signature — is real and tested end-to-end.
+Decoder status: binary PPM (P6) decode and nearest-neighbor resize are
+REAL — numpy-only, fully functional in this container (``decode_ppm``,
+``ppm_decoder``, ``resize_ppm``). Codec-library formats (JPEG/PNG,
+audio, video) need PIL/librosa/ffmpeg, absent here, so ``decode_image``
+raises NotImplementedError behind a clearly-marked gate and
+``fake_decode_features`` provides a deterministic stand-in; the
+``pil_decoder`` adapter + contract test prove a codec decoder drops
+into the same seam without touching the Spark plumbing.
 
 Scale notes: payloads never pass through Python row-by-row; Arrow moves
 columnar batches. ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -44,6 +47,79 @@ def decode_image(payload: bytes) -> dict:
             "image decoding requires PIL/pillow, not present in this "
             "environment; use fake_decode_features for plumbing tests"
         )
+
+
+def _ppm_header(payload: bytes) -> tuple[list[bytes], int]:
+    """Parse a PPM header: 4 whitespace-separated tokens (magic, width,
+    height, maxval) with '#' comments to end-of-line, followed by
+    EXACTLY one whitespace byte before pixel data (the Netpbm spec).
+    Returns (tokens, pixel_data_offset)."""
+    n = len(payload)
+    pos = 0
+    tokens: list[bytes] = []
+    ws = b" \t\r\n"
+    while len(tokens) < 4:
+        while pos < n and payload[pos] in ws:
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos] not in b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos] not in ws:
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(payload[start:pos])
+    return tokens, pos + 1  # single whitespace separator
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode for binary PPM (P6, 8-bit): returns
+    (width, height, uint8 ndarray of shape (h, w, 3)). PPM is the one
+    raster format decodable with numpy alone — no codec library — so
+    this path is fully functional in this container; PIL remains the
+    seam for compressed formats (pil_decoder)."""
+    import numpy as np
+
+    tokens, off = _ppm_header(payload)
+    if tokens[0] != b"P6":
+        raise ValueError(f"not a binary PPM (magic {tokens[0]!r})")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    need = 3 * w * h
+    if len(payload) - off < need:
+        raise ValueError("truncated PPM pixel data")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def ppm_decoder(payload: bytes, kind: str) -> dict:
+    """Decoder-contract implementation backed by the REAL PPM parser:
+    width/height from the header, checksum = exact pixel-byte sum.
+    Drop-in for ``extract_media_features(..., decoder=ppm_decoder)``."""
+    w, h, arr = decode_ppm(bytes(payload))
+    return {
+        "n_bytes": len(payload),
+        "checksum": int(arr.sum(dtype="int64")),
+        "width": w,
+        "height": h,
+        "duration_s": None,
+    }
+
+
+def resize_ppm(payload: bytes, target_width: int, target_height: int) -> bytes:
+    """REAL nearest-neighbor resize of a P6 payload via numpy index
+    selection; returns a valid P6 payload at the target dimensions."""
+    import numpy as np
+
+    w, h, arr = decode_ppm(bytes(payload))
+    rows = (np.arange(target_height) * h) // target_height
+    cols = (np.arange(target_width) * w) // target_width
+    out = arr[rows][:, cols]
+    header = f"P6\n{target_width} {target_height}\n255\n".encode()
+    return header + out.tobytes()
 
 
 def pil_decoder(pil_image_module):
@@ -140,21 +216,35 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(
-    media: DataFrame, target_width: int = 224, target_height: int = 224
+    media: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    resizer=None,
 ) -> DataFrame:
     """Image resize as a mapInPandas stage: (media_id, kind, payload) ->
-    resized payload + new dims. The pixel work is a deterministic fake
-    (payload truncated/padded to a size proportional to the target
-    area — a real body would be PIL `Image.resize` per row, identical
-    plumbing). Output stays a binary column so further stages chain.
+    resized payload + new dims. ``resizer`` is the swappable pixel seam
+    ``(payload, tw, th) -> bytes`` — pass ``resize_ppm`` for the REAL
+    numpy nearest-neighbor path on P6 payloads (works in this
+    container), or a PIL `Image.resize` adapter for compressed formats.
+    Defaults to a deterministic fake (payload truncated/padded to a
+    size proportional to the target area) so plumbing tests need no
+    decodable payloads. Output stays a binary column so further stages
+    chain.
     """
     fake_len = max(16, (target_width * target_height) // 64)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                bytes(p[:fake_len]).ljust(fake_len, b"\0") for p in pdf["payload"]
-            ]
+            if resizer is not None:
+                resized = [
+                    resizer(bytes(p), target_width, target_height)
+                    for p in pdf["payload"]
+                ]
+            else:
+                resized = [
+                    bytes(p[:fake_len]).ljust(fake_len, b"\0")
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),

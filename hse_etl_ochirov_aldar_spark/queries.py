@@ -1879,25 +1879,67 @@ GROUP BY lang
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column -> Arrow-batched mapInPandas feature extraction
-    -> per-kind aggregate. Decode is a deterministic fake (real decoders
-    absent in this environment, see operators/multimodal.py); the Spark
-    plumbing (schema, batching, partition parallelism) is real.
-    Non-SQL-expressible -> rows-only driver check."""
-    from .operators.multimodal import documents_as_media, extract_media_features
+    """Binary media column -> Arrow-batched mapInPandas feature
+    extraction with the REAL PPM decoder (operators/multimodal.
+    decode_ppm — numpy parses the actual P6 bytes: header tokens,
+    comment skipping, pixel array). Payloads are genuine P6 images
+    built JVM-side from `part` columns (solid color, channels kept in
+    32..127 so each pixel char is one UTF-8 byte), which makes every
+    extracted feature — dimensions from the parsed header, checksum =
+    exact pixel-byte sum — SQL-predictable: the formerly rows-only
+    multimodal entry now carries a full value-hash oracle. The decode
+    itself (binary parsing in Python over Arrow batches) is exactly
+    the production path; only codec formats remain stubbed."""
+    from .operators.multimodal import extract_media_features, ppm_decoder
 
-    docs = load_table(spark, sf_dir, "documents")
-    media = documents_as_media(docs, "image").unionByName(
-        documents_as_media(docs.where(F.col("doc_id") % 3 == 0), "audio").withColumn(
-            "media_id", F.col("media_id") + 10_000_000
-        )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    media = part.select(
+        F.col("p_partkey").alias("media_id"),
+        F.lit("image").alias("kind"),
+        (1 + F.col("p_partkey") % 13).cast("int").alias("__w"),
+        (1 + F.col("p_partkey") % 7).cast("int").alias("__h"),
+        (32 + F.col("p_partkey") % 96).cast("int").alias("__r"),
+        (32 + (F.col("p_partkey") * 3) % 96).cast("int").alias("__g"),
+        (32 + F.col("p_size") % 96).cast("int").alias("__b"),
+    ).select(
+        "media_id",
+        "kind",
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                F.col("__w").cast("string"),
+                F.lit(" "),
+                F.col("__h").cast("string"),
+                F.lit("\n255\n"),
+                F.expr("repeat(concat(char(__r), char(__g), char(__b)), __w * __h)"),
+            ),
+            "utf-8",
+        ).alias("payload"),
     )
-    feats = extract_media_features(media)
-    return feats.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.sum("checksum").alias("checksum_total"),
-    )
+    feats = extract_media_features(media, decoder=ppm_decoder)
+    return feats.select(
+        "media_id", "n_bytes", "width", "height", "checksum"
+    ).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT p_partkey AS media_id,
+         1 + p_partkey % 13 AS w,
+         1 + p_partkey % 7 AS h,
+         32 + p_partkey % 96 AS r,
+         32 + (p_partkey * 3) % 96 AS g,
+         32 + p_size % 96 AS b
+  FROM part WHERE p_partkey <= 300
+)
+SELECT media_id,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + 3 * w * h AS INTEGER) AS n_bytes,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST((r + g + b) * w * h AS BIGINT) AS checksum
+FROM m ORDER BY media_id
+"""
 
 
 # --- similarity search ------------------------------------------------------
@@ -6282,6 +6324,7 @@ ORACLES: dict[str, str] = {
     "near_dedup_keep_best": ORACLE_NEAR_DEDUP_KEEP_BEST,
     "length_matched_sample": ORACLE_LENGTH_MATCHED_SAMPLE,
     "curation_pipeline_v4": ORACLE_CURATION_PIPELINE_V4,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,

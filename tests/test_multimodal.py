@@ -115,3 +115,99 @@ def test_sample_frames_fanout(spark, sf_dir):
     per_media = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(r.n == 4 for r in per_media)
     assert all(r.frame_bytes is not None for r in rows)
+
+
+def test_decode_ppm_parses_real_binary_format():
+    """The PPM parser must handle the actual Netpbm grammar: comments,
+    arbitrary header whitespace, and pixel bytes that collide with
+    whitespace values (the single-separator rule)."""
+    import numpy as np
+
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n5   3\n# another\n255\n" + arr.tobytes()
+    w, h, got = decode_ppm(payload)
+    assert (w, h) == (5, 3)
+    assert np.array_equal(got, arr)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError, match="truncated PPM pixel"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x01")
+
+
+def test_resize_ppm_nearest_neighbor_matches_numpy():
+    import numpy as np
+
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        decode_ppm,
+        resize_ppm,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    payload = b"P6\n4 6\n255\n" + arr.tobytes()
+    out = resize_ppm(payload, 8, 3)
+    w, h, got = decode_ppm(out)
+    assert (w, h) == (8, 3)
+    rows = (np.arange(3) * 6) // 3
+    cols = (np.arange(8) * 4) // 8
+    assert np.array_equal(got, arr[rows][:, cols])
+
+
+def test_real_ppm_pipeline_in_spark(spark):
+    """End-to-end: JVM-built P6 payloads -> mapInPandas real decode ->
+    real resize stage -> decode again; dimensions and pixel values
+    survive the round trip."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        decode_ppm,
+        extract_media_features,
+        ppm_decoder,
+        resize_images,
+        resize_ppm,
+    )
+
+    rows = [(i, "image") for i in range(1, 9)]
+    media = (
+        spark.createDataFrame(rows, ["media_id", "kind"])
+        .withColumn("__w", (1 + F.col("media_id") % 5).cast("int"))
+        .withColumn("__h", (1 + F.col("media_id") % 3).cast("int"))
+        .select(
+            "media_id",
+            "kind",
+            F.encode(
+                F.concat(
+                    F.lit("P6\n"),
+                    F.col("__w").cast("string"),
+                    F.lit(" "),
+                    F.col("__h").cast("string"),
+                    F.lit("\n255\n"),
+                    F.expr(
+                        "repeat(concat(char(40 + media_id), char(50), char(60)),"
+                        " __w * __h)"
+                    ),
+                ),
+                "utf-8",
+            ).alias("payload"),
+        )
+    )
+    feats = {
+        r.media_id: (r.width, r.height, r.checksum)
+        for r in extract_media_features(media, decoder=ppm_decoder).collect()
+    }
+    for i in range(1, 9):
+        w, h = 1 + i % 5, 1 + i % 3
+        assert feats[i] == (w, h, (40 + i + 50 + 60) * w * h)
+
+    resized = resize_images(media, 4, 2, resizer=resize_ppm).collect()
+    for r in resized:
+        w, h, arr = decode_ppm(bytes(r.payload))
+        assert (w, h) == (4, 2)
+        assert np.all(arr[:, :, 1] == 50) and np.all(arr[:, :, 2] == 60)
