@@ -1942,6 +1942,108 @@ FROM m ORDER BY media_id
 """
 
 
+def q_mixed_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality media table — REAL P6 images and REAL RIFF/WAVE
+    8-bit mono PCM audio, both built byte-exact JVM-side from `part`
+    columns — routed through ONE mapInPandas stage by the magic-byte
+    sniffing dispatcher (operators/multimodal.sniff_decoder): numpy
+    parses the actual image pixels and the actual WAV chunk list.
+    Every feature (dims, duration = samples/rate, checksum = exact
+    byte sums) is SQL-predicted, so the mixed pipeline is value-hash
+    oracled end-to-end."""
+    from .operators.multimodal import extract_media_features, sniff_decoder
+
+    part = load_table(spark, sf_dir, "part")
+    images = part.where(F.col("p_partkey") <= 150).select(
+        F.col("p_partkey").alias("media_id"),
+        F.lit("image").alias("kind"),
+        (1 + F.col("p_partkey") % 13).cast("int").alias("__w"),
+        (1 + F.col("p_partkey") % 7).cast("int").alias("__h"),
+        (32 + F.col("p_partkey") % 96).cast("int").alias("__r"),
+        (32 + (F.col("p_partkey") * 3) % 96).cast("int").alias("__g"),
+        (32 + F.col("p_size") % 96).cast("int").alias("__b"),
+    ).select(
+        "media_id",
+        "kind",
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                F.col("__w").cast("string"),
+                F.lit(" "),
+                F.col("__h").cast("string"),
+                F.lit("\n255\n"),
+                F.expr("repeat(concat(char(__r), char(__g), char(__b)), __w * __h)"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    audio = part.where(
+        (F.col("p_partkey") > 150) & (F.col("p_partkey") <= 300)
+    ).select(
+        F.col("p_partkey").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        (1 + F.col("p_partkey") % 91).cast("int").alias("__n"),
+        (32 + F.col("p_partkey") % 96).cast("int").alias("__v"),
+    ).select(
+        "media_id",
+        "kind",
+        F.encode(
+            F.expr(
+                "concat('RIFF', char(36 + __n), char(0), char(0), char(0),"
+                " 'WAVE', 'fmt ', char(16), char(0), char(0), char(0),"
+                " char(1), char(0), char(1), char(0),"
+                " char(64), char(31), char(0), char(0),"   # 8000 Hz LE32
+                " char(64), char(31), char(0), char(0),"   # byte rate
+                " char(1), char(0), char(8), char(0),"     # align, bits
+                " 'data', char(__n), char(0), char(0), char(0),"
+                " repeat(char(__v), __n))"
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    feats = extract_media_features(
+        images.unionByName(audio), decoder=sniff_decoder
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height", "duration_s",
+        "checksum",
+    ).orderBy("media_id")
+
+
+ORACLE_MIXED_MEDIA_FEATURES = """
+WITH img AS (
+  SELECT p_partkey AS media_id,
+         1 + p_partkey % 13 AS w,
+         1 + p_partkey % 7 AS h,
+         32 + p_partkey % 96 AS r,
+         32 + (p_partkey * 3) % 96 AS g,
+         32 + p_size % 96 AS b
+  FROM part WHERE p_partkey <= 150
+),
+aud AS (
+  SELECT p_partkey AS media_id,
+         1 + p_partkey % 91 AS n,
+         32 + p_partkey % 96 AS v
+  FROM part WHERE p_partkey > 150 AND p_partkey <= 300
+)
+SELECT media_id, 'image' AS kind,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + 3 * w * h AS INTEGER) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(NULL AS DOUBLE) AS duration_s,
+       CAST((r + g + b) * w * h AS BIGINT) AS checksum
+FROM img
+UNION ALL
+SELECT media_id, 'audio' AS kind,
+       CAST(44 + n AS INTEGER) AS n_bytes,
+       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+       CAST(n AS DOUBLE) / 8000.0 AS duration_s,
+       CAST(v * n AS BIGINT) AS checksum
+FROM aud
+ORDER BY media_id
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -6214,6 +6316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_keep_best": q_near_dedup_keep_best,
     "length_matched_sample": q_length_matched_sample,
     "curation_pipeline_v4": q_curation_pipeline_v4,
+    "mixed_media_features": q_mixed_media_features,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -6325,6 +6428,7 @@ ORACLES: dict[str, str] = {
     "length_matched_sample": ORACLE_LENGTH_MATCHED_SAMPLE,
     "curation_pipeline_v4": ORACLE_CURATION_PIPELINE_V4,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "mixed_media_features": ORACLE_MIXED_MEDIA_FEATURES,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,

@@ -211,3 +211,60 @@ def test_real_ppm_pipeline_in_spark(spark):
         w, h, arr = decode_ppm(bytes(r.payload))
         assert (w, h) == (4, 2)
         assert np.all(arr[:, :, 1] == 50) and np.all(arr[:, :, 2] == 60)
+
+
+def test_decode_wav_parses_real_riff_chunks():
+    """The WAV parser must walk the real chunk grammar: skip unknown
+    chunks, honor the odd-size pad byte, and validate format words."""
+    import struct
+
+    import numpy as np
+
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import decode_wav
+
+    samples = np.arange(40, dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+    body = (
+        b"WAVE"
+        + junk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples.tobytes()
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, got = decode_wav(payload)
+    assert sr == 8000
+    assert np.array_equal(got, samples)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS\x00\x00\x00\x00")
+    stereo = struct.pack("<HHIIHH", 1, 2, 8000, 16000, 2, 8)
+    bad = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + stereo
+           + b"data" + struct.pack("<I", 0))
+    with _pytest.raises(ValueError, match="mono"):
+        decode_wav(bad)
+
+
+def test_sniff_decoder_routes_by_magic():
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import sniff_decoder
+
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    f = sniff_decoder(ppm, "image")
+    assert (f["width"], f["height"], f["checksum"]) == (2, 1, 210)
+
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 4) + bytes([1, 2, 3, 4]))
+    f = sniff_decoder(wav, "audio")
+    assert f["checksum"] == 10 and f["duration_s"] == 4 / 8000
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        sniff_decoder(b"\x89PNG\r\n", "image")
