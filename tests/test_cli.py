@@ -9,11 +9,13 @@ def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "pricing_summary\t[oracle]" in out
-    # r3: the exact-integer kmeans twin gave the IVF entry an oracle;
-    # only the stubbed multimodal decode remains rows-only
+    # r3: the exact-integer kmeans twin gave the IVF entry an oracle,
+    # and the real PPM decode closed the last rows-only residual —
+    # every catalog entry is oracle-backed
     assert "near_dedup_minhash\t[oracle]" in out
     assert "ann_ivf_kmeans_topk\t[oracle]" in out
-    assert "multimodal_features\t[rows-only]" in out
+    assert "multimodal_features\t[oracle]" in out
+    assert "[rows-only]" not in out
 
 
 def test_cli_run_and_pipeline(spark, sf_dir, tmp_path, capsys):
