@@ -6543,6 +6543,7 @@ BENCH_QUERIES: list[str] = [
     "near_dedup_keep_best",
     "length_matched_sample",
     "curation_pipeline_v4",
+    "mixed_media_features",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",

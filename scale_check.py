@@ -497,6 +497,50 @@ def main() -> None:
         )
         return df.agg(F.approx_count_distinct("k", 0.01)).collect()[0][0]
 
+    # real binary decode throughput: 500k JVM-built P6 images through
+    # the numpy PPM parser inside Arrow mapInPandas batches
+    def ppm_decode_500k():
+        from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+            extract_media_features,
+            ppm_decoder,
+        )
+
+        media = (
+            spark.range(500_000)
+            .select(
+                F.col("id").alias("media_id"),
+                F.lit("image").alias("kind"),
+                (1 + F.col("id") % 13).cast("int").alias("__w"),
+                (1 + F.col("id") % 7).cast("int").alias("__h"),
+                (32 + F.col("id") % 96).cast("int").alias("__r"),
+            )
+            .select(
+                "media_id",
+                "kind",
+                F.encode(
+                    F.concat(
+                        F.lit("P6\n"),
+                        F.col("__w").cast("string"),
+                        F.lit(" "),
+                        F.col("__h").cast("string"),
+                        F.lit("\n255\n"),
+                        F.expr(
+                            "repeat(concat(char(__r), char(40), char(50)),"
+                            " __w * __h)"
+                        ),
+                    ),
+                    "utf-8",
+                ).alias("payload"),
+            )
+            .repartition(32)
+        )
+        return int(
+            extract_media_features(media, decoder=ppm_decoder)
+            .agg(F.sum("checksum"))
+            .collect()[0][0]
+        )
+
+    timed("ppm_decode_500k_images", ppm_decode_500k)
     timed("ngram_diversity_2m_docs", ngram_diversity_2m)
     timed("ngram_diversity_2m_docs_approx", ngram_diversity_2m_approx)
     timed("cluster_balanced_sample_200k", cluster_balanced_200k)
