@@ -2044,6 +2044,53 @@ ORDER BY media_id
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel with strict sequential
+    semantics and a 24h conversion window (operators/funnel.
+    funnel_report): a step counts only when its first qualifying event
+    lands STRICTLY AFTER the previous step's completion and within the
+    window. Per-step user counts + conversion in exact basis points;
+    the oracle chains the same per-step min-within-window
+    aggregates."""
+    from .operators.funnel import funnel_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_report(
+        ev, ["view", "click", "purchase"], window_seconds=86400
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 86400 SECOND GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 86400 SECOND GROUP BY 1
+),
+c AS (
+  SELECT (SELECT count(*) FROM s1) AS n_step1,
+         (SELECT count(*) FROM s2) AS n_step2,
+         (SELECT count(*) FROM s3) AS n_step3
+)
+SELECT CAST(n_step1 AS BIGINT) AS n_step1,
+       CAST(n_step2 AS BIGINT) AS n_step2,
+       CAST(n_step3 AS BIGINT) AS n_step3,
+       CAST(n_step2 * 10000 // n_step1 AS BIGINT) AS conv_step2_bp,
+       CAST(n_step3 * 10000 // n_step1 AS BIGINT) AS conv_step3_bp
+FROM c
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -6317,6 +6364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_matched_sample": q_length_matched_sample,
     "curation_pipeline_v4": q_curation_pipeline_v4,
     "mixed_media_features": q_mixed_media_features,
+    "funnel_conversion": q_funnel_conversion,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -6429,6 +6477,7 @@ ORACLES: dict[str, str] = {
     "curation_pipeline_v4": ORACLE_CURATION_PIPELINE_V4,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "mixed_media_features": ORACLE_MIXED_MEDIA_FEATURES,
+    "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -6544,6 +6593,7 @@ BENCH_QUERIES: list[str] = [
     "length_matched_sample",
     "curation_pipeline_v4",
     "mixed_media_features",
+    "funnel_conversion",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",

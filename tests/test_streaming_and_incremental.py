@@ -764,3 +764,62 @@ def test_versioned_time_travel_and_diff(spark, tmpdir):
     assert list_versions(spark, root) == [3]
     with _pytest.raises(FileNotFoundError, match="not committed"):
         read_versioned(spark, root, 1)
+
+
+def test_funnel_strict_sequential_semantics(spark):
+    """A step counts only strictly after the previous step: a user who
+    clicked BEFORE their first view must not convert; equal timestamps
+    don't count; later steps are NULL once a step is missed."""
+    import datetime as dt
+
+    from hse_etl_ochirov_aldar_spark.operators.funnel import (
+        funnel_report,
+        funnel_steps,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 converts fully: view@1 click@2 purchase@3
+        ("u1", t(1), "view"), ("u1", t(2), "click"), ("u1", t(3), "purchase"),
+        # u2 clicked before viewing -> no click conversion
+        ("u2", t(5), "click"), ("u2", t(6), "view"),
+        # u3 equal-timestamp click -> strict > excludes it
+        ("u3", t(7), "view"), ("u3", t(7), "click"),
+        # u4 purchase without click -> stops at step 1
+        ("u4", t(1), "view"), ("u4", t(2), "purchase"),
+        # u5 never viewed -> absent entirely
+        ("u5", t(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    per = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert set(per) == {"u1", "u2", "u3", "u4"}
+    assert per["u1"] == (t(1), t(2), t(3))
+    assert per["u2"][1] is None and per["u3"][1] is None
+    assert per["u4"] == (t(1), None, None)
+
+    r = funnel_report(ev, ["view", "click", "purchase"]).collect()[0]
+    assert (r.n_step1, r.n_step2, r.n_step3) == (4, 1, 1)
+    assert (r.conv_step2_bp, r.conv_step3_bp) == (2500, 2500)
+
+
+def test_funnel_conversion_window_excludes_late_steps(spark):
+    import datetime as dt
+
+    from hse_etl_ochirov_aldar_spark.operators.funnel import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    rows = [
+        ("u1", t(0), "view"), ("u1", t(5), "click"),    # within 10 min
+        ("u2", t(0), "view"), ("u2", t(20), "click"),   # too late
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    per = {
+        r.user_id: r.t2
+        for r in funnel_steps(
+            ev, ["view", "click"], window_seconds=600
+        ).collect()
+    }
+    assert per["u1"] == t(5) and per["u2"] is None
