@@ -2091,6 +2091,99 @@ FROM c
 """
 
 
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history (operators/scd.scd2_history): each
+    user's event stream becomes validity intervals — valid_from /
+    valid_to / is_current per version — the point-in-time answer the
+    reference's keep-newest upsert throws away. One key shuffle, one
+    lead window; oracle is the same lead in SQL."""
+    from .operators.scd import scd2_history
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    hist = scd2_history(ev, ["user_id"], "ts", tiebreak_col="event_id")
+    return hist.select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to",
+        "is_current",
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+ORACLE_SCD2_USER_HISTORY = """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+WHERE user_id < 30 AND ts IS NOT NULL
+ORDER BY user_id, valid_from, event_id
+"""
+
+
+def q_experiment_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into control/treatment by
+    the deterministic md5 hash bucket (sampling.split_assign
+    machinery — retry-safe, recomputable by any engine), then each
+    arm's purchase-value stats in exact integer cents: n_users,
+    n_events, total value, and the exact half-up mean. The uplift
+    column is the arm-mean difference in cents — pure BIGINT until one
+    final double division. Assignment never shuffles (row-local md5);
+    the readout is one keyed aggregate."""
+    from .operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    arm = F.when(hash_bucket("user_id", 2) == 0, "control").otherwise(
+        "treatment"
+    )
+    val_u = units("value")
+    return (
+        ev.select(arm.alias("arm"), "user_id", val_u.alias("__v"))
+        .groupBy("arm")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__v").alias("sum_value_u"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "n_events",
+            as_value("sum_value_u").alias("total_value"),
+            avg_units_expr("sum_value_u", "n_events", 2, 2).alias(
+                "mean_value"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
+ORACLE_EXPERIMENT_UPLIFT = f"""
+WITH ev AS (
+  SELECT CASE WHEN {_oracle_hash32("CAST(user_id AS VARCHAR)")} % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm,
+         user_id, {oracle_units('value')} AS v
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+g AS (
+  SELECT arm, count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events,
+         CAST(sum(v) AS BIGINT) AS sum_u
+  FROM ev GROUP BY arm
+)
+SELECT arm, n_users, n_events,
+       CAST(sum_u AS DOUBLE) / 100.0 AS total_value,
+       {oracle_avg_units('sum_u', 'n_events', 2, 2)} AS mean_value
+FROM g ORDER BY arm
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -6365,6 +6458,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline_v4": q_curation_pipeline_v4,
     "mixed_media_features": q_mixed_media_features,
     "funnel_conversion": q_funnel_conversion,
+    "scd2_user_history": q_scd2_user_history,
+    "experiment_uplift": q_experiment_uplift,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -6478,6 +6573,8 @@ ORACLES: dict[str, str] = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "mixed_media_features": ORACLE_MIXED_MEDIA_FEATURES,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "scd2_user_history": ORACLE_SCD2_USER_HISTORY,
+    "experiment_uplift": ORACLE_EXPERIMENT_UPLIFT,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -6594,6 +6691,8 @@ BENCH_QUERIES: list[str] = [
     "curation_pipeline_v4",
     "mixed_media_features",
     "funnel_conversion",
+    "scd2_user_history",
+    "experiment_uplift",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",

@@ -823,3 +823,28 @@ def test_funnel_conversion_window_excludes_late_steps(spark):
         ).collect()
     }
     assert per["u1"] == t(5) and per["u2"] is None
+
+
+def test_scd2_intervals_tile_without_gaps(spark):
+    """Per key: intervals are adjacent (valid_to == next valid_from),
+    exactly one current row, NULL-ts versions dropped."""
+    import datetime as dt
+
+    from hse_etl_ochirov_aldar_spark.operators.scd import scd2_history
+
+    t = lambda h: dt.datetime(2024, 3, 1, h)
+    rows = [
+        ("k1", 1, t(1)), ("k1", 2, t(5)), ("k1", 3, t(3)),
+        ("k2", 4, t(2)), ("k2", 5, None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ver", "ts"])
+    hist = scd2_history(df, ["k"], "ts", tiebreak_col="ver").collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    assert len(by_key["k2"]) == 1 and by_key["k2"][0].is_current
+    k1 = sorted(by_key["k1"], key=lambda r: r.valid_from)
+    assert [r.ver for r in k1] == [1, 3, 2]
+    for a, b in zip(k1, k1[1:]):
+        assert a.valid_to == b.valid_from and not a.is_current
+    assert k1[-1].is_current and k1[-1].valid_to is None
