@@ -2184,6 +2184,119 @@ FROM g ORDER BY arm
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: per user-ordered
+    event stream, count (event_type -> next event_type) pairs — the
+    Markov-chain census behind "what do users do after X" product
+    questions. One key shuffle + one lead window over (ts, event_id);
+    the matrix itself is #types² rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("type_from"),
+            F.col("next_type").alias("type_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("type_from", "type_to")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS type_from,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS type_to
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT type_from, type_to, count(*) AS n_transitions
+FROM pairs WHERE type_to IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_mad_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median and MAD (median
+    absolute deviation) in exact integer cents, flagging values with
+    |v - median| > 3·MAD — the heavy-tail-safe alternative to z-scores
+    (one wild sensor can't drag its own threshold the way it drags a
+    mean/stddev). Medians of integer cents are exact half-integers in
+    BOTH engines (percentile_cont linear interpolation), so every
+    comparison is engine-exact.
+
+    Plan: two grouped exact-percentile aggregates (value median, then
+    deviation median) — each a map-side-combined digest, no per-group
+    sort — with group-count-sized broadcast joins back; one final
+    conditional rollup. Three scans of the filtered column is the
+    exact-MAD floor; the approx_percentile escape hatch applies as in
+    operators/percentile.py."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    vu = ev.select("event_type", units("value").alias("__v"))
+    med = vu.groupBy("event_type").agg(
+        F.percentile("__v", F.lit(0.5)).alias("__med")
+    )
+    dev = vu.join(F.broadcast(med), "event_type").select(
+        "event_type", "__v", "__med",
+        F.abs(F.col("__v") - F.col("__med")).alias("__dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("__dev", F.lit(0.5)).alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(
+                F.when(F.col("__dev") > 3 * F.col("__mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            (F.first("__med") / F.lit(100.0)).alias("median_value"),
+            (F.first("__mad") / F.lit(100.0)).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MAD_OUTLIER_SCREEN = f"""
+WITH vu AS (
+  SELECT event_type, {oracle_units('value')} AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS m
+  FROM vu GROUP BY event_type
+),
+dev AS (
+  SELECT vu.event_type, vu.v, med.m, abs(vu.v - med.m) AS d
+  FROM vu JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS md
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       count(*) AS n_values,
+       CAST(sum(CASE WHEN d > 3 * md THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(any_value(dev.m) AS DOUBLE) / 100.0 AS median_value,
+       CAST(any_value(md) AS DOUBLE) / 100.0 AS mad_value
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -6460,6 +6573,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "scd2_user_history": q_scd2_user_history,
     "experiment_uplift": q_experiment_uplift,
+    "event_transitions": q_event_transitions,
+    "mad_outlier_screen": q_mad_outlier_screen,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -6575,6 +6690,8 @@ ORACLES: dict[str, str] = {
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "scd2_user_history": ORACLE_SCD2_USER_HISTORY,
     "experiment_uplift": ORACLE_EXPERIMENT_UPLIFT,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "mad_outlier_screen": ORACLE_MAD_OUTLIER_SCREEN,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -6693,6 +6810,8 @@ BENCH_QUERIES: list[str] = [
     "funnel_conversion",
     "scd2_user_history",
     "experiment_uplift",
+    "event_transitions",
+    "mad_outlier_screen",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",
