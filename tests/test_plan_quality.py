@@ -397,3 +397,47 @@ def test_waiting_orders_blame_no_fact_rescan(spark, sf_dir):
     assert plan.count("orders.parquet") == 1
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_filters_before_shuffle(spark, sf_dir):
+    """The funnel scans push the event-type filter into the parquet
+    scan (only funnel types leave storage) and build no full-stream
+    window — each step is aggregate + key join."""
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    assert "Window" not in plan
+    assert "PushedFilters: [IsNotNull(ts), In(event_type" in plan or (
+        "In(event_type" in plan
+    )
+
+
+def test_scd2_single_window_single_shuffle(spark, sf_dir):
+    """SCD2 is one lead window over one key shuffle — no join, no
+    second sort of the dimension."""
+    plan = _plan(spark, sf_dir, "scd2_user_history")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_event_transitions_one_window_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_transitions")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_mad_screen_no_per_group_sort_bounds_broadcast(spark, sf_dir):
+    """Exact grouped medians run as ordered-set AGGREGATES (percentile
+    digests with map-side partials), never a per-group global sort;
+    both bounds frames come back as broadcasts."""
+    plan = _plan(spark, sf_dir, "mad_outlier_screen")
+    assert "Window" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "percentile" in plan
+
+
+def test_experiment_assignment_is_row_local(spark, sf_dir):
+    """Arm assignment is a row-local md5 expression — the only
+    exchange in the plan is the tiny per-arm aggregate (plus its
+    map-side partial), no repartition by user."""
+    plan = _plan(spark, sf_dir, "experiment_uplift")
+    assert "Window" not in plan
+    assert "md5" in plan
