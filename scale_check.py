@@ -540,6 +540,32 @@ def main() -> None:
             .collect()[0][0]
         )
 
+    # funnel at 10M events / 100k users: k filtered aggregates + k-1
+    # key joins, no full-stream window
+    def funnel_10m():
+        from hse_etl_ochirov_aldar_spark.operators.funnel import (
+            funnel_report,
+        )
+
+        ev = spark.range(10_000_000).select(
+            (F.col("id") % 100_000).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.pmod(F.xxhash64("id"), 10_000_000)
+            ).alias("ts"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("error"),
+                ),
+                (F.pmod(F.xxhash64("id", F.lit(1)), 4) + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        r = funnel_report(
+            ev, ["view", "click", "purchase"], window_seconds=86400
+        ).collect()[0]
+        return int(r["n_step3"])
+
+    timed("funnel_10m_events", funnel_10m)
     timed("ppm_decode_500k_images", ppm_decode_500k)
     timed("ngram_diversity_2m_docs", ngram_diversity_2m)
     timed("ngram_diversity_2m_docs_approx", ngram_diversity_2m_approx)
