@@ -2297,6 +2297,71 @@ ORDER BY dev.event_type
 """
 
 
+def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics on relational data: connected components of the
+    part co-purchase graph (parts are adjacent when they appear in the
+    same order) — the text_dedup clustering engine
+    (connected_components_min: distributed min-label propagation with
+    the size-gated driver union-find) exposed as a first-class catalog
+    operator. Per-component census keyed by the minimum member.
+
+    Plan: the edge list is a self-join of the part-filtered lineitem
+    projection on orderkey (two-column scans, DISTINCT on the pair) —
+    facts shuffle once; the component loop then runs over the
+    pair-graph only, orders of magnitude smaller. Oracle: recursive
+    transitive closure."""
+    from .operators.text_dedup import connected_components_min
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 60)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comp = connected_components_min(edges)
+    return (
+        comp.groupBy(F.col("rep").alias("component_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max("id").alias("max_part"),
+        )
+        .orderBy("component_rep")
+    )
+
+
+ORACLE_COPURCHASE_COMPONENTS = """
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 60
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS ea, b.l_partkey AS eb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT ea AS a, eb AS b FROM e UNION ALL SELECT eb, ea FROM e
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, x.b FROM reach r JOIN edges x ON r.b = x.a
+),
+clusters AS (
+  SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a
+)
+SELECT rep AS component_rep, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(max(id) AS BIGINT) AS max_part
+FROM clusters GROUP BY rep ORDER BY component_rep
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -6575,6 +6640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "experiment_uplift": q_experiment_uplift,
     "event_transitions": q_event_transitions,
     "mad_outlier_screen": q_mad_outlier_screen,
+    "copurchase_components": q_copurchase_components,
     "clean_percentile_trim": q_clean_percentile_trim,
     "daily_avg": q_daily_avg,
     "topk_extremes": q_topk_extremes,
@@ -6692,6 +6758,7 @@ ORACLES: dict[str, str] = {
     "experiment_uplift": ORACLE_EXPERIMENT_UPLIFT,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "mad_outlier_screen": ORACLE_MAD_OUTLIER_SCREEN,
+    "copurchase_components": ORACLE_COPURCHASE_COMPONENTS,
     "clean_percentile_trim": ORACLE_CLEAN_PERCENTILE_TRIM,
     "daily_avg": ORACLE_DAILY_AVG,
     "topk_extremes": ORACLE_TOPK_EXTREMES,
@@ -6812,6 +6879,7 @@ BENCH_QUERIES: list[str] = [
     "experiment_uplift",
     "event_transitions",
     "mad_outlier_screen",
+    "copurchase_components",
     "clean_percentile_trim",
     "grouped_percentile_trim",
     "daily_avg",
