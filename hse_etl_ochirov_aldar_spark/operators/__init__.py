@@ -1,5 +1,7 @@
 from .aggregates import conditional_count, daily_avg, mode_by_group
 from .dedup import dedup_keep_first
+from .funnel import funnel_report, funnel_steps
+from .scd import scd2_history
 from .diversity import ngram_diversity_stats
 from .normalize import (
     assemble_trajectories,
@@ -47,6 +49,9 @@ __all__ = [
     "daily_avg",
     "mode_by_group",
     "dedup_keep_first",
+    "funnel_report",
+    "funnel_steps",
+    "scd2_history",
     "ngram_diversity_stats",
     "assemble_trajectories",
     "chunk_documents",
