@@ -20,3 +20,7 @@ lint-oracles:
 
 bench:
 	python bench.py
+
+# Synthetic multi-million-row scale checks (results recorded in PERF.md).
+scale:
+	python scale_check.py
