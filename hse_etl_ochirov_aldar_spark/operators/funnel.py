@@ -86,10 +86,14 @@ def funnel_report(
     for i in range(2, len(steps) + 1):
         aggs.append(F.count(F.col(f"t{i}")).alias(f"n_step{i}"))
     summary = per_user.agg(*aggs)
+    # zero guard: with no step-1 completers Spark's `div` yields NULL
+    # while SQL `//` raises division-by-zero — pin the empty funnel to
+    # 0 bp on both engines (oracle mirrors the CASE)
     convs = [
-        F.expr(f"CAST(n_step{i} * 10000 div n_step1 AS BIGINT)").alias(
-            f"conv_step{i}_bp"
-        )
+        F.expr(
+            f"CAST(CASE WHEN n_step1 > 0 "
+            f"THEN n_step{i} * 10000 div n_step1 ELSE 0 END AS BIGINT)"
+        ).alias(f"conv_step{i}_bp")
         for i in range(2, len(steps) + 1)
     ]
     return summary.select("*", *convs)

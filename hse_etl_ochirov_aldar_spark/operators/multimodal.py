@@ -140,6 +140,11 @@ def decode_wav(payload: bytes):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
+        if cid in (b"fmt ", b"data") and len(body) != size:
+            # a truncated chunk would otherwise be silently sliced
+            # short -> wrong checksum/duration (decode_ppm's truncated-
+            # pixel check is the precedent: corrupt input must raise)
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

@@ -251,6 +251,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Diversity-balanced sampling over LEARNED clusters — the D4-style
     coreset draw (Tirumala et al. 2023): fit the deterministic integer
@@ -270,10 +271,16 @@ def cluster_balanced_sample(
     (n_cells values — AQE splits the big cells); per-cluster counts
     collect to the driver bounded by n_cells. Returns sampled rows
     with a ``cluster_id`` column.
+
+    ``centroids`` (micro-unit int vectors) skips the in-line fit —
+    the production shape for repeated draws over one corpus, mirroring
+    semantic_dedup(centroids=): fit once offline with
+    exact_kmeans_centroids, reuse per draw. Without it every call pays
+    ``iters`` extra full scans, which at 100 TB dwarfs the draw itself.
     """
     from .similarity import _cell_ranks, exact_kmeans_centroids, micro_vec
 
-    cents = exact_kmeans_centroids(
+    cents = centroids if centroids is not None else exact_kmeans_centroids(
         vectors, n_cells, iters, id_col, vec_col, scale
     )
     labeled = vectors.withColumn(

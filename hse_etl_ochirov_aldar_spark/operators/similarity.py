@@ -509,7 +509,7 @@ def _int_l2sq(vcol: Column, cent: list[int]) -> Column:
     """Exact squared L2 between a BIGINT micro-vector column and a
     literal centroid. Bounds: |component| <= ~1e6 micro-units, so each
     square <= ~4e12 and a 64-dim sum <= ~3e14 — far inside BIGINT."""
-    arr = F.array(*[F.lit(int(c)) for c in cent])
+    arr = F.lit([int(c) for c in cent])
     return F.aggregate(
         F.zip_with(vcol, arr, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -519,17 +519,27 @@ def _int_l2sq(vcol: Column, cent: list[int]) -> Column:
 
 def _cell_ranks(vcol: Column, cents: list[list[int]]) -> Column:
     """Array of cell ids sorted by (exact distance, cell_id) — struct
-    ordering gives the deterministic tie-break for free."""
+    ordering gives the deterministic tie-break for free.
+
+    The centroid matrix enters the plan as ONE array<array<bigint>>
+    literal and the per-cell distance is an indexed transform over it,
+    not n_cells x dims separate F.lit nodes: the unrolled form built a
+    ~4k-node expression tree whose Catalyst analysis alone cost ~1s
+    PER ITERATION of the Lloyd loop (measured r4; the fit does iters+2
+    such plans), swamping the actual work on small inputs."""
+    mat = F.lit([[int(x) for x in c] for c in cents])
     return F.transform(
         F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        _int_l2sq(vcol, c).alias("d"),
-                        F.lit(i).cast("long").alias("cell_id"),
-                    )
-                    for i, c in enumerate(cents)
-                ]
+            F.transform(
+                mat,
+                lambda cent, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(vcol, cent, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    i.cast("long").alias("cell_id"),
+                ),
             )
         ),
         lambda s: s["cell_id"],
@@ -573,34 +583,48 @@ def exact_kmeans_centroids(
     """
     from .text_dedup import md5_hash32
 
-    qv = vectors.select(
-        F.col(id_col).alias("_id"), micro_vec(F.col(vec_col), scale).alias("_v")
-    )
-    init_rows = (
-        qv.orderBy(md5_hash32(F.col("_id").cast("string")), F.col("_id"))
-        .limit(n_cells)
-        .collect()
-    )
-    cents = [[int(x) for x in r["_v"]] for r in init_rows]
-    dims = len(cents[0])
-    for _ in range(iters):
-        assigned = qv.select(
-            F.element_at(_cell_ranks(F.col("_v"), cents), 1).alias("_cell"),
-            "_v",
+    # _spread: a small corpus read from one parquet file would run every
+    # assign scan's interpreted-HOF distance math on a single core; at
+    # real scale the guard makes this a no-op. cache(): the projection
+    # is re-scanned iters+1 times; eviction under memory pressure just
+    # recomputes — at 100 TB swap for a written-out quantized staging
+    # table (same plan shape, storage-backed).
+    qv = _spread(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            micro_vec(F.col(vec_col), scale).alias("_v"),
         )
-        agg = assigned.groupBy("_cell").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.element_at(F.col("_v"), i + 1)).alias(f"_s{i}")
-                for i in range(dims)
-            ],
+    )
+    qv = qv.cache()
+    try:
+        init_rows = (
+            qv.orderBy(md5_hash32(F.col("_id").cast("string")), F.col("_id"))
+            .limit(n_cells)
+            .collect()
         )
-        new_cents = [list(c) for c in cents]
-        for r in agg.collect():  # <= n_cells rows, bounded
-            new_cents[int(r["_cell"])] = [
-                _halfup_div(int(r[f"_s{i}"]), int(r["_n"])) for i in range(dims)
-            ]
-        cents = new_cents
+        cents = [[int(x) for x in r["_v"]] for r in init_rows]
+        dims = len(cents[0])
+        for _ in range(iters):
+            assigned = qv.select(
+                F.element_at(_cell_ranks(F.col("_v"), cents), 1).alias("_cell"),
+                "_v",
+            )
+            agg = assigned.groupBy("_cell").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at(F.col("_v"), i + 1)).alias(f"_s{i}")
+                    for i in range(dims)
+                ],
+            )
+            new_cents = [list(c) for c in cents]
+            for r in agg.collect():  # <= n_cells rows, bounded
+                new_cents[int(r["_cell"])] = [
+                    _halfup_div(int(r[f"_s{i}"]), int(r["_n"]))
+                    for i in range(dims)
+                ]
+            cents = new_cents
+    finally:
+        qv.unpersist()
     return cents
 
 
@@ -615,6 +639,7 @@ def ivf_kmeans_exact_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     scale: int = 6,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """End-to-end IVF search on the exact-arithmetic quantizer: fit
     (exact_kmeans_centroids) -> label corpus (1 cell each, literal
@@ -625,8 +650,13 @@ def ivf_kmeans_exact_topk(
     oracle (ORACLE_ANN_IVF_KMEANS) that re-derives the same centroids,
     labels, probes, and ranking. Search cost is the same
     ~n_probe/n_cells corpus fraction per query.
+
+    ``centroids`` (micro-unit int vectors) skips the in-line fit — the
+    production IVF shape: the coarse quantizer is fit once offline and
+    reused for every search batch (same seam as semantic_dedup /
+    cluster_balanced_sample).
     """
-    cents = exact_kmeans_centroids(
+    cents = centroids if centroids is not None else exact_kmeans_centroids(
         corpus, n_cells, iters, id_col, vec_col, scale
     )
     labeled = corpus.select(

@@ -231,8 +231,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(id, rep) per node via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the deep-chain-safe distributed CC.
+
+    Min-label propagation needs rounds = component DIAMETER: an
+    adversarial 10k-deep dup chain (crawl rings, boilerplate ladders)
+    at 100 TB would run 10k shuffle rounds. Star contraction converges
+    in O(log^2 n) rounds regardless of diameter, because every round
+    rewires whole neighborhoods onto their minimum:
+
+    - large-star: every node u points its STRICTLY LARGER neighbors at
+      m = min(neighborhood(u) + u);
+    - small-star: every node u points its smaller-or-equal neighbors
+      (and itself) at m = min of those.
+
+    Each phase is one edge-keyed groupBy + join (map-side combinable),
+    canonicalized and distinct'ed, localCheckpoint'ed so the plan stays
+    flat. Convergence = the canonical edge set stops changing, detected
+    by an exact (count, xxhash64-sum) signature — one tiny aggregate
+    per round instead of a full exceptAll shuffle. At fixpoint the
+    edges form stars rooted at each component's minimum id.
+    """
+    edges = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = None
+    for _ in range(max_iter):
+        # ---- large-star ----
+        nbrs = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        edges = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star ---- (neighbors of u that are <= u, keyed on u)
+        sml = edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = sml.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            sml.join(smins, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(
+                smins.select(F.col("m").alias("a"), F.col("u").alias("b"))
+            )
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("a", "b")).alias("h")
+        ).first()
+        new_sig = (row["n"], row["h"])
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return (
+        edges.select(F.col("b").alias("id"), F.col("a").alias("rep"))
+        .unionByName(edges.select(F.col("a").alias("id"), F.col("a").alias("rep")))
+        .distinct()
+    )
+
+
 def connected_components_min(
-    pairs: DataFrame, max_iter: int = 25, collect_threshold: int = 100_000
+    pairs: DataFrame,
+    max_iter: int = 25,
+    collect_threshold: int = 100_000,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(id, rep) for every id in the pair graph: ``rep`` is the minimum
     id of the node's connected component.
@@ -256,9 +338,16 @@ def connected_components_min(
     on a near-idle cluster; measured 2x slower cold at sf0.1) — then
     either collected for a driver union-find (replacing 2-3 rounds x
     (shuffle join + checkpoint + convergence count) of fixed per-job
-    overhead) or left cached for the fixpoint loop, which reuses the
-    materialized partitions every round. Set ``collect_threshold=0``
-    to force the fixpoint.
+    overhead) or handed to the distributed path. Set
+    ``collect_threshold=0`` to force the distributed path.
+
+    ``algorithm`` picks the distributed path: ``"star"`` (default) is
+    the large-star/small-star contraction (connected_components_star)
+    whose rounds are O(log^2 n) independent of component diameter — the
+    100 TB-safe choice; ``"minlabel"`` is min-label propagation to
+    fixpoint, one shuffle per round but rounds = component diameter —
+    cheaper per round on the shallow clusters near-dedup usually
+    produces.
     """
     und = pairs.select("id_a", "id_b").distinct().persist()
     n_pairs = und.count()
@@ -289,6 +378,11 @@ def connected_components_min(
         return pairs.sparkSession.createDataFrame(
             out, f"id {id_type}, rep {id_type}"
         )
+    if algorithm == "star":
+        try:
+            return connected_components_star(und, max_iter=max_iter * 2)
+        finally:
+            und.unpersist()
     edges = und.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(und.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

@@ -565,6 +565,31 @@ def main() -> None:
         ).collect()[0]
         return int(r["n_step3"])
 
+    # star-contraction CC on an adversarial DEEP CHAIN: 10k-diameter
+    # path graph plus bulk shallow components. Min-label propagation
+    # would need 10k rounds here; large-star/small-star must finish in
+    # O(log^2) rounds (the 100 TB crawl-ring case).
+    def cc_star_deep_chain():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            connected_components_star,
+        )
+
+        chain = spark.range(10_000).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        # 100k extra 2-node components so the edge volume is not toy
+        bulk = spark.range(100_000).select(
+            (F.col("id") * 2 + 1_000_000).alias("id_a"),
+            (F.col("id") * 2 + 1_000_001).alias("id_b"),
+        )
+        labels = connected_components_star(chain.unionByName(bulk))
+        # every chain node must land on rep 0
+        return (
+            labels.where((F.col("id") <= 10_000) & (F.col("rep") == 0))
+            .count()
+        )
+
+    timed("cc_star_10k_deep_chain", cc_star_deep_chain)
     timed("funnel_10m_events", funnel_10m)
     timed("ppm_decode_500k_images", ppm_decode_500k)
     timed("ngram_diversity_2m_docs", ngram_diversity_2m)

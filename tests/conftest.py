@@ -16,6 +16,20 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _drop_query_caches(request):
+    """QUERIES contract (queries.py): entries that persist() a rollup
+    rely on the consumer clearing cache between entries — do it after
+    every test so a session-scoped SparkSession never accumulates
+    cached relations across the suite."""
+    yield
+    if "spark" in request.fixturenames:
+        try:
+            request.getfixturevalue("spark").catalog.clearCache()
+        except Exception:
+            pass
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR

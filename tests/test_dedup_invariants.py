@@ -168,6 +168,68 @@ def test_connected_components_min_fixpoint(spark):
         for r in connected_components_min(pairs, collect_threshold=0).collect()
     }
     assert dist == want
+    # explicit minlabel path must agree too
+    ml = {
+        (r.id, r.rep)
+        for r in connected_components_min(
+            pairs, collect_threshold=0, algorithm="minlabel"
+        ).collect()
+    }
+    assert ml == want
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Star contraction must agree exactly with driver union-find on a
+    randomized multi-component graph (chains, a clique, a star, and
+    isolated pairs; seeded so the case is reproducible)."""
+    import random
+
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(1234)
+    edges: list[tuple[int, int]] = []
+    edges += [(i, i + 1) for i in range(0, 60)]                 # chain
+    edges += [(1000 + a, 1000 + b) for a in range(8) for b in range(a)]  # clique
+    edges += [(2000, 2000 + i) for i in range(1, 10)]           # star
+    edges += [(3000 + 2 * i, 3001 + 2 * i) for i in range(5)]   # pairs
+    nodes = sorted({n for e in edges for n in e})
+    extra = [tuple(rng.sample(nodes, 2)) for _ in range(40)]    # random merges
+    edges += extra
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in nodes}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r.id, r.rep) for r in connected_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_connected_components_star_deep_chain_few_rounds(spark):
+    """A 512-deep path graph (diameter 512) must collapse with the
+    star algorithm's O(log^2 n) rounds — max_iter=12 would take
+    min-label propagation only 12 of the 512 hops it needs."""
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(512)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.rep) for r in connected_components_star(pairs, max_iter=12).collect()}
+    assert got == {(i, 0) for i in range(513)}
 
 
 def test_lsh_bucket_cap_bounds_pair_count(spark):

@@ -247,6 +247,17 @@ def test_decode_wav_parses_real_riff_chunks():
     with _pytest.raises(ValueError, match="mono"):
         decode_wav(bad)
 
+    # a data chunk whose declared size exceeds the remaining bytes must
+    # raise, not silently slice short (wrong checksum/duration otherwise)
+    trunc_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 100) + samples.tobytes()  # 40 < 100
+    )
+    trunc = b"RIFF" + struct.pack("<I", len(trunc_body)) + trunc_body
+    with _pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(trunc)
+
 
 def test_sniff_decoder_routes_by_magic():
     from hse_etl_ochirov_aldar_spark.operators.multimodal import sniff_decoder

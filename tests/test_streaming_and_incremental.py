@@ -805,6 +805,20 @@ def test_funnel_strict_sequential_semantics(spark):
     assert (r.conv_step2_bp, r.conv_step3_bp) == (2500, 2500)
 
 
+def test_funnel_report_empty_funnel_pins_zero_conversion(spark):
+    """With zero step-1 completers the conversion must be 0 bp, not
+    NULL (Spark `div` by 0) or an error (SQL `//` by 0) — the engine-
+    divergence edge ADVICE r3 flagged."""
+    import datetime as dt
+
+    from hse_etl_ochirov_aldar_spark.operators.funnel import funnel_report
+
+    rows = [("u1", dt.datetime(2024, 1, 1), "click")]  # no 'view' at all
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    r = funnel_report(ev, ["view", "click"]).collect()[0]
+    assert (r.n_step1, r.n_step2, r.conv_step2_bp) == (0, 0, 0)
+
+
 def test_funnel_conversion_window_excludes_late_steps(spark):
     import datetime as dt
 
