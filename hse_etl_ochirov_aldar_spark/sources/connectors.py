@@ -17,8 +17,12 @@ Postgres JDBC driver jar nor the Mongo connector package, so the
 ``read_*`` entry points probe availability and raise a clear error
 naming the missing artifact; the option-building and partition-planning
 logic (where the 100 TB correctness lives) is pure and fully unit
-tested, and the parquet stand-ins behind plans/reference_pipelines.py's
-``load_table`` seam remain the sandbox execution path.
+tested. The JDBC path IS executed for real against embedded Apache
+Derby (bundled with Spark): tests/test_connectors.py round-trips a
+table through the JDBC sink and reads it back with bounds-sharded,
+predicate-sharded, and filter-pushdown reads. The parquet stand-ins
+behind plans/reference_pipelines.py's ``load_table`` seam remain the
+execution path for reference pipelines.
 
 Scale notes (what makes a JDBC read survive a big table):
 

@@ -90,3 +90,80 @@ def test_mongo_read_missing_connector_is_a_clear_error(spark):
     opts = mongo_read_options("mongodb://nohost:27017", "app", "c")
     with pytest.raises(RuntimeError, match="mongodb datasource"):
         read_mongo_collection(spark, opts)
+
+
+# ---------------------------------------------------------------------------
+# REAL JDBC round-trip against embedded Apache Derby (bundled with Spark):
+# the options built by jdbc_read_options are EXECUTED, not just
+# constructed — partitioned parallel read, predicate-sharded read, and
+# filter pushdown all run against a live JDBC database.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def derby_people(spark, tmp_path_factory):
+    """A 100-row Derby table written through Spark's JDBC sink."""
+    db = str(tmp_path_factory.mktemp("derby") / "peopledb")
+    url = f"jdbc:derby:{db};create=true"
+    (
+        spark.range(100)
+        .selectExpr("id", "cast(id * 2 as double) as v")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "people")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite")
+        .save()
+    )
+    return url
+
+
+def test_jdbc_partitioned_read_executes(spark, derby_people):
+    """Bounds-based sharding must produce numPartitions real partitions
+    and the full row set (stride predicates are open-ended, so rows on
+    the bound edges are not lost)."""
+    opts = jdbc_read_options(derby_people, "people", "", "")
+    opts.update(
+        {
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "partitionColumn": "id",
+            "lowerBound": "10",   # deliberately not covering [0, 100)
+            "upperBound": "90",
+            "numPartitions": "3",
+        }
+    )
+    df = read_jdbc_table(spark, opts)
+    assert df.rdd.getNumPartitions() == 3
+    rows = {(r.id, r.v) for r in df.collect()}
+    assert rows == {(i, float(i * 2)) for i in range(100)}
+
+
+def test_jdbc_predicate_read_executes(spark, derby_people):
+    """Explicit predicates: one partition per predicate; disjoint +
+    covering predicates reconstruct the table exactly."""
+    opts = jdbc_read_options(derby_people, "people", "", "")
+    opts["driver"] = "org.apache.derby.jdbc.EmbeddedDriver"
+    # predicates are injected verbatim into the remote WHERE clause:
+    # quote identifiers to match the DDL Spark's JDBC sink generated
+    # (Derby folds unquoted names to uppercase)
+    df = read_jdbc_table(
+        spark,
+        opts,
+        predicates=['"id" < 40', '"id" >= 40 AND "id" < 70', '"id" >= 70'],
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 100
+    assert df.agg({"id": "sum"}).collect()[0][0] == sum(range(100))
+
+
+def test_jdbc_filter_pushdown_reaches_the_database(spark, derby_people):
+    """A .where() on the JDBC frame must appear as PushedFilters in the
+    scan — the predicate runs IN the database, not post-transfer."""
+    opts = jdbc_read_options(derby_people, "people", "", "")
+    opts["driver"] = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = read_jdbc_table(spark, opts).where("id < 10").select("id")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "PushedFilters" in plan and "LessThan(id,10)" in plan
+    assert df.count() == 10

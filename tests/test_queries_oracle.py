@@ -61,3 +61,31 @@ def test_query_runs_nonempty(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_percentile_trim_tracks_exact(spark, sf_dir):
+    """The rows-only approx entry must keep a row count within 2% of
+    the exact trim's (the sketch moves only the band EDGES, so the kept
+    set can differ slightly but its size must not drift)."""
+    n_exact = QUERIES["clean_percentile_trim"](spark, sf_dir).count()
+    n_approx = QUERIES["clean_percentile_trim_approx"](spark, sf_dir).count()
+    assert n_exact > 0
+    assert abs(n_approx - n_exact) <= max(5, 0.02 * n_exact)
+
+
+def test_approx_ngram_diversity_tracks_exact(spark, sf_dir):
+    """HLL distinct estimates must land within 5% of the exact census
+    per slice (rsd=0.01 gives ~1% standard error; 5% is the hard
+    failure line), and the exact-path columns must match exactly."""
+    exact = {r["source"]: r.asDict() for r in QUERIES["ngram_diversity"](spark, sf_dir).collect()}
+    approx = {r["source"]: r.asDict() for r in QUERIES["ngram_diversity_approx"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        # exact-path columns identical
+        for c in ("n_tokens", "n_bigrams", "n_trigrams",
+                  "distinct_unigrams", "unigram_entropy", "ttr_bp"):
+            assert a[c] == e[c], (src, c)
+        for c in ("distinct_bigrams", "distinct_trigrams"):
+            if e[c]:
+                assert abs(a[c] - e[c]) / e[c] <= 0.05, (src, c, a[c], e[c])
