@@ -565,6 +565,47 @@ def main() -> None:
         ).collect()[0]
         return int(r["n_step3"])
 
+    # sf1.0-equivalent flagship: the full keep-best near-dedup ->
+    # diversity-report composition (the catalog's curation_pipeline_v4
+    # shape) on 153k distinct synthetic docs with 2% injected near-dups
+    # — a decade above the sf0.1 gate scale, to confirm the LSH banding
+    # + star CC + census story stays ~linear (measured r4: 51k 7.1s ->
+    # 153k 12.8s, 3x data for 1.8x time).
+    def keep_best_curation_150k():
+        from hse_etl_ochirov_aldar_spark.functions.text import token_count
+        from hse_etl_ochirov_aldar_spark.operators.diversity import (
+            ngram_diversity_stats,
+        )
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            minhash_dedup_keep_best,
+        )
+
+        n = 150_000
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.concat(
+                F.lit("w"), (F.pmod(F.xxhash64(F.col("id"), i), 8000)).cast("string")
+            ),
+        )
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("lang"), (F.col("id") % 5).cast("string")).alias("lang"),
+            F.concat_ws(" ", words).alias("text"),
+        )
+        dups = base.where(F.col("doc_id") < n // 50).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "lang",
+            F.concat("text", F.lit(" nearduplicate tail")).alias("text"),
+        )
+        docs = base.unionByName(dups)
+        kept = minhash_dedup_keep_best(
+            docs, token_count(F.col("text")), threshold=0.6
+        )
+        ngram_diversity_stats(kept, "lang", "text").collect()
+        return kept.count()
+
+    timed("keep_best_curation_150k_docs", keep_best_curation_150k)
+
     # star-contraction CC on an adversarial DEEP CHAIN: 10k-diameter
     # path graph plus bulk shallow components. Min-label propagation
     # would need 10k rounds here; large-star/small-star must finish in
