@@ -1,0 +1,2316 @@
+"""LLM corpus curation: Gopher quality screens, PII redaction,
+deterministic splits and sampling, decontamination, multimodal
+features, behavioral analytics, and the ANN family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import month_of
+from ..functions.exact import (
+    as_value,
+    avg_units_expr,
+    oracle_avg_units,
+    oracle_avg_value,
+    oracle_sum_value,
+    oracle_units,
+    oracle_units_sum,
+    units,
+    units_sum,
+)
+from ..functions.text import (
+    BPE_TOKEN_REGEX,
+    STOPWORDS,
+    bpe_token_count,
+    char_fingerprint,
+    predicted_lang,
+    stopword_count,
+    token_count,
+    whitespace_tokens,
+)
+from ..operators.aggregates import conditional_count, daily_avg, mode_by_group
+from ..operators.dedup import dedup_keep_first
+from ..operators.percentile import percentile_trim
+from ..operators.similarity import brute_force_topk, embedding_near_dedup, ivf_topk
+from ..operators.text_dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    segment_boilerplate_removal,
+    simhash_near_pairs,
+)
+from ..operators.topk import topk_extremes
+from ..sources.readers import load_table
+
+from ._base import (  # noqa: F401  (shared helpers re-used across modules)
+    _DECONTAM_CLEAN_PROMPTS,
+    _EVENT_KINDS,
+    _ORACLE_DAILY_SELECT,
+    _SHINGLE8,
+    _ORACLE_EVENTS_BASE,
+    _docs_with_near_dups,
+    _events_base,
+    _kmeans_label_ctes,
+    _oracle_hash32,
+    embeddings_centroids,
+)
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filtering (Rae et al. 2021 §A1.1), PII redaction,
+# deterministic splits, and per-domain quota sampling — the corpus-curation
+# layer of an LLM training-data pipeline. All signals are single divisions
+# of exact integer counts; all rules are engine-portable comparisons.
+# ---------------------------------------------------------------------------
+
+# Deterministic rule-trigger fixtures: each doc is crafted to trip a
+# specific Gopher screen. The SAME literals feed the Spark DataFrame and
+# the DuckDB oracle (generated below), so the two sides cannot drift.
+_GOPHER_BAD_DOCS: list[tuple[int, str]] = [
+    (9000001, "- alpha item one two three four five six\n"
+              "- beta item one two three four five six\n"
+              "- gamma item one two three four five six\n"
+              "- delta item one two three four five six"),  # bullet lines
+    (9000002, "alpha# beta# gamma delta epsilon zeta eta theta iota "
+              "kappa lambda mu"),  # symbol-to-word
+    (9000003, "first line goes here...\nsecond line goes after...\n"
+              "third line goes done...\nfourth line stays good"),  # ellipsis
+    (9000004, "same line here\nsame line here\nsame line here\n"
+              "same line here\nunique tail line"),  # duplicate lines
+    (9000005, "11 22 33 44 55 66 77 88 99 101 202 303"),  # no alpha words
+    (9000006, "tiny doc"),  # too short
+    (9000007, "pneumonoultramicroscopicsilicovolcanoconiosis "
+              "supercalifragilisticexpialidocious "
+              "floccinaucinihilipilification antidisestablishmentarianism "
+              "honorificabilitudinitatibus pseudopseudohypoparathyroidism "
+              "incomprehensibilities uncharacteristically "
+              "electroencephalographically otorhinolaryngological"),  # word len
+]
+
+_GOPHER_BAD_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT {i} AS doc_id, '{t}' AS text, 'en' AS lang"
+    for i, t in _GOPHER_BAD_DOCS
+)
+
+
+def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gopher-filter report: how many docs each quality
+    screen rejects, and how many survive all of them. Screens (public
+    Gopher/C4 heuristics): token-count band, mean word length 2-10,
+    symbol-to-word ratio <= 0.1, alpha-word ratio >= 0.8, bullet-line
+    ratio <= 0.9, ellipsis-line ratio <= 0.3, duplicate-line fraction
+    <= 0.3. Every signal is per-row column algebra (no shuffle before
+    the final agg); rule fixtures are injected deterministically."""
+    from ..functions.text import gopher_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    bad = spark.createDataFrame(
+        [(i, t, "en") for i, t in _GOPHER_BAD_DOCS], "doc_id LONG, text STRING, lang STRING"
+    )
+    corpus = docs.unionByName(bad)
+    text = F.col("text")
+    sig = gopher_signals(text)
+    scored = corpus.select(
+        "lang",
+        token_count(text).alias("n_tokens"),
+        sig["mwl"].alias("mwl"),
+        sig["symr"].alias("symr"),
+        sig["alphar"].alias("alphar"),
+        sig["bulletr"].alias("bulletr"),
+        sig["ellipsisr"].alias("ellipsisr"),
+        sig["dupliner"].alias("dupliner"),
+    )
+    fails = scored.select(
+        "lang",
+        ((F.col("n_tokens") < 10) | (F.col("n_tokens") > 100000)).alias("f_len"),
+        ~F.col("mwl").between(2.0, 10.0) | F.col("mwl").isNull(),
+        (F.col("symr") > 0.1).alias("f_symbol"),
+        (F.col("alphar") < 0.8).alias("f_alpha"),
+        (F.col("bulletr") > 0.9).alias("f_bullet"),
+        (F.col("ellipsisr") > 0.3).alias("f_ellipsis"),
+        (F.col("dupliner") > 0.3).alias("f_dupline"),
+    ).toDF(
+        "lang", "f_len", "f_mwl", "f_symbol", "f_alpha", "f_bullet",
+        "f_ellipsis", "f_dupline",
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).alias("n_" + c[2:])
+    kept = ~(
+        F.col("f_len") | F.col("f_mwl") | F.col("f_symbol") | F.col("f_alpha")
+        | F.col("f_bullet") | F.col("f_ellipsis") | F.col("f_dupline")
+    )
+    return fails.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        cnt("f_len"), cnt("f_mwl"), cnt("f_symbol"), cnt("f_alpha"),
+        cnt("f_bullet"), cnt("f_ellipsis"), cnt("f_dupline"),
+    )
+
+
+ORACLE_GOPHER_QUALITY_FILTERS = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+{_GOPHER_BAD_SQL}
+),
+scored AS (
+  SELECT lang,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / len(toks) AS mwl,
+         CAST(len(list_filter(toks, t -> contains(t, '#')
+              OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE)
+           / len(toks) AS symr,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+              AS DOUBLE) / len(toks) AS alphar,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END AS bulletr,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END AS ellipsisr,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END AS dupliner
+  FROM (SELECT lang,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS toks,
+               list_filter(string_split(text, chr(10)),
+                           x -> trim(x) <> '') AS lines
+        FROM corpus)
+),
+fails AS (
+  SELECT lang,
+         (n_tokens < 10 OR n_tokens > 100000) AS f_len,
+         NOT (mwl >= 2.0 AND mwl <= 10.0) AS f_mwl,
+         symr > 0.1 AS f_symbol,
+         alphar < 0.8 AS f_alpha,
+         bulletr > 0.9 AS f_bullet,
+         ellipsisr > 0.3 AS f_ellipsis,
+         dupliner > 0.3 AS f_dupline
+  FROM scored
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT (f_len OR f_mwl OR f_symbol OR f_alpha
+                 OR f_bullet OR f_ellipsis OR f_dupline)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+       CAST(sum(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+       CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       CAST(sum(CASE WHEN f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+       CAST(sum(CASE WHEN f_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis,
+       CAST(sum(CASE WHEN f_dupline THEN 1 ELSE 0 END) AS BIGINT) AS n_dupline
+FROM fails GROUP BY lang
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report: detect + redact emails/phones/IPs (conservative
+    Java-regex == RE2 patterns, functions/text.py PII_PATTERNS), per
+    source. PII strings are deterministically injected into the first 15
+    docs (the corpus has none) so every pattern is exercised; the exact
+    same concatenation runs in the oracle. chars_delta proves the
+    redaction rewrote the text (token substitution changes length)."""
+    from ..functions.text import pii_count, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1 555-"),
+        (F.col("doc_id") + 1000).cast("string"),
+        F.lit(" at 10.1."), F.col("doc_id").cast("string"),
+        F.lit(".77 today"),
+    )
+    with_pii = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") < 15, injected).otherwise(F.col("text")).alias("text"),
+    )
+    text = F.col("text")
+    per_doc = with_pii.select(
+        "source",
+        pii_count(text, "EMAIL").alias("n_em"),
+        pii_count(text, "PHONE").alias("n_ph"),
+        pii_count(text, "IP").alias("n_ip"),
+        (F.length(text) - F.length(redact_pii(text))).alias("delta"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_em").alias("n_emails"),
+        F.sum("n_ph").alias("n_phones"),
+        F.sum("n_ip").alias("n_ips"),
+        F.sum(
+            F.when((F.col("n_em") + F.col("n_ph") + F.col("n_ip")) > 0, 1).otherwise(0)
+        ).alias("n_pii_docs"),
+        F.sum("delta").alias("chars_delta"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+ORACLE_PII_REDACTION = f"""
+WITH with_pii AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id < 15
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or call +1 555-'
+                   || CAST(doc_id + 1000 AS VARCHAR)
+                   || ' at 10.1.' || CAST(doc_id AS VARCHAR) || '.77 today'
+              ELSE text END AS text
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_em,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_ph,
+         len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+         length(text) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS delta
+  FROM with_pii
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_em) AS BIGINT) AS n_emails,
+       CAST(sum(n_ph) AS BIGINT) AS n_phones,
+       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+       CAST(sum(CASE WHEN n_em + n_ph + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pii_docs,
+       CAST(sum(delta) AS BIGINT) AS chars_delta
+FROM per_doc GROUP BY source
+"""
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 hash bucket of
+    doc_id (operators/sampling.hash_split): reproducible run-to-run,
+    engine-portable (the oracle recomputes membership in SQL), and
+    row-local — no shuffle, unlike randomSplit which resamples on task
+    retry. Reports per-split doc/token/lang tallies plus sum(doc_id) as
+    a membership checksum."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(docs, "doc_id")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_TRAIN_VAL_TEST_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, lang, text,
+         {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM b GROUP BY 1
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split
+    (operators/sampling.leakage_safe_split): over the dup-injected
+    corpus, verified near-dup pairs (LSH -> Jaccard >= 0.6) collapse to
+    connected components, and the split is assigned by md5 of the
+    CLUSTER representative — so a near-copy can never land on the other
+    side of the eval boundary from its original (doc-keyed hash splits
+    leak here by construction). Per-split doc count + membership
+    checksum; the no-straddle invariant itself is pytest-asserted
+    (test_properties.py).
+
+    Oracle: same recursive transitive closure as
+    ORACLE_NEAR_DEDUP_MINHASH (LSH+verify == exact-Jaccard pairs on
+    this corpus, the proven 100%-recall invariant), then min-of-
+    component rep -> hash bucket -> split."""
+    from ..operators.sampling import leakage_safe_split
+    from ..operators.text_dedup import connected_components_min
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    verified = ngram_jaccard_pairs(
+        corpus, minhash_lsh_candidates(corpus), threshold=0.6
+    )
+    comp = connected_components_min(verified.select("id_a", "id_b"))
+    s = leakage_safe_split(corpus, comp, "doc_id")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+minreach AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+reps AS (
+  SELECT c.doc_id, least(c.doc_id, coalesce(m.mb, c.doc_id)) AS rep
+  FROM corpus c LEFT JOIN minreach m ON m.a = c.doc_id
+),
+b AS (
+  SELECT doc_id,
+         {_oracle_hash32("CAST(rep AS VARCHAR)")} % 100 AS bucket
+  FROM reps
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM b GROUP BY 1
+"""
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: cap every source domain at 15 docs, chosen by
+    hash order of doc_id (operators/sampling.quota_sample) — a
+    deterministic per-group uniform sample, the standard guard against
+    one domain dominating a training mix. sum(doc_id) checksums WHICH
+    docs were kept, not just how many."""
+    from ..operators.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = quota_sample(docs, "source", 15, "doc_id")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_DOMAIN_QUOTA_SAMPLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id, text,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked WHERE rn <= 15 GROUP BY source
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.5) mixture sample of 200 docs
+    across source domains (operators/sampling.temperature_mixture_sample):
+    quotas proportional to sqrt(domain size) via INTEGER-only arithmetic
+    (total * isqrt(n_g) // sum isqrt), so the oracle recomputes the
+    exact same quotas; within-domain selection is hash-order rank.
+    Report: per-source quota fill + sum(doc_id) membership checksum."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = temperature_mixture_sample(docs, "source", "doc_id", total=200)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM counts
+),
+quota AS (
+  SELECT source, (200 * wt) // (SELECT sum(wt) FROM w) AS q FROM w
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT r.source, count(*) AS n_sampled,
+       CAST(sum(r.doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked r JOIN quota USING (source)
+WHERE r.rn <= quota.q
+GROUP BY r.source
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_sequences): documents
+    are packed into 512-token training sequences within 8 hash shards;
+    per-shard report of docs, packs, token totals, and the fullest
+    pack. Packing is a per-shard window over hash order — parallel
+    across shards, no global sort — and pack membership is a pure
+    function of (doc_id, token count), recomputed by the oracle."""
+    from ..operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=512, n_shards=8,
+                            token_col="n_tokens", key_col="doc_id")
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+    return per_pack.groupBy("shard").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        F.max("pack_tokens").alias("max_pack_tokens"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT CAST({_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard,
+         n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 8
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+         AS BIGINT) AS pack_id
+  FROM toks
+),
+per_pack AS (
+  SELECT shard, pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+  FROM packed GROUP BY shard, pack_id
+)
+SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       count(*) AS n_packs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens
+FROM per_pack GROUP BY shard
+"""
+
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic training-order shuffle
+    (operators/sampling.training_shuffle): every document gets a shard
+    and an in-shard position from two salted md5 hashes of
+    (seed, doc_id) — a reproducible, cluster-size-independent global
+    shuffle with no global sort (per-shard windows only), re-derivable
+    per epoch by bumping the seed. Full (doc_id, shard, position)
+    assignment as output; the oracle recomputes it hash-for-hash."""
+    from ..operators.sampling import training_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_shuffle(docs, "doc_id", n_shards=4, seed=1).select(
+        "doc_id", "shard", "position"
+    )
+
+
+ORACLE_TRAINING_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_oracle_hash32("'1:s:' || CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         {_oracle_hash32("'1:o:' || CAST(doc_id AS VARCHAR)")} % 1000000007
+           AS oh
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1
+            AS BIGINT) AS position
+FROM h
+"""
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): an eval
+    set is built from an 8-token slice (positions 2-9) of every 20th
+    document — contaminated-by-construction — plus two no-match control
+    prompts; any doc sharing an 8-token shingle with it is flagged.
+    Broadcast semi join: the corpus is never shuffled — the eval shingle
+    set (benchmark-sized at any corpus scale) broadcasts, and only the
+    matched ids reach an exchange. Per-lang report; sum(doc_id) of the
+    flagged set checksums WHICH docs were caught (the tiny shared
+    vocabulary makes natural 8-gram collisions legitimate extra hits,
+    identically recomputed by the oracle)."""
+    from ..functions.text import whitespace_tokens
+    from ..operators.decontaminate import contaminated_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.concat_ws(" ", F.slice(whitespace_tokens(F.col("text")), 2, 8)).alias(
+            "text"
+        )
+    ).unionByName(
+        spark.createDataFrame([(t,) for t in _DECONTAM_CLEAN_PROMPTS], "text STRING")
+    )
+    bad = contaminated_ids(docs, evals, n=8).withColumn("c", F.lit(1))
+    return (
+        docs.join(bad, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_clean"),
+            F.coalesce(
+                F.sum(F.when(F.col("c").isNotNull(), F.col("doc_id"))), F.lit(0)
+            ).alias("sum_contam_id"),
+        )
+    )
+
+
+_DECONTAM_PROMPTS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT '{t}' AS text" for t in _DECONTAM_CLEAN_PROMPTS
+)
+
+ORACLE_DECONTAMINATE_DOCS = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+evals AS (
+  SELECT array_to_string(list_slice(w, 2, 9), ' ') AS text
+  FROM tok WHERE doc_id % 20 = 0
+  UNION ALL
+{_DECONTAM_PROMPTS_SQL}
+),
+eg AS (
+  SELECT DISTINCT unnest({_SHINGLE8.format(w='w')}) AS gram
+  FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '') AS w FROM evals)
+),
+bad AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_SHINGLE8.format(w='w')}) AS gram FROM tok) dg
+  JOIN eg USING (gram)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean,
+       CAST(coalesce(sum(CASE WHEN bad.doc_id IS NOT NULL THEN tok.doc_id END), 0)
+         AS BIGINT) AS sum_contam_id
+FROM tok LEFT JOIN bad ON tok.doc_id = bad.doc_id
+GROUP BY lang
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched mapInPandas feature
+    extraction with the REAL PPM decoder (operators/multimodal.
+    decode_ppm — numpy parses the actual P6 bytes: header tokens,
+    comment skipping, pixel array). Payloads are genuine P6 images
+    built JVM-side from `part` columns (solid color, channels kept in
+    32..127 so each pixel char is one UTF-8 byte), which makes every
+    extracted feature — dimensions from the parsed header, checksum =
+    exact pixel-byte sum — SQL-predictable: the formerly rows-only
+    multimodal entry now carries a full value-hash oracle. The decode
+    itself (binary parsing in Python over Arrow batches) is exactly
+    the production path; only codec formats remain stubbed."""
+    from ..operators.multimodal import extract_media_features, ppm_decoder
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    media = part.select(
+        F.col("p_partkey").alias("media_id"),
+        F.lit("image").alias("kind"),
+        (1 + F.col("p_partkey") % 13).cast("int").alias("__w"),
+        (1 + F.col("p_partkey") % 7).cast("int").alias("__h"),
+        (32 + F.col("p_partkey") % 96).cast("int").alias("__r"),
+        (32 + (F.col("p_partkey") * 3) % 96).cast("int").alias("__g"),
+        (32 + F.col("p_size") % 96).cast("int").alias("__b"),
+    ).select(
+        "media_id",
+        "kind",
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                F.col("__w").cast("string"),
+                F.lit(" "),
+                F.col("__h").cast("string"),
+                F.lit("\n255\n"),
+                F.expr("repeat(concat(char(__r), char(__g), char(__b)), __w * __h)"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    feats = extract_media_features(media, decoder=ppm_decoder)
+    return feats.select(
+        "media_id", "n_bytes", "width", "height", "checksum"
+    ).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT p_partkey AS media_id,
+         1 + p_partkey % 13 AS w,
+         1 + p_partkey % 7 AS h,
+         32 + p_partkey % 96 AS r,
+         32 + (p_partkey * 3) % 96 AS g,
+         32 + p_size % 96 AS b
+  FROM part WHERE p_partkey <= 300
+)
+SELECT media_id,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + 3 * w * h AS INTEGER) AS n_bytes,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST((r + g + b) * w * h AS BIGINT) AS checksum
+FROM m ORDER BY media_id
+"""
+
+
+def q_mixed_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality media table — REAL P6 images and REAL RIFF/WAVE
+    8-bit mono PCM audio, both built byte-exact JVM-side from `part`
+    columns — routed through ONE mapInPandas stage by the magic-byte
+    sniffing dispatcher (operators/multimodal.sniff_decoder): numpy
+    parses the actual image pixels and the actual WAV chunk list.
+    Every feature (dims, duration = samples/rate, checksum = exact
+    byte sums) is SQL-predicted, so the mixed pipeline is value-hash
+    oracled end-to-end."""
+    from ..operators.multimodal import extract_media_features, sniff_decoder
+
+    part = load_table(spark, sf_dir, "part")
+    images = part.where(F.col("p_partkey") <= 150).select(
+        F.col("p_partkey").alias("media_id"),
+        F.lit("image").alias("kind"),
+        (1 + F.col("p_partkey") % 13).cast("int").alias("__w"),
+        (1 + F.col("p_partkey") % 7).cast("int").alias("__h"),
+        (32 + F.col("p_partkey") % 96).cast("int").alias("__r"),
+        (32 + (F.col("p_partkey") * 3) % 96).cast("int").alias("__g"),
+        (32 + F.col("p_size") % 96).cast("int").alias("__b"),
+    ).select(
+        "media_id",
+        "kind",
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                F.col("__w").cast("string"),
+                F.lit(" "),
+                F.col("__h").cast("string"),
+                F.lit("\n255\n"),
+                F.expr("repeat(concat(char(__r), char(__g), char(__b)), __w * __h)"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    audio = part.where(
+        (F.col("p_partkey") > 150) & (F.col("p_partkey") <= 300)
+    ).select(
+        F.col("p_partkey").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        (1 + F.col("p_partkey") % 91).cast("int").alias("__n"),
+        (32 + F.col("p_partkey") % 96).cast("int").alias("__v"),
+    ).select(
+        "media_id",
+        "kind",
+        F.encode(
+            F.expr(
+                "concat('RIFF', char(36 + __n), char(0), char(0), char(0),"
+                " 'WAVE', 'fmt ', char(16), char(0), char(0), char(0),"
+                " char(1), char(0), char(1), char(0),"
+                " char(64), char(31), char(0), char(0),"   # 8000 Hz LE32
+                " char(64), char(31), char(0), char(0),"   # byte rate
+                " char(1), char(0), char(8), char(0),"     # align, bits
+                " 'data', char(__n), char(0), char(0), char(0),"
+                " repeat(char(__v), __n))"
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    feats = extract_media_features(
+        images.unionByName(audio), decoder=sniff_decoder
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height", "duration_s",
+        "checksum",
+    ).orderBy("media_id")
+
+
+ORACLE_MIXED_MEDIA_FEATURES = """
+WITH img AS (
+  SELECT p_partkey AS media_id,
+         1 + p_partkey % 13 AS w,
+         1 + p_partkey % 7 AS h,
+         32 + p_partkey % 96 AS r,
+         32 + (p_partkey * 3) % 96 AS g,
+         32 + p_size % 96 AS b
+  FROM part WHERE p_partkey <= 150
+),
+aud AS (
+  SELECT p_partkey AS media_id,
+         1 + p_partkey % 91 AS n,
+         32 + p_partkey % 96 AS v
+  FROM part WHERE p_partkey > 150 AND p_partkey <= 300
+)
+SELECT media_id, 'image' AS kind,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + 3 * w * h AS INTEGER) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(NULL AS DOUBLE) AS duration_s,
+       CAST((r + g + b) * w * h AS BIGINT) AS checksum
+FROM img
+UNION ALL
+SELECT media_id, 'audio' AS kind,
+       CAST(44 + n AS INTEGER) AS n_bytes,
+       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+       CAST(n AS DOUBLE) / 8000.0 AS duration_s,
+       CAST(v * n AS BIGINT) AS checksum
+FROM aud
+ORDER BY media_id
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel with strict sequential
+    semantics and a 24h conversion window (operators/funnel.
+    funnel_report): a step counts only when its first qualifying event
+    lands STRICTLY AFTER the previous step's completion and within the
+    window. Per-step user counts + conversion in exact basis points;
+    the oracle chains the same per-step min-within-window
+    aggregates."""
+    from ..operators.funnel import funnel_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_report(
+        ev, ["view", "click", "purchase"], window_seconds=86400
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 86400 SECOND GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 86400 SECOND GROUP BY 1
+),
+c AS (
+  SELECT (SELECT count(*) FROM s1) AS n_step1,
+         (SELECT count(*) FROM s2) AS n_step2,
+         (SELECT count(*) FROM s3) AS n_step3
+)
+SELECT CAST(n_step1 AS BIGINT) AS n_step1,
+       CAST(n_step2 AS BIGINT) AS n_step2,
+       CAST(n_step3 AS BIGINT) AS n_step3,
+       CAST(CASE WHEN n_step1 > 0 THEN n_step2 * 10000 // n_step1
+                 ELSE 0 END AS BIGINT) AS conv_step2_bp,
+       CAST(CASE WHEN n_step1 > 0 THEN n_step3 * 10000 // n_step1
+                 ELSE 0 END AS BIGINT) AS conv_step3_bp
+FROM c
+"""
+
+
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history (operators/scd.scd2_history): each
+    user's event stream becomes validity intervals — valid_from /
+    valid_to / is_current per version — the point-in-time answer the
+    reference's keep-newest upsert throws away. One key shuffle, one
+    lead window; oracle is the same lead in SQL."""
+    from ..operators.scd import scd2_history
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    hist = scd2_history(ev, ["user_id"], "ts", tiebreak_col="event_id")
+    return hist.select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to",
+        "is_current",
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+ORACLE_SCD2_USER_HISTORY = """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+WHERE user_id < 30 AND ts IS NOT NULL
+ORDER BY user_id, valid_from, event_id
+"""
+
+
+def q_experiment_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into control/treatment by
+    the deterministic md5 hash bucket (sampling.split_assign
+    machinery — retry-safe, recomputable by any engine), then each
+    arm's purchase-value stats in exact integer cents: n_users,
+    n_events, total value, and the exact half-up mean. The uplift
+    column is the arm-mean difference in cents — pure BIGINT until one
+    final double division. Assignment never shuffles (row-local md5);
+    the readout is one keyed aggregate."""
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    arm = F.when(hash_bucket("user_id", 2) == 0, "control").otherwise(
+        "treatment"
+    )
+    val_u = units("value")
+    return (
+        ev.select(arm.alias("arm"), "user_id", val_u.alias("__v"))
+        .groupBy("arm")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__v").alias("sum_value_u"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "n_events",
+            as_value("sum_value_u").alias("total_value"),
+            avg_units_expr("sum_value_u", "n_events", 2, 2).alias(
+                "mean_value"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
+ORACLE_EXPERIMENT_UPLIFT = f"""
+WITH ev AS (
+  SELECT CASE WHEN {_oracle_hash32("CAST(user_id AS VARCHAR)")} % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm,
+         user_id, {oracle_units('value')} AS v
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+g AS (
+  SELECT arm, count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events,
+         CAST(sum(v) AS BIGINT) AS sum_u
+  FROM ev GROUP BY arm
+)
+SELECT arm, n_users, n_events,
+       CAST(sum_u AS DOUBLE) / 100.0 AS total_value,
+       {oracle_avg_units('sum_u', 'n_events', 2, 2)} AS mean_value
+FROM g ORDER BY arm
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: per user-ordered
+    event stream, count (event_type -> next event_type) pairs — the
+    Markov-chain census behind "what do users do after X" product
+    questions. One key shuffle + one lead window over (ts, event_id);
+    the matrix itself is #types² rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("type_from"),
+            F.col("next_type").alias("type_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("type_from", "type_to")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS type_from,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS type_to
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT type_from, type_to, count(*) AS n_transitions
+FROM pairs WHERE type_to IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_mad_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median and MAD (median
+    absolute deviation) in exact integer cents, flagging values with
+    |v - median| > 3·MAD — the heavy-tail-safe alternative to z-scores
+    (one wild sensor can't drag its own threshold the way it drags a
+    mean/stddev). Medians of integer cents are exact half-integers in
+    BOTH engines (percentile_cont linear interpolation), so every
+    comparison is engine-exact.
+
+    Plan: two grouped exact-percentile aggregates (value median, then
+    deviation median) — each a map-side-combined digest, no per-group
+    sort — with group-count-sized broadcast joins back; one final
+    conditional rollup. Three scans of the filtered column is the
+    exact-MAD floor; the approx_percentile escape hatch applies as in
+    operators/percentile.py."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    vu = ev.select("event_type", units("value").alias("__v"))
+    med = vu.groupBy("event_type").agg(
+        F.percentile("__v", F.lit(0.5)).alias("__med")
+    )
+    dev = vu.join(F.broadcast(med), "event_type").select(
+        "event_type", "__v", "__med",
+        F.abs(F.col("__v") - F.col("__med")).alias("__dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("__dev", F.lit(0.5)).alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(
+                F.when(F.col("__dev") > 3 * F.col("__mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            (F.first("__med") / F.lit(100.0)).alias("median_value"),
+            (F.first("__mad") / F.lit(100.0)).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MAD_OUTLIER_SCREEN = f"""
+WITH vu AS (
+  SELECT event_type, {oracle_units('value')} AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS m
+  FROM vu GROUP BY event_type
+),
+dev AS (
+  SELECT vu.event_type, vu.v, med.m, abs(vu.v - med.m) AS d
+  FROM vu JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS md
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       count(*) AS n_values,
+       CAST(sum(CASE WHEN d > 3 * md THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(any_value(dev.m) AS DOUBLE) / 100.0 AS median_value,
+       CAST(any_value(md) AS DOUBLE) / 100.0 AS mad_value
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+"""
+
+
+def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics on relational data: connected components of the
+    part co-purchase graph (parts are adjacent when they appear in the
+    same order) — the text_dedup clustering engine
+    (connected_components_min: distributed min-label propagation with
+    the size-gated driver union-find) exposed as a first-class catalog
+    operator. Per-component census keyed by the minimum member.
+
+    Plan: the edge list is a self-join of the part-filtered lineitem
+    projection on orderkey (two-column scans, DISTINCT on the pair) —
+    facts shuffle once; the component loop then runs over the
+    pair-graph only, orders of magnitude smaller. Oracle: recursive
+    transitive closure."""
+    from ..operators.text_dedup import connected_components_min
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 60)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comp = connected_components_min(edges)
+    return (
+        comp.groupBy(F.col("rep").alias("component_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max("id").alias("max_part"),
+        )
+        .orderBy("component_rep")
+    )
+
+
+ORACLE_COPURCHASE_COMPONENTS = """
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 60
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS ea, b.l_partkey AS eb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT ea AS a, eb AS b FROM e UNION ALL SELECT eb, ea FROM e
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, x.b FROM reach r JOIN edges x ON r.b = x.a
+),
+clusters AS (
+  SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a
+)
+SELECT rep AS component_rep, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(max(id) AS BIGINT) AS max_part
+FROM clusters GROUP BY rep ORDER BY component_rep
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 broadcast query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _ann_queries(spark, sf_dir), k=5)
+
+
+_ORACLE_COS = (
+    "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+ORACLE_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_ORACLE_COS} AS cos_sim
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives
+    (operators/similarity.hard_negative_mining): for each of the 10
+    query vectors, the top-5 most-similar corpus vectors with a
+    DIFFERENT label, capped at cosine < 0.99 to screen near-duplicate
+    false negatives. The corpus streams once; queries broadcast."""
+    from ..operators.similarity import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, _ann_queries(spark, sf_dir), k=5)
+
+
+ORACLE_HARD_NEGATIVE_MINING = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_ORACLE_COS} AS cos_sim
+  FROM q CROSS JOIN embeddings c
+  WHERE c.label <> q.label
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)
+            AS INT) AS rank
+FROM scored
+WHERE cos_sim < 0.99
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF: k-means coarse quantizer fit on the corpus, corpus
+    labeled with its nearest cell, queries multi-probed (2 of 8 cells),
+    exact top-5 within candidates.
+
+    Round 3: switched from pyspark.ml KMeans (float partial sums combine
+    in shuffle-fetch order -> run-to-run nondeterminism -> rows-only
+    check) to the exact BIGINT micro-unit Lloyd fit
+    (operators/similarity.exact_kmeans_centroids), which is a pure
+    function of the data. The DuckDB twin (ORACLE_ANN_IVF_KMEANS)
+    re-derives the same init ranking, 3 Lloyd iterations, labels,
+    probes, and ranking — a full hash check instead of rows-only. The
+    float-ml variant remains available (ivf_kmeans_topk) with its
+    recall-vs-brute-force pytest."""
+    from ..operators.similarity import ivf_kmeans_exact_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = embeddings_centroids(spark, sf_dir, n_cells=8, iters=3)
+    return ivf_kmeans_exact_topk(
+        emb, qs, k=5, n_cells=8, n_probe=2, iters=3, centroids=cents
+    )
+
+
+def _oracle_ivf_kmeans(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    iters: int = 3,
+    dims: int = 64,
+    scale: int = 6,
+) -> str:
+    """Unrolled-iteration DuckDB twin of ivf_kmeans_exact_topk on the
+    shared _kmeans_label_ctes scaffolding; only the final cosine is
+    float, rounded to 6 like the other green ANN oracles."""
+    dist = (
+        "list_sum(list_transform(range(1, {d}), "
+        "i -> (q.v[i] - s.c[i]) * (q.v[i] - s.c[i])))"
+    ).format(d=dims + 1)
+    final = iters
+    ctes = _kmeans_label_ctes("embeddings", n_cells, iters, dims, scale)
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.vec_id AS query_id, s.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, s.cell_id) AS rn
+    FROM qv q CROSS JOIN cents{final} s
+    WHERE q.vec_id < 10
+  ) WHERE rn <= {n_probe}
+)""",
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 6)
+           AS cos_sim
+  FROM probes p
+  JOIN labeled l ON l.cell_id = p.cell_id AND l.vec_id <> p.query_id
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ce ON ce.vec_id = l.vec_id
+)""",
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+    )
+
+
+ORACLE_ANN_IVF_KMEANS = _oracle_ivf_kmeans()
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed top-5: only the query's coarse cell is scored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _ann_queries(spark, sf_dir), k=5)
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_ORACLE_COS} AS cos_sim
+  FROM q JOIN embeddings c ON c.label = q.label
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-frame analytics (W-extension: frames are free Spark API
+    surface the reference never exercises, SURVEY §2.5): per event-type
+    7-row trailing average and cumulative count over the daily series.
+    Partitioned by event_type — parallel windows, no global sort."""
+    daily = (
+        _events_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(units_sum("value").alias("s_value"), F.count(F.lit(1)).alias("n"))
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Frame-sum the exact BIGINT cent units (order-independent in any
+    # engine) and divide once half-up — round(avg(double) over frame, 4)
+    # flips the last digit between Spark and DuckDB (CORRECTNESS_r01).
+    framed = daily.select(
+        "event_type",
+        "day",
+        F.sum("s_value").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.sum("n").over(wcum).alias("cum_readings"),
+    )
+    return framed.select(
+        "event_type",
+        "day",
+        avg_units_expr("s7", "n7", 2, 4).alias("avg_7d"),
+        "cum_readings",
+    )
+
+
+ORACLE_ROLLING_7D_AVG = f"""
+WITH clean AS (
+  SELECT event_id, CAST(ts AS DATE) AS day, value,
+         lower(trim(event_type)) AS event_type
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s_value,
+         count(*) AS n
+  FROM clean GROUP BY event_type, day
+),
+framed AS (
+  SELECT event_type, day,
+         CAST(sum(s_value) OVER w7 AS BIGINT) AS s7,
+         count(*) OVER w7 AS n7,
+         CAST(sum(n) OVER wcum AS BIGINT) AS cum_readings
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         wcum AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       {oracle_avg_units('s7', 'n7', 2, 4)} AS avg_7d,
+       cum_readings
+FROM framed
+"""
+
+
+def q_raw_typing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q1's front-end exactly as the reference sees it: an
+    ALL-STRING raw layer (S1 TEXT staging) typed back via F1
+    multi-format timestamp fallback parse, F2 decimal-comma + NULLIF('')
+    normalization, F3 case/whitespace normalization, P2/P3 filters,
+    then the daily aggregate. The raw strings are built
+    deterministically from `events` in-plan (two timestamp formats by
+    parity, comma decimals, padded uppercase kinds, empty-string gaps),
+    so the oracle computes the expected result from the original
+    columns."""
+    from ..functions.cleaning import coalesce_multi_format_timestamp, decimal_comma_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    even = F.col("event_id") % 2 == 0
+    raw = ev.select(
+        "event_id",
+        F.when(even, F.date_format("ts", "dd-MM-yyyy HH:mm:ss"))
+        .otherwise(F.date_format("ts", "dd-MM-yyyy HH:mm"))
+        .alias("noted_date"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(""))
+        .otherwise(F.regexp_replace(F.col("value").cast("string"), "[.]", ","))
+        .alias("temp"),
+        F.when(even, F.upper(F.concat(F.lit("  "), F.col("event_type"), F.lit(" "))))
+        .otherwise(F.col("event_type"))
+        .alias("out_in"),
+    )
+    parsed = raw.select(
+        coalesce_multi_format_timestamp(
+            "noted_date", "dd-MM-yyyy HH:mm:ss", "dd-MM-yyyy HH:mm"
+        )
+        .cast("date")
+        .alias("day"),
+        decimal_comma_to_double("temp").alias("value"),
+        F.lower(F.trim(F.col("out_in"))).alias("event_type"),
+    ).where(
+        F.col("event_type").isin(*_EVENT_KINDS)
+        & F.col("value").isNotNull()
+        & F.col("day").isNotNull()
+    )
+    return daily_avg(parsed)
+
+
+ORACLE_RAW_TYPING_ROUNDTRIP = f"""
+WITH clean AS (
+  SELECT CAST(ts AS DATE) AS day, value
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL AND ts IS NOT NULL AND event_id % 97 <> 0
+)
+{_ORACLE_DAILY_SELECT}
+"""
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact-to-dim join (operators/skew.py): events salted
+    over 16 buckets against a 16x-replicated customer dim, aggregated
+    to per-segment exact-units totals. Result is provably identical to
+    the unsalted join, so the plain-SQL oracle applies."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).where(F.col("value").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, ["user_id"], salt_buckets=16, how="inner")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            units_sum("value").alias("s_value"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_events",
+            as_value("s_value", 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_SKEW_JOIN_SALTED = f"""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       {oracle_sum_value('value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.value IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
+def q_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: 20 scaled copies (cosine = 1.0)
+    are injected with offset ids; dedup keeps the lowest id of each
+    near-dup group (cos >= 0.95; natural max in this corpus is ~0.51,
+    so exactly the injected copies are dropped). Survivors per label.
+
+    SCALE-SAFE path: a coarse quantizer (deterministic hash-sampled
+    centroids — k-means seeding with zero Lloyd rounds; swap in an
+    offline kmeans_centroids fit when cells gate search recall) blocks
+    the pair space: every vector is assigned its 2 nearest cells by
+    COSINE (scale-invariant, so a copy and its scalar multiple
+    provably share cells for ANY centroid set); candidate pairs are
+    generated only within shared cells — an equi-join on cell_id over
+    (cell, id) rows, never the O(n^2) cross join (that unblocked form
+    survives as the test-only recall baseline,
+    tests/test_dedup_invariants.py). Cells are SIZED to the corpus:
+    n_cells >= 2*n_probe*n / target_cell_pop (PERF.md finding 8) — 64
+    cells puts ~60 vectors in a cell at this scale."""
+    from ..operators.similarity import (
+        assign_cells,
+        embedding_near_dup_ids,
+        sampled_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.unionByName(dups)
+    # n_probe=2: a pair is compared if it shares either probed cell —
+    # the standard multi-probe recall guard for vectors near a cell
+    # boundary; duplicate-cell hits collapse in the candidate distinct.
+    cent = sampled_centroids(corpus, n_cells=64)
+    assigned = assign_cells(corpus, cent, n_probe=2, metric="cosine")
+    dup_ids = embedding_near_dup_ids(
+        assigned, threshold=0.95, block_col="cell_id"
+    )
+    kept = corpus.join(dup_ids, "vec_id", "left_anti")
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+ORACLE_EMBEDDING_NEAR_DEDUP = """
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)),
+         label
+  FROM embeddings WHERE vec_id < 20
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+)
+SELECT label, count(*) AS n_vecs
+FROM corpus
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+GROUP BY label
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): prune semantically redundant
+    vectors INSIDE learned k-means clusters only. 20 lightly-scaled
+    copies (cosine exactly 1.0, tiny L2 offset so they co-cluster with
+    their originals) are injected; threshold 0.45 additionally prunes
+    the corpus's natural semantic redundancy (max natural cosine ~0.51
+    at sf0.01). Per-cluster kept/dropped census as output.
+
+    Everything is deterministic — exact-integer Lloyd fit
+    (operators/similarity.exact_kmeans_centroids), integer argmin
+    labeling, cosine rounded to 6dp — so the DuckDB twin re-derives
+    the full fit+label+flag pipeline (shared _kmeans_label_ctes
+    scaffolding) and the driver hash-checks it."""
+    from ..operators.similarity import semantic_dedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.02)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(copies)
+    flags = semantic_dedup_flags(corpus, threshold=0.45, n_cells=8, iters=3)
+    return (
+        flags.groupBy("cluster_id")
+        .agg(
+            F.count(F.when(~F.col("is_dup"), 1)).alias("n_kept"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_semantic_dedup(
+    threshold: float = 0.45,
+    n_cells: int = 8,
+    iters: int = 3,
+    dims: int = 64,
+    scale: int = 6,
+) -> str:
+    corpus = """corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x * 1.02 AS FLOAT)),
+         label
+  FROM embeddings WHERE vec_id < 20
+)"""
+    ctes = [corpus] + _kmeans_label_ctes("corpus", n_cells, iters, dims, scale)
+    ctes.append(
+        f"""dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM labeled a
+  JOIN labeled b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN corpus ea ON ea.vec_id = a.vec_id
+  JOIN corpus eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])),
+              {scale}) >= {threshold}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT l.cell_id AS cluster_id,
+       CAST(count(*) FILTER (d.vec_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (d.vec_id IS NOT NULL) AS BIGINT) AS n_dropped
+FROM labeled l LEFT JOIN dups d ON l.vec_id = d.vec_id
+GROUP BY l.cell_id
+ORDER BY cluster_id
+"""
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
+
+
+# --- semi-structured normalization (SURVEY Q10: S3/S4, J4, F8, F10) ---------
+
+
+def q_json_normalize_pets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10a: a JSON payload (pets array, built deterministically
+    from `part`) goes through a REAL serialize -> from_json -> explode
+    normalization (S3 + J4 + F8); the oracle computes the expected
+    normalized table directly from the base columns."""
+    from ..operators.normalize import normalize_pets_json
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 50)
+    keyed_pet = F.struct(
+        F.col("p_partkey").alias("k"),
+        F.struct(
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("species"),
+            F.split("p_type", " ").alias("favFoods"),
+            F.col("p_size").cast("int").alias("birthYear"),
+            F.lit(None).cast("string").alias("photo"),
+        ).alias("pet"),
+    )
+    payload = part.agg(
+        F.to_json(
+            F.struct(
+                F.transform(
+                    F.array_sort(F.collect_list(keyed_pet)), lambda s: s["pet"]
+                ).alias("pets")
+            )
+        ).alias("payload")
+    )
+    pets, _favfoods = normalize_pets_json(payload)
+    return pets
+
+
+ORACLE_JSON_NORMALIZE_PETS = """
+SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS pet_id,
+       p_name AS name,
+       p_brand AS species,
+       CAST(p_size AS INT) AS birth_year,
+       array_to_string(string_split(p_type, ' '), ';') AS fav_foods_joined
+FROM part WHERE p_partkey <= 50
+"""
+
+
+def q_xml_normalize_foods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10b: an XML nutrition payload (attributed elements, built
+    deterministically from `part`) is parsed with schema'd from_xml
+    (F10: attributes as _-prefixed fields, element text as _VALUE) and
+    normalized to a foods table; oracle from the base columns."""
+    from ..operators.normalize import normalize_nutrition_xml
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 30)
+    food_xml = F.concat(
+        F.lit("<food><name>"),
+        F.col("p_name"),
+        F.lit('</name><serving units="g">'),
+        F.col("p_size").cast("string"),
+        F.lit('</serving><calories total="'),
+        F.floor("p_retailprice").cast("string"),
+        F.lit('" fat="'),
+        (F.col("p_size") * 10).cast("string"),
+        F.lit('"/><vitamins><a>'),
+        F.length("p_name").cast("string"),
+        F.lit("</a><c>"),
+        (F.col("p_size") % 7).cast("string"),
+        F.lit("</c></vitamins></food>"),
+    )
+    payload = part.agg(
+        F.concat(
+            F.lit(
+                '<root><daily_values><total_fat units="g">65</total_fat>'
+                '<sodium units="mg">2400</sodium></daily_values>'
+            ),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("p_partkey").alias("k"), food_xml.alias("x"))
+                        )
+                    ),
+                    lambda s: s["x"],
+                ),
+            ),
+            F.lit("</root>"),
+        ).alias("payload")
+    )
+    foods, _daily = normalize_nutrition_xml(payload)
+    return foods
+
+
+ORACLE_XML_NORMALIZE_FOODS = """
+SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS food_id,
+       p_name AS name,
+       CAST(p_size AS BIGINT) AS serving_amount,
+       'g' AS serving_units,
+       CAST(floor(p_retailprice) AS BIGINT) AS calories_total,
+       CAST(p_size * 10 AS BIGINT) AS calories_fat,
+       CAST(length(p_name) AS BIGINT) AS vitamin_a,
+       CAST(p_size % 7 AS BIGINT) AS vitamin_c
+FROM part WHERE p_partkey <= 30
+"""
+
+
+def q_xml_attrs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10b extension (VERDICT r2 #9): ATTRIBUTE-heavy XML with
+    MISSING OPTIONAL nodes — the part of the reference's nutrition shape
+    (HW-2/init/init.sql:42-45: attributed elements, attribute+text
+    leaves, per-record optional children) the first fixture doesn't
+    exercise. Per item:
+
+      - optional ``grade`` ATTRIBUTE (present iff p_partkey % 3 = 0)
+      - optional self-closing attributes-only ``<dims/>`` ELEMENT
+        (present iff p_partkey even) — missing element must surface as
+        a NULL struct whose field accesses are null-safe (F9 contract)
+      - optional ``<note>`` text ELEMENT (present iff p_size > 25)
+      - ``<price ccy=..>`` attribute-plus-text leaf (always present)
+
+    One schema'd from_xml (JVM-side, F10), no surrogate window — the
+    id attribute is the natural key, so normalization is a pure
+    per-row Generate with no ordering pass."""
+    from ..operators.normalize import normalize_sparse_items_xml
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 40)
+    item_xml = F.concat(
+        F.lit('<item id="'),
+        F.col("p_partkey").cast("string"),
+        F.lit('" cat="'),
+        F.col("p_brand"),
+        F.lit('"'),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit(' grade="'), F.col("p_type"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit(">"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(
+                F.lit('<dims units="cm" w="'),
+                F.col("p_size").cast("string"),
+                F.lit('" h="'),
+                (F.col("p_size") * 2).cast("string"),
+                F.lit('"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("p_size") > 25,
+            F.concat(F.lit("<note>"), F.col("p_name"), F.lit("</note>")),
+        ).otherwise(F.lit("")),
+        F.lit('<price ccy="USD">'),
+        F.floor("p_retailprice").cast("string"),
+        F.lit("</price></item>"),
+    )
+    payload = part.agg(
+        F.concat(
+            F.lit("<inventory>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("p_partkey").alias("k"), item_xml.alias("x")
+                            )
+                        )
+                    ),
+                    lambda s: s["x"],
+                ),
+            ),
+            F.lit("</inventory>"),
+        ).alias("payload")
+    )
+    return normalize_sparse_items_xml(payload)
+
+
+ORACLE_XML_ATTRS_SPARSE = """
+SELECT CAST(p_partkey AS BIGINT) AS item_id,
+       p_brand AS category,
+       CASE WHEN p_partkey % 3 = 0 THEN p_type END AS grade,
+       CASE WHEN p_partkey % 2 = 0 THEN 'cm' END AS dims_units,
+       CASE WHEN p_partkey % 2 = 0 THEN CAST(p_size AS BIGINT) END AS dims_w,
+       CASE WHEN p_partkey % 2 = 0 THEN CAST(p_size * 2 AS BIGINT) END AS dims_h,
+       CASE WHEN p_size > 25 THEN p_name END AS note,
+       CAST(floor(p_retailprice) AS BIGINT) AS price,
+       'USD' AS price_ccy
+FROM part WHERE p_partkey <= 40
+"""
+
+
+def q_customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface (EXISTS / NOT EXISTS): per market segment,
+    customers with and without any events. Both plans are one hash
+    join that never materializes the fan-out — the scalable form of
+    the 'has any child row' predicate."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    event_users = load_table(spark, sf_dir, "events").select("user_id")
+    active = (
+        cust.join(event_users, cust.c_custkey == event_users.user_id, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    inactive = (
+        cust.join(event_users, cust.c_custkey == event_users.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+    return active.join(inactive, "c_mktsegment", "outer").select(
+        "c_mktsegment",
+        F.coalesce("n_active", F.lit(0)).alias("n_active"),
+        F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+    )
+
+
+ORACLE_CUSTOMER_ORDER_PRESENCE = """
+SELECT c_mktsegment,
+       count(*) FILTER (EXISTS (SELECT 1 FROM events e
+                                WHERE e.user_id = c.c_custkey)) AS n_active,
+       count(*) FILTER (NOT EXISTS (SELECT 1 FROM events e
+                                    WHERE e.user_id = c.c_custkey)) AS n_inactive
+FROM customer c
+GROUP BY c_mktsegment
+"""
+
+
+def q_pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per month with one column per
+    status. Explicit pivot values keep the schema static and skip the
+    extra distinct-values job Spark otherwise runs — the rule for
+    production pivots. The reference builds the same shape by hand with
+    FILTER counts (build_analytical_marts.py:113-116)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "report_month", month_of("o_orderdate")
+    )
+    return (
+        o.groupBy("report_month")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "report_month",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+ORACLE_PIVOT_STATUS_BY_MONTH = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
+       count(*) FILTER (o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (o_orderstatus = 'P') AS n_partial
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the pivot inverse) via the native
+    DataFrame.unpivot/melt: per-month status counts back to
+    (month, status, n) rows. Expand-based, single pass, no shuffle
+    beyond the upstream aggregate."""
+    wide = q_pivot_status_by_month(spark, sf_dir)
+    return wide.unpivot(
+        ids=["report_month"],
+        values=["n_open", "n_finished", "n_partial"],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    )
+
+
+ORACLE_STATUS_UNPIVOT = """
+WITH wide AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
+         count(*) FILTER (o_orderstatus = 'O') AS n_open,
+         count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+         count(*) FILTER (o_orderstatus = 'P') AS n_partial
+  FROM orders GROUP BY 1
+)
+SELECT report_month, 'n_open' AS status_col, n_open AS n FROM wide
+UNION ALL SELECT report_month, 'n_finished', n_finished FROM wide
+UNION ALL SELECT report_month, 'n_partial', n_partial FROM wide
+"""
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/A9/I6 as a first-class query: per-rule violation counts
+    (the reference's CHECK constraint + validation-gate pattern,
+    final-module-3/init/init.sql:67, mongo_to_postgres_replication.py:
+    274-287). One scan per table computes all of that table's rule
+    counts via conditional aggregation (A4); rules are then unpivoted.
+    Zero counts are asserted too — a gate that can't prove zero is no
+    gate."""
+
+    def melt(agg_df: DataFrame, names: list[str]) -> DataFrame:
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("rule_name"),
+                            F.col(n).alias("n_violations"),
+                        )
+                        for n in names
+                    ]
+                )
+            ).alias("r")
+        ).select("r.rule_name", "r.n_violations")
+
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        conditional_count(F.col("l_discount") > 0.08).alias("lineitem_discount_gt_8pct"),
+        conditional_count(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("lineitem_qty_out_of_domain"),
+    )
+    o = load_table(spark, sf_dir, "orders").agg(
+        conditional_count(F.col("o_totalprice") <= 0).alias("orders_nonpositive_total"),
+    )
+    ev = load_table(spark, sf_dir, "events").agg(
+        conditional_count(F.col("ts").isNull()).alias("events_null_ts"),
+        conditional_count(F.col("value") > 400).alias("events_value_above_400"),
+    )
+    return (
+        melt(li, ["lineitem_discount_gt_8pct", "lineitem_qty_out_of_domain"])
+        .unionByName(melt(o, ["orders_nonpositive_total"]))
+        .unionByName(melt(ev, ["events_null_ts", "events_value_above_400"]))
+    )
+
+
+ORACLE_QUALITY_REPORT = """
+SELECT 'lineitem_discount_gt_8pct' AS rule_name,
+       count(*) FILTER (l_discount > 0.08) AS n_violations FROM lineitem
+UNION ALL SELECT 'lineitem_qty_out_of_domain',
+       count(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem
+UNION ALL SELECT 'orders_nonpositive_total',
+       count(*) FILTER (o_totalprice <= 0) FROM orders
+UNION ALL SELECT 'events_null_ts',
+       count(*) FILTER (ts IS NULL) FROM events
+UNION ALL SELECT 'events_value_above_400',
+       count(*) FILTER (value > 400) FROM events
+"""
+
+
+def q_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (engine surface beyond the reference, which
+    never uses COUNT(DISTINCT)): exact per-day unique users + event
+    count. Catalyst plans the distinct as a two-phase expand+aggregate;
+    the documented 100 TB escape hatch is approx_count_distinct (HLL,
+    one pass, no expand) at a stated error bound."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_DAILY_UNIQUE_USERS = """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by their first
+    active week; for each (cohort, weeks-since-cohort) cell, how many
+    of them were active, plus retention in exact basis points against
+    the cohort's week-0 size.
+
+    The classic warehouse triangle query. Plan shape: one distinct
+    (user, week) census, one per-user min (cohort), a user-keyed join
+    back (both sides pre-shuffled on user_id — AQE reuses the
+    partitioning), and a tiny (cohort, offset) rollup; week-0 sizes
+    re-enter via a broadcast join. No window over the full corpus, no
+    global sort. Both engines truncate weeks to ISO Monday, and
+    retention_bp is BIGINT arithmetic (n*10000 div size) so the matrix
+    is engine-exact."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    acts = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    per = (
+        acts.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("week"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("offset_w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = per.where(F.col("offset_w") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        per.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset_w",
+            "n_users",
+            F.expr("CAST(n_users * 10000 div cohort_size AS BIGINT)").alias(
+                "retention_bp"
+            ),
+        )
+        .orderBy("cohort", "offset_w")
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events WHERE ts IS NOT NULL
+),
+firsts AS (
+  SELECT user_id, min(week) AS cohort FROM acts GROUP BY user_id
+),
+per AS (
+  SELECT cohort,
+         CAST(datediff('day', cohort, week) // 7 AS BIGINT) AS offset_w,
+         count(*) AS n_users
+  FROM acts JOIN firsts USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT p.cohort, p.offset_w, p.n_users,
+       CAST(p.n_users * 10000 // s.n_users AS BIGINT) AS retention_bp
+FROM per p
+JOIN (SELECT cohort, n_users FROM per WHERE offset_w = 0) s
+  ON p.cohort = s.cohort
+ORDER BY p.cohort, p.offset_w
+"""
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (year -> month -> grand total) over
+    orders, exact-units money. Grouping-set aggregates are a single
+    expand+aggregate in Catalyst — one shuffle for all three levels,
+    not three scans."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.col("o_totalprice"),
+    )
+    return (
+        yearly.rollup("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            units_sum("o_totalprice").alias("s_total"),
+        )
+        .select(
+            "order_year",
+            "order_month",
+            "n_orders",
+            as_value("s_total", 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_SALES_ROLLUP = f"""
+SELECT year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       count(*) AS n_orders,
+       {oracle_sum_value('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+"""
+
+
+def q_layer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/U1: the reference's own verification query — per-table row
+    counts stacked with UNION ALL (final-module-3/README.md:47-54).
+    Each count is a 1-row partial-aggregated scan; the union is free."""
+    from functools import reduce
+
+    tables = ["region", "nation", "customer", "orders", "lineitem", "events"]
+    counts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in tables
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts)
+
+
+ORACLE_LAYER_COUNTS = """
+SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+UNION ALL SELECT 'nation', count(*) FROM nation
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'events', count(*) FROM events
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 latest-row select, Spark-first: ``max_by`` over a (ts,
+    event_id) tie-break struct — one partial-aggregated shuffle, no
+    window, no sort (the reference does ORDER BY id DESC LIMIT 1,
+    sources_to_linear.py:24)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.max_by("event_type", key).alias("last_event_type"),
+    )
+
+
+ORACLE_LATEST_EVENT_PER_USER = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type
+FROM events
+WHERE ts IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event is matched to the
+    user's most recent order at or before the event time — one keyed
+    shuffle + per-key sort (the union-and-carry idiom), never a range
+    cross join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_totalprice").alias("last_order_price"),
+    )
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(
+        F.desc("last_order_key")
+    )
+    builds = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return asof_join(
+        ev,
+        builds,
+        key="user_id",
+        probe_ts="ts",
+        build_ts="o_orderdate",
+        attrs=["last_order_key", "last_order_price"],
+    )
+
+
+ORACLE_ASOF_LAST_ORDER = """
+WITH b AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         o_orderkey AS last_order_key, o_totalprice AS last_order_price
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, e.ts, e.value,
+       b.last_order_key, b.last_order_price
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE ts IS NOT NULL) e
+ASOF LEFT JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
+"""
+
+
+def q_range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join (operators/range_join.py): events
+    matched to the user's orders whose 7-day window contains the event
+    time, via (key, time-bucket) equi-join with 2x build replication —
+    never an inequality nested loop. Per-event match stats."""
+    from ..operators.range_join import range_join_bucketed
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & (F.lower(F.trim(F.col("event_type"))) == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("p_start"),
+            (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("p_end"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = range_join_bucketed(
+        ev, purchases, "user_id", "ts", "p_start", "p_end", 7 * 86400
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_purchase_windows"),
+        F.max("purchase_id").alias("max_purchase_id"),
+    )
+
+
+ORACLE_RANGE_JOIN_RECENT_ORDERS = """
+WITH p AS (
+  SELECT user_id, ts AS p_start, ts + INTERVAL 7 DAY AS p_end,
+         event_id AS purchase_id
+  FROM events
+  WHERE ts IS NOT NULL AND lower(trim(event_type)) = 'purchase'
+)
+SELECT e.event_id, count(*) AS n_purchase_windows,
+       max(p.purchase_id) AS max_purchase_id
+FROM events e JOIN p
+  ON e.user_id = p.user_id
+ AND e.ts >= p.p_start AND e.ts < p.p_end
+WHERE e.ts IS NOT NULL
+GROUP BY e.event_id
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (2h gap) of the event stream, batch
+    flavor (streaming/sessionize.py; the applyInPandasWithState twin is
+    exercised in tests). Lag-gap flag -> running-sum session ids ->
+    per-session aggregate; per-user windows, no global sort."""
+    from ..streaming.sessionize import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return sessionize_batch(ev, gap_seconds=7200)
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+WITH e AS (
+  SELECT user_id, ts, value FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 7200000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sid AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM sid
+GROUP BY user_id, session_id
+"""
+
+
+# --- streaming (SURVEY §2.9 Spark-native extension) -------------------------
+
+_STREAM_RUN_SEQ = iter(range(1, 1_000_000))
+
+
+def q_streaming_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of daily_avg: events parquet replayed
+    through readStream + watermark + 1-day tumbling window with an
+    availableNow trigger (the reference's @daily batch, Spark-native).
+    The finished in-memory sink table is returned as the result."""
+    import os
+    import tempfile
+
+    from ..streaming.daily import run_available_now, streaming_daily_avg
+
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="hse_stream_")
+    src = os.path.join(tmp, "src")
+    events.write.mode("overwrite").parquet(src)
+    name = f"stream_daily_avg_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        streaming_daily_avg(spark, src), os.path.join(tmp, "ckpt"), query_name=name
+    )
+    return spark.table(name)
+
+
+ORACLE_STREAMING_DAILY_AVG = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       {oracle_avg_value('value', 2, 2)} AS avg_value,
+       count(*) AS n_readings
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+"""

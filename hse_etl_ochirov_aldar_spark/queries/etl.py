@@ -1,0 +1,1247 @@
+"""Flagship pricing/regional queries, the events clean layer, the
+reference marts, JSON/XML normalization, text-dedup basics, and
+training-data prep (SURVEY Q1-Q10 spine).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import month_of
+from ..functions.exact import (
+    as_value,
+    avg_units_expr,
+    oracle_avg_units,
+    oracle_avg_value,
+    oracle_sum_value,
+    oracle_units,
+    oracle_units_sum,
+    units,
+    units_sum,
+)
+from ..functions.text import (
+    BPE_TOKEN_REGEX,
+    STOPWORDS,
+    bpe_token_count,
+    char_fingerprint,
+    predicted_lang,
+    stopword_count,
+    token_count,
+    whitespace_tokens,
+)
+from ..operators.aggregates import conditional_count, daily_avg, mode_by_group
+from ..operators.dedup import dedup_keep_first
+from ..operators.percentile import percentile_trim
+from ..operators.similarity import brute_force_topk, embedding_near_dedup, ivf_topk
+from ..operators.text_dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    segment_boilerplate_removal,
+    simhash_near_pairs,
+)
+from ..operators.topk import topk_extremes
+from ..sources.readers import load_table
+
+from ._base import (  # noqa: F401  (shared helpers re-used across modules)
+    _DECONTAM_CLEAN_PROMPTS,
+    _EVENT_KINDS,
+    _ORACLE_DAILY_SELECT,
+    _SHINGLE8,
+    _ORACLE_EVENTS_BASE,
+    _docs_with_near_dups,
+    _events_base,
+    _kmeans_label_ctes,
+    _oracle_hash32,
+    embeddings_centroids,
+)
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (headline scan+agg benchmark).
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan multi-metric aggregation over lineitem (A1/A3 at scale).
+
+    One shuffle carrying 4-ish grouped rows thanks to partial aggregation;
+    the scan reads only the 8 referenced columns (column pruning). All
+    money math runs in exact integer units (functions/exact.py) so the
+    result is bit-identical to any oracle regardless of summation order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e2 = units("l_extendedprice")          # cents
+    d_pct = 100 - units("l_discount")      # (1 - d) in 1e-2 units
+    t_pct = 100 + units("l_tax")           # (1 + t) in 1e-2 units
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(units("l_quantity", 0)).alias("s_qty"),
+            units_sum("l_extendedprice").alias("s_price"),
+            F.sum(e2 * d_pct).alias("s_disc4"),
+            F.sum(e2 * d_pct * t_pct).alias("s_charge6"),
+            units_sum("l_discount").alias("s_disc2"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            as_value("s_qty", 0).alias("sum_qty"),
+            as_value("s_price", 2).alias("sum_base_price"),
+            as_value("s_disc4", 4).alias("sum_disc_price"),
+            as_value("s_charge6", 6).alias("sum_charge"),
+            avg_units_expr("s_qty", "count_order", 0, 2).alias("avg_qty"),
+            avg_units_expr("s_price", "count_order", 2, 2).alias("avg_price"),
+            avg_units_expr("s_disc2", "count_order", 2, 4).alias("avg_disc"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum({oracle_units('l_quantity', 0)}) AS s_qty,
+         {oracle_units_sum('l_extendedprice')} AS s_price,
+         sum({oracle_units('l_extendedprice')} * (100 - {oracle_units('l_discount')})) AS s_disc4,
+         sum({oracle_units('l_extendedprice')} * (100 - {oracle_units('l_discount')})
+             * (100 + {oracle_units('l_tax')})) AS s_charge6,
+         {oracle_units_sum('l_discount')} AS s_disc2,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(s_qty AS DOUBLE) / 1.0 AS sum_qty,
+       CAST(s_price AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(s_disc4 AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(s_charge6 AS DOUBLE) / 1000000.0 AS sum_charge,
+       {oracle_avg_units('s_qty', 'count_order', 0, 2)} AS avg_qty,
+       {oracle_avg_units('s_price', 'count_order', 2, 2)} AS avg_price,
+       {oracle_avg_units('s_disc2', 'count_order', 2, 4)} AS avg_disc,
+       count_order
+FROM g
+ORDER BY l_returnflag, l_linestatus
+"""
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: revenue per nation for one year,
+    local suppliers only (customer and supplier share a nation). The
+    three dim tables broadcast; the two fact joins (orders-lineitem,
+    lineitem-supplier) hash-shuffle; revenue in exact integer units.
+    Exercises every testdata table the catalog hadn't touched yet."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1996
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dims = F.broadcast(
+        customer.join(
+            nation, customer.c_nationkey == nation.n_nationkey
+        ).join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    rev4 = units("l_extendedprice") * (100 - units("l_discount"))
+    joined = (
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev4).alias("s_rev4"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "n_items",
+            as_value("s_rev4", 4).alias("revenue"),
+        )
+    )
+
+
+ORACLE_REGIONAL_REVENUE = f"""
+SELECT r_name, n_name, count(*) AS n_items,
+       CAST(sum({oracle_units('l_extendedprice')}
+                * (100 - {oracle_units('l_discount')})) AS DOUBLE) / 10000.0
+         AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE year(o_orderdate) = 1996 AND s_nationkey = c_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q4: the IoT pipeline re-hosted on `events` (FIXTURES.md §B).
+# events.ts -> noted_date, events.value -> temp,
+# lower(trim(event_type)) IN (...) -> the out_in='in' normalized filter.
+# ---------------------------------------------------------------------------
+
+def q_clean_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q1: keep rows inside the global [p5, p95] value band
+    (A2 exact percentile + J1 broadcast scalar cross join + P4)."""
+    return percentile_trim(_events_base(spark, sf_dir), "value")
+
+
+ORACLE_CLEAN_PERCENTILE_TRIM = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi FROM base)
+SELECT base.* FROM base CROSS JOIN p
+WHERE value BETWEEN p.p_lo AND p.p_hi
+"""
+
+
+def q_clean_percentile_trim_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB escape hatch for Q1, driver-visible: same [p5, p95]
+    trim but bounds from ``approx_percentile`` (bounded-memory GK
+    sketch, measured 7x faster than the exact sort-based percentile at
+    10M rows — PERF.md scale checks). The kept-row SET depends on the
+    sketch, so there is no cross-engine oracle twin: the driver records
+    the rows-only check, and the repo's own suite asserts the kept
+    count stays within the documented tolerance of the exact trim
+    (tests/test_queries_oracle.py). Output schema matches the exact
+    entry so either can feed the downstream clean layer."""
+    return percentile_trim(_events_base(spark, sf_dir), "value", approx=True)
+
+
+def q_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ variant of the n-gram diversity report, driver-visible:
+    bigram/trigram distinct counts come from fixed-size
+    approx_count_distinct sketches (rsd=0.01) instead of the exact
+    (slice, n-gram) census — the dominant cost at corpus scale, since
+    near-unique n-grams defeat partial aggregation (2M-doc scale
+    check: 51s -> 28s, within 1.7%). Sketch estimates are engine-
+    specific, so no oracle twin: rows-only for the driver, tolerance
+    asserted against the exact entry in the repo suite. Totals,
+    unigram stats, and entropy remain exact."""
+    from ..operators.diversity import ngram_diversity_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_diversity_stats(docs, "source", "text", approx=True).orderBy(
+        "source"
+    )
+
+
+def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type totals: clamp values into the global [p5,
+    p95] band instead of dropping rows (percentile_trim's
+    row-preserving twin, operators/percentile.py:percentile_clamp),
+    then exact-unit sums per event type — every observation kept, the
+    tails flattened. Clamped values equal the interpolated bound (the
+    same double in both engines), so the cent-unit sums stay
+    order-proof."""
+    from ..operators.percentile import percentile_clamp
+
+    base = _events_base(spark, sf_dir)
+    w = percentile_clamp(base, "value")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        as_value(units_sum("value")).alias("sum_value"),
+    )
+
+
+ORACLE_WINSORIZED_EVENT_STATS = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi FROM base),
+w AS (SELECT event_type,
+             greatest(p.p_lo, least(p.p_hi, value)) AS value
+      FROM base CROSS JOIN p)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_value
+FROM w GROUP BY event_type
+"""
+
+
+def q_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q2: AVG by day over the trimmed clean layer (A1 + F4)."""
+    return daily_avg(q_clean_percentile_trim(spark, sf_dir))
+
+
+
+ORACLE_DAILY_AVG = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi FROM base),
+clean AS (SELECT base.* FROM base CROSS JOIN p
+          WHERE value BETWEEN p.p_lo AND p.p_hi)
+{_ORACLE_DAILY_SELECT}
+"""
+
+
+def q_topk_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q3: top-5 hot + top-5 cold days, ranked, unioned
+    (W1 + T1 + U2), in one pass over the daily aggregate."""
+    return topk_extremes(q_daily_avg(spark, sf_dir))
+
+
+ORACLE_TOPK_EXTREMES = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi FROM base),
+clean AS (SELECT base.* FROM base CROSS JOIN p
+          WHERE value BETWEEN p.p_lo AND p.p_hi),
+daily AS ({_ORACLE_DAILY_SELECT}),
+hot AS (SELECT *, CAST(row_number() OVER (ORDER BY avg_value DESC, day ASC) AS INT) AS rank,
+               'hot' AS kind
+        FROM daily ORDER BY avg_value DESC, day ASC LIMIT 5),
+cold AS (SELECT *, CAST(row_number() OVER (ORDER BY avg_value ASC, day ASC) AS INT) AS rank,
+                'cold' AS kind
+         FROM daily ORDER BY avg_value ASC, day ASC LIMIT 5)
+SELECT * FROM hot UNION ALL SELECT * FROM cold
+"""
+
+
+def q_incremental_window_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4 (I2): rebuild only the last-7-days window, but with
+    percentiles computed over ALL data so cleaning matches a full load
+    (HW-4/airflow/dags/iot_temperature.py:109-113, 160-216).
+
+    The cutoff is data-relative (max(day) - 7) rather than wall-clock so
+    the query is deterministic (F12 testability note). It is collected
+    to the driver (one tiny aggregate action, the reference computes
+    its cutoff driver-side too, HW-4/...:114) and inlined as a LITERAL
+    predicate: a cross-joined 1-row cutoff leaves `day >= cutoff` stuck
+    above a nested-loop join, while the literal reaches the scan as a
+    DataFilter and prunes partitions on a date-partitioned source (P8).
+    """
+    base = _events_base(spark, sf_dir)
+    cutoff = base.agg(F.date_sub(F.max("day"), 7).alias("cutoff")).first()["cutoff"]
+    windowed = base.where(F.col("day") >= F.lit(cutoff))
+    trimmed = percentile_trim(windowed, "value", bounds_over=base)
+    return daily_avg(trimmed)
+
+
+ORACLE_INCREMENTAL_WINDOW_REBUILD = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (SELECT quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi FROM base),
+cut AS (SELECT max(day) - 7 AS cutoff FROM base),
+clean AS (SELECT base.* FROM base CROSS JOIN p CROSS JOIN cut
+          WHERE day >= cutoff AND value BETWEEN p.p_lo AND p.p_hi)
+{_ORACLE_DAILY_SELECT}
+"""
+
+# ---------------------------------------------------------------------------
+# Q5: keyed dedup with deterministic keep-first (A6/S6/S9).
+# Reference: Mongo $group/$first dedup, mongo_to_postgres_replication.py:35-39.
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 extension: per-event-type [p5, p95] bands instead of one
+    global band — each category cleaned against its own distribution;
+    per-type daily stats of the survivors."""
+    from ..operators.percentile import grouped_percentile_trim
+
+    base = _events_base(spark, sf_dir)
+    trimmed = grouped_percentile_trim(base, "value", ["event_type"])
+    return (
+        trimmed.groupBy("event_type", "day")
+        .agg(
+            units_sum("value").alias("s_value"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            "event_type",
+            "day",
+            as_value("s_value", 2).alias("total_value"),
+            "n_readings",
+        )
+    )
+
+
+ORACLE_GROUPED_PERCENTILE_TRIM = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p_lo,
+         quantile_cont(value, 0.95) AS p_hi
+  FROM base GROUP BY event_type
+),
+clean AS (
+  SELECT base.* FROM base JOIN p USING (event_type)
+  WHERE value BETWEEN p.p_lo AND p.p_hi
+)
+SELECT event_type, day,
+       {oracle_sum_value('value')} AS total_value,
+       count(*) AS n_readings
+FROM clean GROUP BY event_type, day
+"""
+
+
+def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One event per (user_id, event_type), keeping the earliest event_id.
+
+    The reference keeps an arbitrary doc; we rank by event_id for a
+    deterministic, oracle-comparable keep-first (SURVEY §4 caution 3).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("date").alias("day"), "value"
+    )
+    return dedup_keep_first(ev, ["user_id", "event_type"], ["event_id"])
+
+
+ORACLE_DEDUP_BY_KEY = """
+SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q6/Q7: clean layers with derived columns + anomaly filters.
+# sessions_clean <- orders + lineitem counts (duration/num_pages analogue,
+# mongo_to_postgres_replication.py:218-237); tickets_clean <- lineitem-grain
+# monotonicity + resolution duration (:254-269).
+# ---------------------------------------------------------------------------
+
+
+def q_sessions_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection + A8 counting + P3/P5-style anomaly filters.
+
+    The lineitem aggregate is pre-shuffled on the join key, so the join
+    with orders is a single co-partitioned shuffle; AQE converts it to
+    broadcast when the aggregated side is small.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("num_items"),
+        F.sum(units("l_quantity", 0)).cast("double").alias("total_qty"),
+    )
+    return (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            month_of("o_orderdate").alias("report_month"),
+            F.col("o_totalprice").alias("total_price"),
+            F.coalesce(F.col("num_items"), F.lit(0)).alias("num_items"),
+            F.coalesce(F.col("total_qty"), F.lit(0.0)).alias("total_qty"),
+        )
+        .where(
+            (F.col("total_price") > 0)
+            & F.col("num_items").between(1, 7)
+            & F.col("order_date").isNotNull()
+        )
+    )
+
+
+ORACLE_SESSIONS_CLEAN = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS num_items,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_custkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
+       o_totalprice AS total_price,
+       coalesce(num_items, 0) AS num_items,
+       coalesce(total_qty, 0.0) AS total_qty
+FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+WHERE o_totalprice > 0 AND coalesce(num_items, 0) BETWEEN 1 AND 7
+  AND o_orderdate IS NOT NULL
+"""
+
+
+def q_tickets_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6 monotonicity + bounded-duration filters with F5-style
+    derived resolution duration, at lineitem grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    res_days = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        joined.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_orderpriority").alias("issue_type"),
+            F.col("o_orderstatus").alias("status"),
+            res_days.alias("resolution_days"),
+        )
+        .where((F.col("resolution_days") >= 0) & (F.col("resolution_days") < 365))
+    )
+
+
+ORACLE_TICKETS_CLEAN = """
+SELECT l_orderkey, l_linenumber,
+       o_orderpriority AS issue_type,
+       o_orderstatus AS status,
+       date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS resolution_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 0
+  AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 365
+"""
+
+# ---------------------------------------------------------------------------
+# Q8/Q9: analytical marts.
+# Reference: build_analytical_marts.py:28-92 (user activity: multi-metric
+# agg + 3 per-group modes via window rank + left joins) and :102-124
+# (support efficiency: FILTER counts + min/avg/max).
+# ---------------------------------------------------------------------------
+
+
+def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 multi-metric agg + A7 mode-by-group (x2) + J2 composite-key
+    left joins. The lineitem-side mode rides the orders->lineitem fan-out,
+    the analogue of the reference's LATERAL UNNEST mode branches.
+
+    Plan shape: ONE orders scan feeds a (custkey, month, priority)
+    partial aggregate; the stats re-aggregate from that partial
+    (integer-units sums are associative) and the priority mode ranks
+    it — the naive form scanned and shuffled the raw orders twice.
+    Each mode input is pre-aggregated before its window, so no raw-row
+    windows anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "report_month", month_of("o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    prio_partial = orders.groupBy(
+        "o_custkey", "report_month", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        units_sum("o_totalprice").alias("s_total"),
+    )
+    stats = (
+        prio_partial.groupBy("o_custkey", "report_month")
+        .agg(
+            F.sum("cnt").alias("num_orders"),
+            F.sum("s_total").alias("_s_total"),
+        )
+        .select(
+            "o_custkey",
+            "report_month",
+            "num_orders",
+            as_value("_s_total").alias("sum_total"),
+            avg_units_expr("_s_total", "num_orders", 2, 2).alias("avg_total"),
+        )
+    )
+    w_prio = Window.partitionBy("o_custkey", "report_month").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    top_priority = (
+        prio_partial.withColumn("__rn", F.row_number().over(w_prio))
+        .where(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            "report_month",
+            F.col("o_orderpriority").alias("top_priority"),
+        )
+    )
+    exploded = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_custkey", "report_month", "l_returnflag"
+    )
+    top_flag = mode_by_group(
+        exploded, ["o_custkey", "report_month"], "l_returnflag", "top_returnflag"
+    )
+    return (
+        stats.join(top_priority, ["o_custkey", "report_month"], "left")
+        .join(top_flag, ["o_custkey", "report_month"], "left")
+    )
+
+
+ORACLE_MART_USER_ACTIVITY = f"""
+WITH orders_m AS (
+  SELECT *, CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month FROM orders
+),
+stats AS (
+  SELECT o_custkey, report_month,
+         count(*) AS num_orders,
+         {oracle_sum_value('o_totalprice')} AS sum_total,
+         {oracle_avg_value('o_totalprice')} AS avg_total
+  FROM orders_m GROUP BY o_custkey, report_month
+),
+prio_counts AS (
+  SELECT o_custkey, report_month, o_orderpriority, count(*) AS cnt
+  FROM orders_m GROUP BY o_custkey, report_month, o_orderpriority
+),
+top_prio AS (
+  SELECT o_custkey, report_month, o_orderpriority AS top_priority
+  FROM prio_counts
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, report_month
+                             ORDER BY cnt DESC, o_orderpriority ASC) = 1
+),
+flag_counts AS (
+  SELECT o_custkey, report_month, l_returnflag, count(*) AS cnt
+  FROM orders_m JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, report_month, l_returnflag
+),
+top_flag AS (
+  SELECT o_custkey, report_month, l_returnflag AS top_returnflag
+  FROM flag_counts
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, report_month
+                             ORDER BY cnt DESC, l_returnflag ASC) = 1
+)
+SELECT s.o_custkey, s.report_month, s.num_orders, s.sum_total, s.avg_total,
+       p.top_priority, f.top_returnflag
+FROM stats s
+LEFT JOIN top_prio p USING (o_custkey, report_month)
+LEFT JOIN top_flag f USING (o_custkey, report_month)
+"""
+
+
+def q_mart_support_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 conditional counts (FILTER) + A5 min/avg/max + T3 sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("report_month", month_of("o_orderdate"))
+        .groupBy("report_month", F.col("o_orderpriority").alias("issue_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            conditional_count(F.col("o_orderstatus") == "O").alias("n_open"),
+            conditional_count(F.col("o_orderstatus") == "F").alias("n_done"),
+            conditional_count(F.col("o_orderstatus") == "P").alias("n_partial"),
+            F.min("o_totalprice").alias("min_price"),
+            units_sum("o_totalprice").alias("_s_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "report_month",
+            "issue_type",
+            "n_total",
+            "n_open",
+            "n_done",
+            "n_partial",
+            "min_price",
+            avg_units_expr("_s_price", "n_total", 2, 2).alias("avg_price"),
+            "max_price",
+        )
+        .orderBy("report_month", "issue_type")
+    )
+
+
+ORACLE_MART_SUPPORT_EFFICIENCY = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
+       o_orderpriority AS issue_type,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+       min(o_totalprice) AS min_price,
+       {oracle_avg_value('o_totalprice')} AS avg_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q10a: semi-structured JSON extraction (S3/F9) over events.props.
+# Reference: JSONB payload parse, sources_to_linear.py:28-33; nested field
+# access mongo_to_postgres_replication.py:92-97.
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd from_json (no inference, JVM-side) -> typed field -> agg."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_s", F.from_json(F.col("props"), "k INT")
+    ).withColumn("k", F.col("props_s.k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            avg_units_expr("sum_k", "n_events", 0, 2).alias("avg_k"),
+            "max_k",
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT_AGG = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       {oracle_avg_units("CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT)", "count(*)", 0, 2)} AS avg_k,
+       max(CAST(props->>'$.k' AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q10b/J3: lateral-unnest analogue — explode + per-group top-k words.
+# Reference: LATERAL UNNEST(pages_visited), build_analytical_marts.py:57-58.
+# ---------------------------------------------------------------------------
+
+
+def q_explode_words_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 explode -> A7-style rank: top-3 words per language.
+
+    explode() is generator-based codegen, no Python; the window input is
+    already aggregated (lang x word counts), never raw exploded rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+ORACLE_EXPLODE_WORDS_TOPK = """
+WITH words AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (
+  SELECT lang, word, count(*) AS cnt FROM words WHERE word <> ''
+  GROUP BY lang, word
+)
+SELECT lang, word, cnt,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS INT) AS rank
+FROM counts
+QUALIFY rank <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# North-star: LLM-data-pipeline operators over documents / embeddings
+# (BASELINE.json north_star; beyond the reference's own surface).
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup via md5 hash-groupBy, keep smallest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_EXACT_DEDUP_DOCS = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id) = 1
+"""
+
+
+def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality profile: token counts, punctuation ratio,
+    stopword ratio. Ratios are single divisions of exact BIGINT sums
+    (numerator/denominator aggregated separately) — deterministic across
+    engines without rounding tricks."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        token_count(text).alias("n_tokens"),
+        F.length(text).alias("n_chars_total"),
+        F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        stopword_count(text, STOPWORDS["en"]).alias("n_stop"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars_total").alias("total_chars"),
+            F.sum("n_punct").alias("total_punct"),
+            F.sum("n_stop").alias("total_stop"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            avg_units_expr("total_tokens", "n_docs", 0, 2).alias("avg_tokens"),
+            F.round(F.col("total_punct") / F.col("total_chars"), 6).alias("punct_ratio"),
+            F.round(F.col("total_stop") / F.col("total_tokens"), 6).alias("stopword_ratio"),
+        )
+    )
+
+
+ORACLE_TEXT_QUALITY_STATS = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars_total,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> list_contains({STOPWORDS['en']!r}, lower(x)))) AS n_stop
+  FROM documents
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars_total) AS BIGINT) AS total_chars,
+         CAST(sum(n_punct) AS BIGINT) AS total_punct,
+         CAST(sum(n_stop) AS BIGINT) AS total_stop
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       {oracle_avg_units('total_tokens', 'n_docs', 0, 2)} AS avg_tokens,
+       round(CAST(total_punct AS DOUBLE) / total_chars, 6) AS punct_ratio,
+       round(CAST(total_stop AS DOUBLE) / total_tokens, 6) AS stopword_ratio
+FROM g
+"""
+
+
+def q_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting per language (the
+    token-budget estimator of a training-data pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_ws_tokens",
+            "total_bpe_tokens",
+            avg_units_expr("total_bpe_tokens", "n_docs", 0, 2).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+ORACLE_TOKEN_COUNT_STATS = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+         len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}', 0)) AS bpe_tokens
+  FROM documents
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, total_ws_tokens, total_bpe_tokens,
+       {oracle_avg_units('total_bpe_tokens', 'n_docs', 0, 2)} AS avg_bpe_tokens
+FROM g
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID -> confusion counts
+    (true lang x predicted lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predicted_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', {words!r})".replace('"', "'") for lang, words in sorted(STOPWORDS.items())
+)
+
+ORACLE_LANG_ID_CONFUSION = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS t
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, v.pl,
+         len(list_filter(t, x -> list_contains(v.sw, x))) AS sc
+  FROM toks, (VALUES {_SW_VALUES}) v(pl, sw)
+),
+best AS (
+  SELECT doc_id, lang, CASE WHEN sc > 0 THEN pl ELSE 'und' END AS predicted
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, pl ASC) = 1
+)
+SELECT lang, predicted, count(*) AS n FROM best GROUP BY lang, predicted
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (base-31, prime-modulus) whole-document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", char_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+_WINNOW_K, _WINNOW_W, _WINNOW_P = 8, 4, 1_000_000_007
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document: k=8 char grams,
+    window=4, base-31 polynomial — positional-robust document
+    fingerprint sets, summarized as (count, min, max) per doc.
+
+    RELATIONAL formulation: chars exploded with position, each gram
+    hash is an 8-term lead() polynomial (exact in BIGINT, one mod at
+    the end — same residue as the per-step-mod form the oracle runs),
+    winnowing is a 4-row sliding window MIN. Everything whole-stage
+    codegen; the array-expression form (slice+fold per gram) re-split
+    the text per gram — O(n^2) interpreted, measured 250x slower.
+    Short docs (< k chars) fingerprint as their whole-text hash.
+    """
+    from ..functions.text import char_fingerprint
+
+    k, wsz, p = _WINNOW_K, _WINNOW_W, _WINNOW_P
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    long_docs = docs.where(F.col("n") >= k)
+    chars = long_docs.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.split("text", "")).alias("pos", "ch"),
+    ).withColumn("a", F.ascii("ch").cast("long"))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    gram_terms = [
+        (F.lead("a", j).over(w_ord) if j else F.col("a")) * (31 ** (k - 1 - j))
+        for j in range(k)
+    ]
+    gram_sum = gram_terms[0]
+    for t in gram_terms[1:]:
+        gram_sum = gram_sum + t
+    grams = chars.withColumn("gram", gram_sum % p).where(
+        F.col("pos") <= F.col("n") - k
+    )
+    # rowsBetween clips at the partition end, so docs with fewer than
+    # `wsz` grams still get one (shorter) window at pos 0 — matching
+    # the oracle's clipped slice.
+    w_win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wsz - 1)
+    winnowed = grams.withColumn("wmin", F.min("gram").over(w_win)).where(
+        F.col("pos") <= F.greatest(F.col("n") - k - (wsz - 1), F.lit(0))
+    )
+    long_fp = winnowed.groupBy("doc_id").agg(
+        F.countDistinct("wmin").alias("n_fp"),
+        F.min("wmin").alias("min_fp"),
+        F.max("wmin").alias("max_fp"),
+    )
+    short_fp = docs.where(F.col("n") < k).select(
+        "doc_id",
+        F.lit(1).cast("long").alias("n_fp"),
+        char_fingerprint(F.col("text")).alias("min_fp"),
+        char_fingerprint(F.col("text")).alias("max_fp"),
+    )
+    return long_fp.unionByName(short_fp)
+
+
+ORACLE_WINNOW_FINGERPRINTS = """
+WITH base AS (
+  SELECT doc_id, text, greatest(length(text) - 7, 1) AS ng FROM documents
+),
+grams AS (
+  SELECT doc_id, ng,
+         list_transform(range(1, ng + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      range(1, length(substr(text, CAST(i AS INT), 8)) + 1),
+                      j -> CAST(ascii(substr(substr(text, CAST(i AS INT), 8),
+                                             CAST(j AS INT), 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007)) AS gh
+  FROM base
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(ng - 3, 1) + 1),
+           i -> list_aggregate(gh[CAST(i AS INT):CAST(i + 3 AS INT)], 'min'))) AS fp
+  FROM grams
+)
+SELECT doc_id, len(fp) AS n_fp,
+       list_aggregate(fp, 'min') AS min_fp,
+       list_aggregate(fp, 'max') AS max_fp
+FROM winnowed
+"""
+
+
+def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup over the dup-injected corpus; survivors
+    per language, with transitive connected-components clustering
+    (keep-one-per-cluster, mongo_to_postgres_replication.py:35-39).
+
+    Oracle-able even though LSH banding isn't SQL: LSH+verify recovers
+    EXACTLY the exact-Jaccard pair set on this corpus (100%-recall
+    invariant, tests/test_dedup_invariants.py), so the DuckDB twin
+    computes the same clusters from the brute-force pair graph with a
+    recursive transitive closure."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    kept = minhash_dedup(corpus, threshold=0.6)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_NEAR_DEDUP_MINHASH = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (SELECT DISTINCT a AS id FROM reach WHERE b < a)
+SELECT lang, count(*) AS n_docs
+FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM losers)
+GROUP BY lang
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucketed near-pair detection over the dup-injected
+    corpus, summarized as a hamming-distance histogram (raw pair lists
+    grow quadratically in dense corpora — the histogram is the stable,
+    scale-independent surface). Uses the portable md5-derived 32-bit
+    token hash (operators/text_dedup.py:md5_hash32) so the whole
+    simhash — bit votes, prefix buckets, hamming — is reproducible in
+    DuckDB SQL and value-hash-checked; the xxhash64 production hash is
+    exercised in tests."""
+    from ..operators.text_dedup import md5_hash32
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = simhash_near_pairs(
+        corpus, max_hamming=3, prefix_bits=4, token_hash=md5_hash32
+    )
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# The oracle replays the exact bit-vote construction relationally:
+# per-token 32-bit hash (integer value of md5's first 8 hex chars) ->
+# per-bit +1/-1 votes -> sign bits -> prefix buckets -> bit_count(xor).
+_ORACLE_HASH32 = (
+    "list_sum(list_transform(range(0,8), i -> "
+    "(strpos('0123456789abcdef', substr(md5(tok), CAST(i+1 AS INT), 1)) - 1)"
+    " * (1::BIGINT << CAST(4*(7-i) AS INT))))"
+)
+
+ORACLE_SIMHASH_NEAR_PAIRS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM corpus
+),
+th AS (SELECT doc_id, {_ORACLE_HASH32} AS h FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+s AS (SELECT doc_id AS id, simhash, simhash >> 28 AS bucket FROM sim),
+pairs AS (
+  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY hamming
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard (>= 0.6).
+
+    Oracle: the brute-force exact-Jaccard pair set — valid because
+    verification makes the LSH pipeline's output a SUBSET of the exact
+    pairs, and the 100%-recall invariant (asserted in tests) makes it
+    equal on this corpus; any banding regression that loses a pair now
+    fails the value hash, not just a pytest."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    cands = minhash_lsh_candidates(corpus)
+    return ngram_jaccard_pairs(corpus, cands, threshold=0.6)
+
+
+def q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard >= 0.6 over the dup-injected
+    corpus — the brute-force ground truth the LSH pipeline approximates
+    (candidates from q_ngram_jaccard_pairs are verified against the same
+    metric). Fully SQL-expressible, so this one carries a value oracle."""
+    from ..functions.text import word_shingles
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    sh = corpus.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh")
+    )
+    from ..operators.text_dedup import _spread
+
+    a = _spread(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.6)
+    )
+
+
+ORACLE_JACCARD_EXACT_PAIRS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(a.s || b.s)), 4) >= 0.6
+"""
+
+
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-training-data pipeline as ONE declarative query:
+    dup-injected corpus -> quality gate (token-count band + integer-
+    exact punctuation-ratio bound) -> exact dedup (md5 keep-first) ->
+    per-language token budget. Every stage is an engine operator used
+    elsewhere; composition adds no new shuffle beyond dedup + final agg.
+    The punct filter is `n_punct * 5 < n_chars` (ratio < 0.2 in exact
+    integer arithmetic) so both engines decide identically."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    text = F.col("text")
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        text.alias("text"),
+        token_count(text).alias("n_tokens"),
+        F.length(text).alias("n_chars"),
+        F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        bpe_token_count(text).alias("bpe_tokens"),
+    )
+    filtered = scored.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("n_punct") * 5 < F.col("n_chars"))
+    )
+    deduped = dedup_keep_first(
+        filtered.withColumn("__k", F.md5(F.lower(F.trim(text)))),
+        ["__k"],
+        ["doc_id"],
+    ).drop("__k")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+ORACLE_TRAINING_DATA_PREP = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+scored AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}', 0)) AS bpe_tokens
+  FROM corpus
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 10 AND n_tokens <= 1000 AND n_punct * 5 < n_chars
+),
+deduped AS (
+  SELECT * FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                             ORDER BY doc_id) = 1
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+FROM deduped GROUP BY lang
+"""

@@ -1,0 +1,504 @@
+"""Diversity reports, tokenizer fertility, trajectory assembly,
+keep-best near-dedup, and the end-to-end curation composition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import month_of
+from ..functions.exact import (
+    as_value,
+    avg_units_expr,
+    oracle_avg_units,
+    oracle_avg_value,
+    oracle_sum_value,
+    oracle_units,
+    oracle_units_sum,
+    units,
+    units_sum,
+)
+from ..functions.text import (
+    BPE_TOKEN_REGEX,
+    STOPWORDS,
+    bpe_token_count,
+    char_fingerprint,
+    predicted_lang,
+    stopword_count,
+    token_count,
+    whitespace_tokens,
+)
+from ..operators.aggregates import conditional_count, daily_avg, mode_by_group
+from ..operators.dedup import dedup_keep_first
+from ..operators.percentile import percentile_trim
+from ..operators.similarity import brute_force_topk, embedding_near_dedup, ivf_topk
+from ..operators.text_dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    segment_boilerplate_removal,
+    simhash_near_pairs,
+)
+from ..operators.topk import topk_extremes
+from ..sources.readers import load_table
+
+from ._base import (  # noqa: F401  (shared helpers re-used across modules)
+    _DECONTAM_CLEAN_PROMPTS,
+    _EVENT_KINDS,
+    _ORACLE_DAILY_SELECT,
+    _SHINGLE8,
+    _ORACLE_EVENTS_BASE,
+    _docs_with_near_dups,
+    _events_base,
+    _kmeans_label_ctes,
+    _oracle_hash32,
+    embeddings_centroids,
+)
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity report (operators/diversity.
+    ngram_diversity_stats): distinct-1/2/3 ratios in basis points and
+    unigram Shannon entropy in exact micro-nats — the self-repetition
+    health check read before/after dedup to confirm the pipeline
+    raised diversity. All ratios are BIGINT integer divisions; entropy
+    follows the lm_score micro-unit snap contract, so the DuckDB twin
+    reproduces every value bit-for-bit."""
+    from ..operators.diversity import ngram_diversity_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_diversity_stats(docs, "source", "text").orderBy("source")
+
+
+ORACLE_NGRAM_DIVERSITY = r"""
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT source, u.g FROM tok, unnest(t) AS u(g)
+),
+bi AS (
+  SELECT source, u.g
+  FROM tok, unnest(list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1])) AS u(g)
+),
+tri AS (
+  SELECT source, u.g
+  FROM tok, unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)
+),
+ucnt AS (SELECT source, g, count(*) AS c FROM uni GROUP BY 1, 2),
+ua AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_unigrams,
+         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS slc
+  FROM ucnt GROUP BY 1
+),
+ba AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+  FROM bi GROUP BY 1
+),
+ta AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_trigrams
+  FROM tri GROUP BY 1
+)
+SELECT ua.source, n_tokens, distinct_unigrams,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+       coalesce(n_trigrams, 0) AS n_trigrams,
+       coalesce(distinct_trigrams, 0) AS distinct_trigrams,
+       CAST(distinct_unigrams * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN CAST(distinct_bigrams * 10000 // n_bigrams AS BIGINT)
+            ELSE 0 END AS bigram_ttr_bp,
+       CASE WHEN coalesce(n_trigrams, 0) > 0
+            THEN CAST(distinct_trigrams * 10000 // n_trigrams AS BIGINT)
+            ELSE 0 END AS trigram_ttr_bp,
+       CAST(CAST(round(ln(n_tokens) * 1000000) AS BIGINT)
+            - (2 * slc + n_tokens) // (2 * n_tokens) AS DOUBLE)
+         / 1000000.0 AS unigram_entropy
+FROM ua LEFT JOIN ba USING (source) LEFT JOIN ta USING (source)
+ORDER BY source
+"""
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style cluster-balanced coreset draw (operators/sampling.
+    cluster_balanced_sample): exact-integer k-means cells over the
+    embeddings, per-cluster quotas proportional to sqrt(cluster size)
+    in INTEGER-only arithmetic, md5-hash-order pick inside each
+    cluster. Per-cluster sample census + membership checksum; the
+    oracle re-derives the full fit (shared _kmeans_label_ctes
+    scaffolding), the quotas, and the ranked membership."""
+    from ..operators.sampling import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = embeddings_centroids(spark, sf_dir, n_cells=8, iters=3)
+    s = cluster_balanced_sample(
+        emb, total=100, n_cells=8, iters=3, centroids=cents
+    )
+    return (
+        s.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_CLUSTER_BALANCED_SAMPLE = (
+    "WITH "
+    + ",\n".join(_kmeans_label_ctes("embeddings", 8, 3, 64, 6))
+    + f""",
+counts AS (SELECT cell_id, count(*) AS n FROM labeled GROUP BY cell_id),
+w AS (SELECT cell_id, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM counts),
+quota AS (
+  SELECT cell_id, (100 * wt) // (SELECT sum(wt) FROM w) AS q FROM w
+),
+ranked AS (
+  SELECT cell_id, vec_id,
+         row_number() OVER (
+           PARTITION BY cell_id
+           ORDER BY {_oracle_hash32("CAST(vec_id AS VARCHAR)")} % 1000000007,
+                    vec_id) AS rn
+  FROM labeled
+)
+SELECT r.cell_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(r.vec_id) AS BIGINT) AS sum_vec_id
+FROM ranked r JOIN quota USING (cell_id)
+WHERE r.rn <= quota.q
+GROUP BY r.cell_id
+ORDER BY cluster_id
+"""
+)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression diagnostics per language:
+    BPE-ish tokens per whitespace word and characters per BPE token,
+    both in exact basis points — the standard check that a tokenizer
+    is not fragmenting one language's text far more than another's
+    (fertility inflation = wasted context window for that slice).
+    Pure row-local counting plus a language-sized rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("__chars"),
+        bpe_token_count(F.col("text")).cast("long").alias("__bpe"),
+        token_count(F.col("text")).cast("long").alias("__ws"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars").alias("total_chars"),
+            F.sum("__bpe").alias("total_bpe_tokens"),
+            F.sum("__ws").alias("total_ws_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_bpe_tokens",
+            "total_ws_tokens",
+            F.expr(
+                "CAST(total_bpe_tokens * 10000 div total_ws_tokens AS BIGINT)"
+            ).alias("bpe_per_word_bp"),
+            F.expr(
+                "CAST(total_chars * 10000 div total_bpe_tokens AS BIGINT)"
+            ).alias("chars_per_token_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang, CAST(len(text) AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}', 0)) AS BIGINT)
+           AS bpe,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS ws
+  FROM documents
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS total_chars,
+         CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+         CAST(sum(ws) AS BIGINT) AS total_ws_tokens
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_bpe_tokens, total_ws_tokens,
+       CAST(total_bpe_tokens * 10000 // total_ws_tokens AS BIGINT)
+         AS bpe_per_word_bp,
+       CAST(total_chars * 10000 // total_bpe_tokens AS BIGINT)
+         AS chars_per_token_bp
+FROM g ORDER BY lang
+"""
+
+
+def q_trajectory_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-style trajectory construction (operators/normalize.
+    assemble_trajectories): each user-day's events become ONE ordered
+    event-type sequence — the dialog/trajectory assembly step that
+    turns raw logs into training examples. One group-key shuffle;
+    ordering is row-local array_sort (ties broken by the item), no
+    window, no global sort. Summarized per user-day with the
+    trajectory string itself hash-checked."""
+    from ..operators.normalize import assemble_trajectories
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & (F.col("user_id") < 50))
+        .select("user_id", F.to_date("ts").alias("day"), "ts", "event_id",
+                "event_type")
+    )
+    return assemble_trajectories(
+        ev, ["user_id", "day"], ["ts", "event_id"], "event_type"
+    ).orderBy("user_id", "day")
+
+
+ORACLE_TRAJECTORY_ASSEMBLY = """
+SELECT user_id, CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_items,
+       string_agg(event_type, ';' ORDER BY ts, event_id, event_type)
+         AS trajectory
+FROM events
+WHERE ts IS NOT NULL AND user_id < 50
+GROUP BY 1, 2
+ORDER BY user_id, day
+"""
+
+
+def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup keeping the highest-quality cluster member
+    (operators/text_dedup.minhash_dedup_keep_best): quality = token
+    count, so the injected near-dup copies — which carry an extra tail
+    token — WIN over their originals, the opposite survivor set from
+    keep-min-id (the sum_doc_id checksum proves membership, not just
+    counts). Oracle: same 100%-recall exact-Jaccard closure as
+    near_dedup_minhash, plus one argmax per cluster."""
+    from ..operators.text_dedup import minhash_dedup_keep_best
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    kept = minhash_dedup_keep_best(
+        corpus, token_count(F.col("text")), threshold=0.6
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_NEAR_DEDUP_KEEP_BEST = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         len(w) AS score,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a
+),
+winners AS (
+  SELECT rep, id FROM (
+    SELECT c.rep, c.id,
+           row_number() OVER (PARTITION BY c.rep
+                              ORDER BY sh.score DESC, c.id) AS rn
+    FROM clusters c JOIN sh ON sh.id = c.id
+  ) WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM clusters)
+   OR doc_id IN (SELECT id FROM winners)
+GROUP BY lang
+"""
+
+
+def q_length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched sampling (operators/sampling.
+    distribution_matched_sample): draw ~300 docs whose LENGTH-bucket
+    histogram matches the English slice's histogram — the categorical
+    marginal-matching cousin of DSIR's content reweighting. Integer
+    quotas from the target counts, md5-hash-rank membership; the
+    oracle recomputes both."""
+    from ..operators.sampling import distribution_matched_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("CAST(n_chars div 100 AS BIGINT)")
+    )
+    target = docs.where(F.col("lang") == "en")
+    s = distribution_matched_sample(docs, target, "len_bucket", "doc_id", 300)
+    return (
+        s.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+ORACLE_LENGTH_MATCHED_SAMPLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_bucket FROM documents
+),
+t AS (
+  SELECT len_bucket, count(*) AS c FROM docs WHERE lang = 'en' GROUP BY 1
+),
+quota AS (
+  SELECT len_bucket, (300 * c) // (SELECT sum(c) FROM t) AS q FROM t
+),
+ranked AS (
+  SELECT len_bucket, doc_id,
+         row_number() OVER (
+           PARTITION BY len_bucket
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id) AS rn
+  FROM docs
+)
+SELECT r.len_bucket, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(r.doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked r JOIN quota USING (len_bucket)
+WHERE r.rn <= quota.q
+GROUP BY r.len_bucket
+ORDER BY len_bucket
+"""
+
+
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 composition: keep-BEST near-dedup over the dup-injected
+    corpus, then the per-language n-gram diversity report of the
+    survivors — the before/after-dedup health check wired end-to-end
+    (dedup should RAISE per-slice diversity; the report proves it on
+    the surviving corpus). Oracle: the keep-best closure CTE feeding
+    the diversity aggregations."""
+    from ..operators.diversity import ngram_diversity_stats
+    from ..operators.text_dedup import minhash_dedup_keep_best
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    kept = minhash_dedup_keep_best(
+        corpus, token_count(F.col("text")), threshold=0.6
+    )
+    return (
+        ngram_diversity_stats(kept, "lang", "text")
+        .select("lang", "n_tokens", "distinct_unigrams", "ttr_bp",
+                "unigram_entropy")
+        .orderBy("lang")
+    )
+
+
+ORACLE_CURATION_PIPELINE_V4 = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id AS id,
+         len(w) AS score,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS w
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)), 4) >= 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a
+),
+winners AS (
+  SELECT rep, id FROM (
+    SELECT c.rep, c.id,
+           row_number() OVER (PARTITION BY c.rep
+                              ORDER BY sh.score DESC, c.id) AS rn
+    FROM clusters c JOIN sh ON sh.id = c.id
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT lang, text FROM corpus
+  WHERE doc_id NOT IN (SELECT id FROM clusters)
+     OR doc_id IN (SELECT id FROM winners)
+),
+tok AS (
+  SELECT lang,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM kept
+),
+ucnt AS (
+  SELECT lang, u.g, count(*) AS c
+  FROM tok, unnest(t) AS u(g) GROUP BY 1, 2
+),
+ua AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_unigrams,
+         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS slc
+  FROM ucnt GROUP BY 1
+)
+SELECT lang, n_tokens, distinct_unigrams,
+       CAST(distinct_unigrams * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+       CAST(CAST(round(ln(n_tokens) * 1000000) AS BIGINT)
+            - (2 * slc + n_tokens) // (2 * n_tokens) AS DOUBLE)
+         / 1000000.0 AS unigram_entropy
+FROM ua ORDER BY lang
+"""

@@ -1,0 +1,244 @@
+"""URL-level crawl curation queries: canonical-URL dedup and
+per-domain page caps (functions/url.py + operators/url_curation.py) —
+the screens a web-corpus pipeline runs before any content-level dedup.
+
+The documents table carries no URL column, so both queries synthesize
+a deterministic URL per document from (source, doc_id) — three host/
+path shapes covering scheme+host case-folding, default ports, tracking
+params, fragments, trailing slashes, and a multi-part public suffix —
+plus, for the dedup entry, injected tracking-polluted duplicate rows
+(ids offset by 1,000,000, the dedup-family idiom). The DuckDB oracles
+re-derive the FULL generic canonicalization and eTLD+1 logic in SQL —
+they validate the operators, not the synthesized fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from ._base import _oracle_hash32
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, url): three deterministic URL shapes by
+    doc_id mod 3 (distinct registrable domain per source x shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    src = F.col("source")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://"), src, F.lit(".com/articles/"), d,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("HTTP://WWW."), F.upper(src), F.lit(".Co.Uk:80/articles/"), d,
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn."), src, F.lit(".net/assets/"), d)
+        )
+    )
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+_ORACLE_URL_SYNTH = """
+  SELECT doc_id, source,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://' || source || '.com/articles/'
+                       || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+           WHEN 1 THEN 'HTTP://WWW.' || upper(source) || '.Co.Uk:80/articles/'
+                       || CAST(doc_id AS VARCHAR)
+           ELSE 'https://cdn.' || source || '.net/assets/'
+                || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+"""
+
+
+def _docs_with_url_dups(
+    spark: SparkSession, sf_dir: str, n_dups: int = 50
+) -> DataFrame:
+    """The URL table plus, for the first ``n_dups`` docs, a duplicate
+    row (id + 1,000,000) whose URL differs only in canonicalization-
+    invariant ways: default port, case, param order, tracking params,
+    fragment, trailing slash."""
+    base = _docs_with_urls(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < n_dups
+    )
+    d = F.col("doc_id").cast("string")
+    src = F.col("source")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    dup_url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://"), src, F.lit(".com:443/articles/"), d,
+                F.lit("/?b=2&utm_source=feed&a=1#top"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("http://www."), src, F.lit(".co.uk/articles/"), d,
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://CDN."), F.upper(src), F.lit(".NET/assets/"), d,
+                F.lit("?utm_campaign=x&ref=tw"),
+            )
+        )
+    )
+    dups = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        dup_url.alias("url"),
+    )
+    return base.unionByName(dups)
+
+
+_ORACLE_URL_DUPS = """
+  SELECT doc_id + 1000000 AS doc_id, source,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://' || source || '.com:443/articles/'
+                       || CAST(doc_id AS VARCHAR) || '/?b=2&utm_source=feed&a=1#top'
+           WHEN 1 THEN 'http://www.' || source || '.co.uk/articles/'
+                       || CAST(doc_id AS VARCHAR) || '#frag'
+           ELSE 'HTTPS://CDN.' || upper(source) || '.NET/assets/'
+                || CAST(doc_id AS VARCHAR) || '?utm_campaign=x&ref=tw'
+         END AS url
+  FROM documents WHERE doc_id < 50
+"""
+
+# Generic canonicalization + eTLD+1 in DuckDB SQL — the oracle twin of
+# functions/url.py (NOT a shortcut keyed to the fixtures above).
+_ORACLE_CANON_CTES = r"""
+parts AS (
+  SELECT doc_id, source, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM synth
+),
+canon AS (
+  SELECT doc_id, source, host,
+         scheme || '://' || host
+         || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END
+         || CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
+                 ELSE regexp_replace(path, '/$', '') END
+         || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                 ELSE '' END AS canonical_url
+  FROM (
+    SELECT *,
+           list_sort(list_filter(string_split(query, '&'),
+             p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                  OR starts_with(p, 'fbclid') OR starts_with(p, 'gclid')
+                  OR starts_with(p, 'ref') OR starts_with(p, 'sessionid'))))
+             AS kept
+    FROM parts
+  )
+),
+domained AS (
+  SELECT *,
+         CASE WHEN len(labels) <= 1 THEN host
+              WHEN len(labels) >= 3 AND last2 IN
+                   ('co.uk','org.uk','gov.uk','ac.uk','com.au','co.jp',
+                    'co.in','com.br')
+              THEN labels[len(labels) - 2] || '.' || last2
+              ELSE last2 END AS domain
+  FROM (
+    SELECT *, string_split(host, '.') AS labels,
+           string_split(host, '.')[len(string_split(host, '.')) - 1]
+           || '.' ||
+           string_split(host, '.')[len(string_split(host, '.'))] AS last2
+    FROM canon
+  )
+)
+"""
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over the dup-injected URL table: every
+    tracking-polluted duplicate must collapse onto its original (the
+    min-doc_id keeper), proven per source by kept count + id checksum."""
+    from ..operators.url_curation import dedup_canonical_url
+
+    kept = dedup_canonical_url(_docs_with_url_dups(spark, sf_dir))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_URL_CANONICAL_DEDUP = f"""
+WITH synth AS (
+{_ORACLE_URL_SYNTH}
+  UNION ALL
+{_ORACLE_URL_DUPS}
+),
+{_ORACLE_CANON_CTES},
+kept AS (
+  SELECT doc_id, source FROM canon
+  QUALIFY row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain page cap (cap=5, md5-hash-order draw)
+    over the URL table: per-domain kept count (<= 5) + id checksum.
+    Exercises both eTLD+1 branches (source.com / source.co.uk via the
+    multi-part suffix list / source.net)."""
+    from ..operators.url_curation import cap_per_domain
+
+    capped = cap_per_domain(_docs_with_urls(spark, sf_dir), cap=5)
+    return (
+        capped.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("domain")
+    )
+
+
+ORACLE_DOMAIN_CAP_SAMPLE = f"""
+WITH synth AS (
+{_ORACLE_URL_SYNTH}
+),
+{_ORACLE_CANON_CTES},
+ranked AS (
+  SELECT domain, doc_id,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY {_oracle_hash32("'domain-cap:' || CAST(doc_id AS VARCHAR)")}
+                    % 1000000007,
+                    doc_id) AS rn
+  FROM domained
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked WHERE rn <= 5
+GROUP BY domain ORDER BY domain
+"""

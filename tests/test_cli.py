@@ -11,11 +11,19 @@ def test_cli_list(capsys):
     assert "pricing_summary\t[oracle]" in out
     # r3: the exact-integer kmeans twin gave the IVF entry an oracle,
     # and the real PPM decode closed the last rows-only residual —
-    # every catalog entry is oracle-backed
+    # every DETERMINISTIC catalog entry is oracle-backed
     assert "near_dedup_minhash\t[oracle]" in out
     assert "ann_ivf_kmeans_topk\t[oracle]" in out
     assert "multimodal_features\t[oracle]" in out
-    assert "[rows-only]" not in out
+    # r4: the only rows-only entries are the two DELIBERATE sketch-based
+    # escape hatches (engine-specific estimates by design; tolerance vs
+    # the exact twins asserted in test_queries_oracle.py)
+    rows_only = {
+        ln.split("\t")[0] for ln in out.splitlines() if "[rows-only]" in ln
+    }
+    assert rows_only == {
+        "clean_percentile_trim_approx", "ngram_diversity_approx"
+    }
 
 
 def test_cli_run_and_pipeline(spark, sf_dir, tmp_path, capsys):

@@ -1,0 +1,90 @@
+"""URL canonicalization / domain curation (functions/url.py,
+operators/url_curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+CASES = [
+    # (raw, canonical)
+    ("https://Ex.COM/a/b/?utm_source=x&z=1&a=2#frag",
+     "https://ex.com/a/b?a=2&z=1"),
+    ("HTTP://WWW.Site.CO.UK:80/path", "http://www.site.co.uk/path"),
+    ("https://host.com:443/", "https://host.com/"),
+    ("https://host.com:8080/x", "https://host.com:8080/x"),
+    ("https://host.com", "https://host.com/"),
+    ("https://host.com/?fbclid=abc&gclid=1&ref=tw&sessionid=9",
+     "https://host.com/"),
+    ("https://host.com/a?b=2&a=1", "https://host.com/a?a=1&b=2"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    from hse_etl_ochirov_aldar_spark.functions.url import canonicalize_url
+
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [c for _, c in CASES]
+
+
+def test_canonicalize_idempotent(spark):
+    """Canonicalizing a canonical URL must be a no-op."""
+    from hse_etl_ochirov_aldar_spark.functions.url import canonicalize_url
+
+    df = spark.createDataFrame([(c,) for _, c in CASES], ["url"])
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [c for _, c in CASES]
+
+
+def test_registrable_domain_branches(spark):
+    from hse_etl_ochirov_aldar_spark.functions.url import registrable_domain
+
+    cases = [
+        ("www.example.com", "example.com"),
+        ("a.b.news.co.uk", "news.co.uk"),
+        ("EXAMPLE.COM", "example.com"),
+        ("cdn.shop.com.br", "shop.com.br"),
+        ("localhost", "localhost"),
+        ("co.uk", "co.uk"),       # bare suffix: only 2 labels -> itself
+        ("x.org", "x.org"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
+    got = [r[0] for r in df.select(registrable_domain(F.col("h"))).collect()]
+    assert got == [d for _, d in cases]
+
+
+def test_dedup_canonical_url_keeps_min_id(spark):
+    from hse_etl_ochirov_aldar_spark.operators.url_curation import (
+        dedup_canonical_url,
+    )
+
+    rows = [
+        (1, "https://a.com/x?b=2&a=1"),
+        (2, "https://A.COM:443/x/?a=1&utm_source=f&b=2#t"),  # dup of 1
+        (3, "https://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = {r.doc_id for r in dedup_canonical_url(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_cap_per_domain_bounds_and_determinism(spark):
+    from hse_etl_ochirov_aldar_spark.operators.url_curation import (
+        cap_per_domain,
+    )
+
+    rows = [(i, f"https://{'big' if i < 40 else 'small'}.com/p/{i}")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = cap_per_domain(df, cap=3)
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big.com": 3, "small.com": 3}
+    # deterministic: same draw twice
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in cap_per_domain(df, cap=3).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_domain(df, cap=0)
