@@ -1245,3 +1245,34 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens
 FROM deduped GROUP BY lang
 """
+
+
+# ONE ANSI-portable SQL string serving as BOTH the Spark query (via the
+# sources/views.py facade) and the DuckDB oracle — the purest statement
+# of engine parity, and the migration path for the reference's SQL-first
+# users: point existing SQL at register_views and it just runs.
+SQL_PASSTHROUGH_REVENUE = """
+SELECT n_name,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name, CAST(year(l_shipdate) AS BIGINT)
+ORDER BY n_name, ship_year
+"""
+
+
+def q_sql_passthrough_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-facade parity proof: spark.sql runs the IDENTICAL ANSI
+    string DuckDB runs as the oracle (sources/views.register_views maps
+    table names to the same parquet scans). Catalyst still prunes and
+    pushes down — views are lazy plan aliases, not materializations."""
+    from ..sources.views import sql_query
+
+    return sql_query(spark, sf_dir, SQL_PASSTHROUGH_REVENUE)

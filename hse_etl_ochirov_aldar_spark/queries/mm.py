@@ -502,3 +502,64 @@ SELECT lang, n_tokens, distinct_unigrams,
          / 1000000.0 AS unigram_entropy
 FROM ua ORDER BY lang
 """
+
+
+def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/bitext.py, the LASER/
+    CCMatrix ratio-margin miner): embeddings labels < 5 play the source
+    "language", labels >= 5 the target; mutual-top-1 pairs kept when
+    the exact basis-point ratio margin clears 1.10 (109 pairs at
+    sf0.01 — selective but non-degenerate). Everything after the
+    round-6 cosine snap is BIGINT, so the DuckDB twin re-derives ranks,
+    k-NN sums, and the one-integer-division margin bit-for-bit."""
+    from ..operators.bitext import margin_bitext_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return margin_bitext_mine(
+        emb.where(F.col("label") < 5),
+        emb.where(F.col("label") >= 5),
+        k=4,
+        margin_bp=11000,
+    )
+
+
+ORACLE_BITEXT_MARGIN_MINING = """
+WITH a AS (SELECT vec_id AS a_id, embedding FROM embeddings WHERE label < 5),
+b AS (SELECT vec_id AS b_id, embedding FROM embeddings WHERE label >= 5),
+scored AS (
+  SELECT a_id, b_id,
+         CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT)
+           AS cos6u
+  FROM a CROSS JOIN b
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY cos6u DESC, b_id) AS rank_a,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY cos6u DESC, a_id) AS rank_b
+  FROM scored
+),
+enr AS (
+  SELECT *,
+         sum(CASE WHEN rank_a <= 4 THEN cos6u END)
+           OVER (PARTITION BY a_id) AS sum_a,
+         sum(CASE WHEN rank_a <= 4 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY a_id) AS cnt_a,
+         sum(CASE WHEN rank_b <= 4 THEN cos6u END)
+           OVER (PARTITION BY b_id) AS sum_b,
+         sum(CASE WHEN rank_b <= 4 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY b_id) AS cnt_b
+  FROM ranked
+)
+SELECT a_id, b_id, cos6u,
+       CAST((2 * cos6u * 10000 * cnt_a * cnt_b)
+            // (sum_a * cnt_b + sum_b * cnt_a) AS BIGINT) AS margin_bp
+FROM enr
+WHERE rank_a = 1 AND rank_b = 1
+  AND (sum_a * cnt_b + sum_b * cnt_a) > 0
+  AND (2 * cos6u * 10000 * cnt_a * cnt_b)
+      // (sum_a * cnt_b + sum_b * cnt_a) >= 11000
+ORDER BY a_id
+"""
