@@ -630,6 +630,38 @@ def main() -> None:
             .count()
         )
 
+    # blocked bitext mining at 100k x 20k vectors: cell-blocked
+    # candidates (~n_probe/n_cells of the 2e9 pair space) through the
+    # exact-integer margin pipeline — the CCMatrix-style corpus path
+    def bitext_blocked_100k():
+        from hse_etl_ochirov_aldar_spark.operators.bitext import (
+            margin_bitext_mine_blocked,
+        )
+
+        def vecs(n, offset, salt):
+            comp = F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id"), i, F.lit(salt)), 2000)
+                    / 1000.0
+                    - 1.0
+                ),
+            )
+            return spark.range(n).select(
+                (F.col("id") + offset).alias("vec_id"), comp.alias("embedding")
+            )
+
+        out = margin_bitext_mine_blocked(
+            vecs(100_000, 0, 1),
+            vecs(20_000, 1_000_000, 2),
+            k=4,
+            margin_bp=10000,
+            n_cells=128,
+            n_probe=2,
+        )
+        return out.count()
+
+    timed("bitext_blocked_100k_x_20k", bitext_blocked_100k)
     timed("cc_star_10k_deep_chain", cc_star_deep_chain)
     timed("funnel_10m_events", funnel_10m)
     timed("ppm_decode_500k_images", ppm_decode_500k)
