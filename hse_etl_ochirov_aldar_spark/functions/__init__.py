@@ -7,6 +7,7 @@ from .cleaning import (
     normalized_eq,
     safe_array_size,
 )
+from .url import canonicalize_url, registrable_domain, url_host
 from .text import (
     bpe_token_count,
     char_fingerprint,
@@ -18,6 +19,9 @@ from .text import (
 )
 
 __all__ = [
+    "canonicalize_url",
+    "registrable_domain",
+    "url_host",
     "coalesce_multi_format_timestamp",
     "decimal_comma_to_double",
     "epoch_diff_hours",

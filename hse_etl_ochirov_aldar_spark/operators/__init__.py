@@ -1,4 +1,5 @@
 from .aggregates import conditional_count, daily_avg, mode_by_group
+from .bitext import margin_bitext_mine, margin_bitext_mine_blocked
 from .dedup import dedup_keep_first
 from .funnel import funnel_report, funnel_steps
 from .scd import scd2_history
@@ -43,9 +44,14 @@ from .text_dedup import (
     simhash_near_pairs,
 )
 from .topk import topk_extremes
+from .url_curation import cap_per_domain, dedup_canonical_url
 
 __all__ = [
     "conditional_count",
+    "margin_bitext_mine",
+    "margin_bitext_mine_blocked",
+    "cap_per_domain",
+    "dedup_canonical_url",
     "daily_avg",
     "mode_by_group",
     "dedup_keep_first",

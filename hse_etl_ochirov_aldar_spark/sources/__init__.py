@@ -5,6 +5,7 @@ from .readers import (
     load_tables,
     read_csv_all_string,
 )
+from .views import register_views, sql_query
 from .sinks import (
     compact_parquet,
     overwrite_window,
@@ -15,6 +16,8 @@ from .sinks import (
 )
 
 __all__ = [
+    "register_views",
+    "sql_query",
     "TABLES",
     "fetch_csv_to_staging",
     "load_table",
