@@ -441,3 +441,35 @@ def test_experiment_assignment_is_row_local(spark, sf_dir):
     plan = _plan(spark, sf_dir, "experiment_uplift")
     assert "Window" not in plan
     assert "md5" in plan
+
+
+def test_url_dedup_single_window_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "url_canonical_dedup")
+    # canonicalization is row-local expression work; the dedup is one
+    # window over the canonical key — no join at all in the plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_domain_cap_row_local_then_one_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "domain_cap_sample")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no join of any kind needed
+    assert "Window" in plan
+
+
+def test_bitext_broadcast_side_and_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bitext_margin_mining")
+    # side B rides a broadcast (nested-loop is fine for the scoring
+    # cross product — that is the exact baseline); ranking/margins are
+    # window work, never a shuffled join of the scored relation
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_passthrough_pushes_down_through_views(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_passthrough_revenue")
+    # temp views are lazy aliases: the shipdate range still reaches the
+    # parquet scan, and the 100-row dims broadcast
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
