@@ -46,6 +46,32 @@ def streaming_content_dedup(
     )
 
 
+def streaming_url_dedup(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first-seen page per CANONICAL URL within the watermark
+    horizon — the live-crawl twin of operators/url_curation.
+    dedup_canonical_url (there keep-min-id over the full corpus; here
+    keep-first-arrival with watermark-bounded state, the only contract
+    an unbounded stream can offer). Canonicalization is the same
+    row-local expression, so a re-crawled page whose URL differs only
+    in tracking params / case / default port / fragment never reaches
+    the sink twice inside the horizon. State keys are the canonical
+    strings; for long horizons over hot crawls substitute
+    ``F.md5(canonical)`` to fix the per-key state size."""
+    from ..functions.url import canonicalize_url
+
+    return (
+        stream.withColumn("__canon", canonicalize_url(F.col(url_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__canon"])
+        .drop("__canon")
+    )
+
+
 def streaming_near_dedup_ingest(
     stream: DataFrame,
     corpus_path: str,

@@ -375,3 +375,56 @@ def test_distribution_matched_quotas_property(spark, rows, total):
     for g in set(sizes) | set(got):
         quota = total * tcounts.get(g, 0) // tt
         assert got.get(g, 0) == min(quota, sizes[g])
+
+
+_url_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789-", min_size=1, max_size=8
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_url_param = st.tuples(
+    st.text(alphabet="abcxyz", min_size=1, max_size=5),
+    st.text(alphabet="abc123", min_size=0, max_size=5),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+            st.lists(_url_label, min_size=1, max_size=4),  # host labels
+            st.lists(_url_label, min_size=0, max_size=3),  # path segments
+            st.lists(_url_param, min_size=0, max_size=4),
+            st.booleans(),  # trailing slash
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_url_canonicalize_idempotent_and_invariant(spark, urls):
+    """Fuzz: canonicalize(canonicalize(u)) == canonicalize(u), and the
+    canonical form is invariant under tracking-param injection, a
+    #fragment, a default port, and host upper-casing."""
+    from hse_etl_ochirov_aldar_spark.functions.url import canonicalize_url
+
+    raw, polluted = [], []
+    for scheme, labels, segs, params, slash in urls:
+        host = ".".join(labels)
+        path = "/" + "/".join(segs) + ("/" if slash and segs else "")
+        q = "&".join(f"{k}={v}" for k, v in params)
+        base = f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+        port = ":443" if scheme.lower() == "https" else ":80"
+        pq = "&".join(
+            f"{k}={v}" for k, v in (params + [("utm_source", "x")])
+        )
+        dirty = f"{scheme.upper()}://{host.upper()}{port}{path}?{pq}#frag"
+        raw.append((base,))
+        polluted.append((dirty,))
+
+    def canon(rows):
+        df = spark.createDataFrame(rows, ["url"])
+        return [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+
+    c1 = canon(raw)
+    c2 = canon([(c,) for c in c1])
+    assert c1 == c2, "idempotence"
+    assert canon(polluted) == c1, "pollution invariance"

@@ -522,6 +522,52 @@ def test_streaming_content_dedup_bounded_state(spark, tmpdir):
     assert len(got & {1, 2, 4}) == 1
 
 
+def test_streaming_url_dedup_collapses_tracking_variants(spark, tmpdir):
+    """Canonical-URL dedup over a stream: a re-crawled page whose URL
+    differs only in tracking params / case / default port / fragment
+    never reaches the sink twice; genuinely different pages survive."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.streaming.curation import (
+        streaming_url_dedup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "https://a.com/x?b=2&a=1"),
+        (2, t0 + dt.timedelta(minutes=1),
+         "HTTPS://A.COM:443/x/?a=1&utm_source=f&b=2#top"),  # dup of 1
+        (3, t0 + dt.timedelta(minutes=2), "https://a.com/y"),
+        (4, t0 + dt.timedelta(minutes=3), "http://a.com/x?a=1&b=2"),  # http != https
+    ]
+    src = f"{tmpdir}/udedup_src"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_url_dedup(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_url_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/udedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.table("t_url_dedup").collect()}
+    assert 3 in got and 4 in got
+    assert len(got & {1, 2}) == 1
+    assert len(got) == 3
+
+
 def test_streaming_decontaminate_equals_batch(spark, sf_dir, tmpdir):
     """foreachBatch decontamination over a doc stream == the batch
     operator on the same corpus (availableNow contract), even when the
