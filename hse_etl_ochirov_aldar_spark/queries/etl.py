@@ -1276,3 +1276,82 @@ def q_sql_passthrough_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.views import sql_query
 
     return sql_query(spark, sf_dir, SQL_PASSTHROUGH_REVENUE)
+
+
+def q_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/cdc.cdc_apply): a synthetic I/U/D change
+    feed derived from customer — balance updates for custkey%10==0
+    (ver 2), deletes for custkey%17==0 (ver 3, so a key with both
+    changes ends deleted: newest-wins is exercised, not assumed), and
+    inserts of new keys for custkey%100==0 (ver 1) — applied to the
+    customer snapshot. Per-nation survivor census in exact cents."""
+    from ..operators.cdc import cdc_apply
+
+    snap = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", units("c_acctbal").alias("bal_u")
+    )
+    upd = snap.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("bal_u") + 1000).alias("bal_u"),
+        F.lit(2).alias("ver"),
+        F.lit("U").alias("op"),
+    )
+    dele = snap.where(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey", "c_nationkey", "bal_u",
+        F.lit(3).alias("ver"), F.lit("D").alias("op"),
+    )
+    ins = snap.where(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_nationkey",
+        F.lit(5000).cast("long").alias("bal_u"),
+        F.lit(1).alias("ver"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    nxt = cdc_apply(snap, changes, ["c_custkey"], "ver", "op")
+    return (
+        nxt.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            as_value(F.sum("bal_u")).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_CDC_APPLY_SNAPSHOT = f"""
+WITH snap AS (
+  SELECT c_custkey, c_nationkey,
+         CAST({oracle_units('c_acctbal')} AS BIGINT) AS bal_u
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, c_nationkey, bal_u + 1000 AS bal_u, 2 AS ver, 'U' AS op
+  FROM snap WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, bal_u, 3, 'D' FROM snap
+  WHERE c_custkey % 17 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_nationkey, CAST(5000 AS BIGINT), 1, 'I'
+  FROM snap WHERE c_custkey % 100 = 0
+),
+newest AS (
+  SELECT * FROM changes
+  QUALIFY row_number() OVER (
+    PARTITION BY c_custkey
+    ORDER BY ver DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) = 1
+),
+applied AS (
+  SELECT coalesce(n.c_custkey, s.c_custkey) AS c_custkey,
+         CASE WHEN n.op IS NOT NULL THEN n.c_nationkey
+              ELSE s.c_nationkey END AS c_nationkey,
+         CASE WHEN n.op IS NOT NULL THEN n.bal_u ELSE s.bal_u END AS bal_u,
+         n.op
+  FROM snap s FULL JOIN newest n ON s.c_custkey = n.c_custkey
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_u) AS DOUBLE) / 100.0 AS total_bal
+FROM applied WHERE op IS NULL OR op <> 'D'
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""

@@ -908,3 +908,48 @@ def test_scd2_intervals_tile_without_gaps(spark):
     for a, b in zip(k1, k1[1:]):
         assert a.valid_to == b.valid_from and not a.is_current
     assert k1[-1].is_current and k1[-1].valid_to is None
+
+
+def test_cdc_apply_merge_semantics(spark):
+    """cdc_apply: newest change wins per key; 'D' removes; same-version
+    upsert+delete resolves to delete (order-independent); deleting an
+    absent key is a no-op; untouched keys pass through unchanged."""
+    from hse_etl_ochirov_aldar_spark.operators.cdc import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 11, 1, "U"),   # older update...
+            (1, "a3", 12, 2, "U"),   # ...newest wins
+            (2, "b", 20, 5, "D"),    # delete
+            (2, "bx", 99, 5, "U"),   # same-version conflict -> D wins
+            (4, "d", 40, 1, "I"),    # insert new key
+            (9, "zz", 0, 7, "D"),    # delete of absent key: no-op
+        ],
+        ["k", "name", "v", "ver", "op"],
+    )
+    out = {r.k: (r.name, r.v)
+           for r in cdc_apply(snap, changes, ["k"]).collect()}
+    assert out == {1: ("a3", 12), 3: ("c", 30), 4: ("d", 40)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        cdc_apply(snap, changes, [])
+
+
+def test_cdc_apply_idempotent_reapplication(spark):
+    """Re-applying the same feed to the applied snapshot is a no-op —
+    the retry-safety contract a replication job needs."""
+    from hse_etl_ochirov_aldar_spark.operators.cdc import cdc_apply
+
+    snap = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, 11, 1, "U"), (2, 20, 1, "D"), (5, 50, 1, "I")],
+        ["k", "v", "ver", "op"],
+    )
+    once = cdc_apply(snap, changes, ["k"])
+    twice = cdc_apply(once, changes, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
