@@ -1355,3 +1355,45 @@ SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
 FROM applied WHERE op IS NULL OR op <> 'D'
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+def q_zorder_extent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key clustering census (functions/zorder.z_value): bucket
+    part rows by the top bits of the (p_size, p_partkey mod 2048)
+    interleave and report each bucket's extent in BOTH dimensions —
+    the bounded-extent property that makes z-ordered files skippable
+    under box predicates on either column. Exact bitwise algebra, so
+    the DuckDB twin reproduces keys bit-for-bit."""
+    from ..functions.zorder import z_value
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("x"),
+        F.pmod(F.col("p_partkey"), F.lit(2048)).cast("long").alias("y"),
+    )
+    z = z_value([F.col("x"), F.col("y")], bits=11)
+    return (
+        part.withColumn("z_bucket", F.shiftright(z, 18))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+ORACLE_ZORDER_EXTENT_STATS = """
+WITH p AS (
+  SELECT CAST(p_size AS BIGINT) AS x,
+         CAST(p_partkey % 2048 AS BIGINT) AS y
+  FROM part
+),
+b AS (SELECT x, y, (((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 0) & 1) << 0) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 0) & 1) << 1) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 1) & 1) << 2) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 1) & 1) << 3) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 2) & 1) << 4) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 2) & 1) << 5) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 3) & 1) << 6) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 3) & 1) << 7) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 4) & 1) << 8) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 4) & 1) << 9) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 5) & 1) << 10) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 5) & 1) << 11) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 6) & 1) << 12) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 6) & 1) << 13) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 7) & 1) << 14) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 7) & 1) << 15) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 8) & 1) << 16) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 8) & 1) << 17) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 9) & 1) << 18) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 9) & 1) << 19) | ((((greatest(0, least(CAST(x AS BIGINT), 2047))) >> 10) & 1) << 20) | ((((greatest(0, least(CAST(y AS BIGINT), 2047))) >> 10) & 1) << 21)) >> 18 AS z_bucket FROM p)
+SELECT z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM b GROUP BY z_bucket ORDER BY z_bucket
+"""

@@ -196,6 +196,7 @@ def compact_parquet(
     path: str,
     target_file_mb: int = 128,
     sort_col: str | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """Small-files compaction: rewrite a parquet dataset into
     ~target_file_mb files, returning the new file count.
@@ -208,6 +209,15 @@ def compact_parquet(
     nothing. ``sort_col`` additionally sorts within partitions so
     row-group min/max statistics become selective for that column
     (data skipping on later filtered scans).
+
+    ``zorder_cols`` (mutually exclusive with ``sort_col``) clusters by
+    the Morton interleave of the named numeric columns instead
+    (functions/zorder.z_value): files then have bounded min/max extents
+    in EVERY listed dimension, so box predicates over any of them skip
+    files — a linear sort only ever serves its leading column. Rows are
+    RANGE-partitioned by the key (repartitionByRange), not hashed: hash
+    partitioning would scatter each z-range across all files and throw
+    the clustering away.
     """
     import math
 
@@ -215,9 +225,29 @@ def compact_parquet(
     size_bytes = fs.getContentSummary(jpath).getLength()
     df = spark.read.parquet(path)
     n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
-    out = df.repartition(n_files)
-    if sort_col:
-        out = out.sortWithinPartitions(sort_col)
+    if zorder_cols:
+        if sort_col:
+            raise ValueError("sort_col and zorder_cols are mutually exclusive")
+        from ..functions.zorder import z_value
+
+        key = z_value([F.col(c) for c in zorder_cols])
+        out = (
+            df.withColumn("__z", key)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_col:
+        # RANGE partition + sort: each output file owns a disjoint value
+        # range, so min/max footers prune at FILE granularity. A plain
+        # repartition would hand every file a random sample — row
+        # groups inside a file stay sorted, but every file would still
+        # intersect every predicate.
+        out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_files)
     staging = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(staging)
     _swap_into(spark, staging, path)

@@ -115,3 +115,103 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     after = len(list(Path(path).rglob("*.parquet")))
     assert after <= n + 1 < before
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_z_value_matches_python_reference(spark):
+    from hse_etl_ochirov_aldar_spark.functions.zorder import z_value
+
+    def ref(vals, bits):
+        out = 0
+        n = len(vals)
+        for j, v in enumerate(vals):
+            v = max(0, min(v, (1 << bits) - 1))
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (i * n + j)
+        return out
+
+    rows = [(3, 5), (0, 0), (1023, 1), (-7, 4), (1 << 30, 9)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = [
+        r[0]
+        for r in df.select(
+            z_value([F.col("x"), F.col("y")], bits=10)
+        ).collect()
+    ]
+    assert got == [ref([x, y], 10) for x, y in rows]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        z_value([F.col("x")])
+    with _pytest.raises(ValueError, match="BIGINT"):
+        z_value([F.col("x"), F.col("y"), F.col("x")], bits=30)
+
+
+def test_zorder_oracle_twin_bit_identical(spark):
+    """The DuckDB oracle expression must reproduce z_value exactly."""
+    import duckdb
+
+    from hse_etl_ochirov_aldar_spark.functions.zorder import (
+        oracle_z_value,
+        z_value,
+    )
+
+    rows = [(i * 37 % 2048, i * 101 % 2048) for i in range(200)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = [
+        r[0] for r in df.select(z_value([F.col("x"), F.col("y")], 11)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {oracle_z_value(['x', 'y'], 11)} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_zorder_compaction_skips_files_in_both_dimensions(spark, tmp_path):
+    """The data-skipping demo: a y-only predicate over an x-sorted
+    layout touches (nearly) every file, while the z-ordered layout
+    bounds every file's extent in BOTH dimensions — each box predicate
+    draws rows from a fraction of the files."""
+    from hse_etl_ochirov_aldar_spark.sources.sinks import compact_parquet
+
+    n = 1 << 14
+    base = spark.range(n).selectExpr(
+        "id", "id % 256 AS x", "(id * 7919) % 256 AS y"
+    )
+
+    def files_touched(path, pred):
+        df = spark.read.parquet(path).where(pred)
+        return df.select(F.input_file_name()).distinct().count()
+
+    linear = str(tmp_path / "linear")
+    base.write.parquet(linear)
+    compact_parquet(spark, linear, target_file_mb=1, sort_col="x")
+    total_linear = spark.read.parquet(linear).select(
+        F.input_file_name()
+    ).distinct().count()
+
+    zord = str(tmp_path / "zord")
+    base.write.parquet(zord)
+    compact_parquet(spark, zord, target_file_mb=1, zorder_cols=["x", "y"])
+    total_z = spark.read.parquet(zord).select(
+        F.input_file_name()
+    ).distinct().count()
+
+    # same content either way
+    assert spark.read.parquet(zord).count() == n
+    lin_x = files_touched(linear, "x < 64")
+    lin_y = files_touched(linear, "y < 64")
+    z_x = files_touched(zord, "x < 64")
+    z_y = files_touched(zord, "y < 64")
+    # the x-sorted layout serves x but NOT y
+    assert lin_x <= max(1, total_linear // 2)
+    assert lin_y >= max(1, int(0.9 * total_linear))
+    # the z-ordered layout bounds BOTH dimensions
+    assert z_x <= max(1, (3 * total_z) // 4)
+    assert z_y <= max(1, (3 * total_z) // 4)
