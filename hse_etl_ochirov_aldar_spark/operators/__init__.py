@@ -11,6 +11,8 @@ from .normalize import (
     normalize_pets_json,
 )
 from .percentile import global_percentile_bounds, percentile_trim
+from .profile import profile_table, skew_report
+from .cdc import cdc_apply
 from .sampling import (
     cluster_balanced_sample,
     distribution_matched_sample,
@@ -64,6 +66,9 @@ __all__ = [
     "normalize_nutrition_xml",
     "normalize_pets_json",
     "global_percentile_bounds",
+    "profile_table",
+    "skew_report",
+    "cdc_apply",
     "percentile_trim",
     "cluster_balanced_sample",
     "distribution_matched_sample",

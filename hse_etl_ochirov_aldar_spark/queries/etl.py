@@ -1397,3 +1397,74 @@ SELECT z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
        min(y) AS min_y, max(y) AS max_y
 FROM b GROUP BY z_bucket ORDER BY z_bucket
 """
+
+
+def q_table_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of customer (operators/profile.
+    profile_table): null counts, exact distincts, min/max — the
+    day-one migration observability query. The oracle re-derives each
+    column's row as an independent aggregate (UNION ALL), proving the
+    one-scan wide-aggregate + unpivot against the naive per-column
+    form."""
+    from ..operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "customer"))
+
+
+ORACLE_TABLE_PROFILE_CUSTOMER = """
+WITH s AS (SELECT * FROM customer)
+SELECT * FROM (
+  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+         CAST(min(c_custkey) AS VARCHAR) AS min_value,
+         CAST(max(c_custkey) AS VARCHAR) AS max_value
+  FROM s
+  UNION ALL
+  SELECT 'c_name', count(*), count(*) FILTER (c_name IS NULL),
+         count(DISTINCT c_name), min(c_name), max(c_name) FROM s
+  UNION ALL
+  SELECT 'c_nationkey', count(*), count(*) FILTER (c_nationkey IS NULL),
+         count(DISTINCT c_nationkey),
+         CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+  FROM s
+  UNION ALL
+  SELECT 'c_acctbal', count(*), count(*) FILTER (c_acctbal IS NULL),
+         count(DISTINCT c_acctbal),
+         CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR)
+  FROM s
+  UNION ALL
+  SELECT 'c_mktsegment', count(*), count(*) FILTER (c_mktsegment IS NULL),
+         count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
+  FROM s
+) ORDER BY col_name
+"""
+
+
+def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (operators/profile.skew_report) on the raw
+    events event_type — the census read before picking a join strategy
+    for that key; surfaces the messy-casing variants the clean layer
+    normalizes away. TakeOrdered top-N, never a global rank window."""
+    from ..operators.profile import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), "event_type", 10)
+
+
+ORACLE_SKEW_REPORT_EVENTS = """
+WITH c AS (
+  SELECT CAST(event_type AS VARCHAR) AS key_value,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+r AS (
+  SELECT key_value, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC,
+                            key_value ASC NULLS FIRST) AS rank
+  FROM c
+)
+SELECT CAST(rank AS INTEGER) AS rank, key_value, n_rows,
+       CAST(n_rows * 10000 // t.total AS BIGINT) AS share_bp
+FROM r, t WHERE rank <= 10
+"""

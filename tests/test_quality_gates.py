@@ -63,3 +63,46 @@ def test_observed_checks_single_job(spark):
     )
     observed2.collect()
     assert validate2() == {"rating_violations": 0}
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from hse_etl_ochirov_aldar_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], ["k", "s"]
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 1
+    assert prof["k"].n_distinct == 2  # NULL not counted as distinct value
+    assert (prof["k"].min_value, prof["k"].max_value) == ("1", "2")
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no columns"):
+        profile_table(df, columns=[])
+
+
+def test_profile_table_approx_tracks_exact(spark, sf_dir):
+    from hse_etl_ochirov_aldar_spark.operators.profile import profile_table
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    ords = load_table(spark, sf_dir, "orders")
+    exact = {r.col_name: r.n_distinct for r in profile_table(ords).collect()}
+    approx = {
+        r.col_name: r.n_distinct
+        for r in profile_table(ords, approx=True).collect()
+    }
+    for c, e in exact.items():
+        assert abs(approx[c] - e) <= max(2, 0.05 * e), (c, approx[c], e)
+
+
+def test_skew_report_ranks_hot_key_first(spark):
+    from hse_etl_ochirov_aldar_spark.operators.profile import skew_report
+
+    rows = [(0,)] * 50 + [(1,)] * 30 + [(2,)] * 20 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k INT")
+    rep = skew_report(df, "k", top_n=3).collect()
+    assert [r.key_value for r in rep] == ["0", "1", "2"]
+    assert rep[0].share_bp == 50 * 10000 // 105
+    assert [r.rank for r in rep] == [1, 2, 3]
