@@ -563,3 +563,75 @@ WHERE rank_a = 1 AND rank_b = 1
       // (sum_a * cnt_b + sum_b * cnt_a) >= 11000
 ORDER BY a_id
 """
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (operators/graph.pagerank_exact) over the part
+    co-purchase graph (same edge construction as
+    copurchase_components): 3 exact-arithmetic rounds at damping
+    85/100, plus each node's degree. Top-10 by rank with id tie-break.
+    The DuckDB twin unrolls the identical three rounds — bit-for-bit,
+    which float PageRank cannot offer."""
+    from ..operators.graph import degree_stats, pagerank_exact
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 60)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pr = pagerank_exact(edges, iters=3, damping_pct=85)
+    deg = degree_stats(edges)
+    return (
+        pr.join(deg, "id")
+        .select(
+            F.col("id").alias("part_id"),
+            "degree",
+            "rank_micro",
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("part_id"))
+        .limit(10)
+    )
+
+
+def _oracle_part_pagerank(iters: int = 3) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT e.dst AS id,
+         CAST(150000 + (85 * sum((2 * r.rank_micro + d.deg) // (2 * d.deg)))
+              // 100 AS BIGINT) AS rank_micro
+  FROM e JOIN {prev} r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 60
+),
+p AS (
+  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank_micro FROM deg),
+{",".join(rounds)}
+SELECT r.id AS part_id, d.deg AS degree, r.rank_micro
+FROM {prev} r JOIN deg d ON r.id = d.src
+ORDER BY r.rank_micro DESC, part_id
+LIMIT 10
+"""
+
+
+ORACLE_PART_PAGERANK = _oracle_part_pagerank()

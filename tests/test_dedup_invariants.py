@@ -644,3 +644,41 @@ def test_keep_best_prefers_high_score_member(spark):
     kmin = {r.doc_id for r in minhash_dedup(df, threshold=0.5).collect()}
     assert kmin == {1, 3}
     assert best != kmin
+
+
+def test_pagerank_exact_matches_python_reference(spark):
+    """3-round integer PageRank on a known graph must equal a plain-
+    Python implementation of the same exact arithmetic."""
+    from hse_etl_ochirov_aldar_spark.operators.graph import (
+        degree_stats,
+        pagerank_exact,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    rank = {n: 1_000_000 for n in adj}
+    for _ in range(3):
+        share = {n: (2 * rank[n] + deg[n]) // (2 * deg[n]) for n in adj}
+        rank = {
+            n: 150_000 + (85 * sum(share[m] for m in adj[n])) // 100
+            for n in adj
+        }
+
+    got = {r.id: r.rank_micro for r in pagerank_exact(pairs, iters=3).collect()}
+    assert got == rank
+    # the degree-2 hub (3) outranks the leaf (5)
+    assert got[3] > got[5]
+
+    degs = {r.id: r.degree for r in degree_stats(pairs).collect()}
+    assert degs == deg
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="damping_pct"):
+        pagerank_exact(pairs, damping_pct=101)
