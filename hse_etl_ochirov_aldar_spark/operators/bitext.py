@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _spread, cosine
+from .similarity import _dot, _norm, _spread
 
 
 def margin_bitext_mine(
@@ -54,11 +54,26 @@ def margin_bitext_mine(
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    cos6u = F.round(cosine(F.col("a_vec"), F.col("b_vec")) * F.lit(1e6), 0).cast(
-        "long"
+    # per-side norms computed ONCE per row (the join is a projection
+    # barrier, so CollapseProject cannot re-inline the fold into the
+    # per-pair expression — cosine_dup_ids' trick); each of the |A|x|B|
+    # pairs then pays a single dot instead of three array folds
+    a = side_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
+    b = side_b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos6u = F.round(
+        _dot(F.col("a_vec"), F.col("b_vec"))
+        / (F.col("__na") * F.col("__nb"))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
     scored = (
         _spread(a)
         .crossJoin(F.broadcast(b))
@@ -143,13 +158,16 @@ def margin_bitext_mine_blocked(
     b_lab = assign_cells(
         side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")),
         cents, 1, "b_id", "b_vec", metric="cosine",
-    )
+    ).withColumn("__nb", _norm(F.col("b_vec")))
     a_lab = assign_cells(
         side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")),
         cents, n_probe, "a_id", "a_vec", metric="cosine",
-    )
+    ).withColumn("__na", _norm(F.col("a_vec")))
     cos6u = F.round(
-        cosine(F.col("a_vec"), F.col("b_vec")) * F.lit(1e6), 0
+        _dot(F.col("a_vec"), F.col("b_vec"))
+        / (F.col("__na") * F.col("__nb"))
+        * F.lit(1e6),
+        0,
     ).cast("long")
     scored = (
         a_lab.join(b_lab, "cell_id")

@@ -76,15 +76,23 @@ def brute_force_topk(
     ``scale`` decimals with id tie-break, making order deterministic
     across engines. Self-matches are excluded when ids collide.
     """
+    # norms once per row on each side of the join barrier (the
+    # cosine_dup_ids pattern): every (query, corpus) pair pays one dot
+    # instead of three array folds; the double math is unchanged
+    # (dot / (nq * nc)), so rounded results are bit-identical
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("__nq"),
         )
     )
     scored = (
         _spread(
             corpus.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                _norm(F.col(vec_col)).alias("__nc"),
             )
         )
         .crossJoin(q)
@@ -92,7 +100,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale).alias("cos_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__nq") * F.col("__nc")),
+                scale,
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -279,6 +291,7 @@ def ivf_topk(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("__nq"),
             F.col(cell_col).alias("q_cell"),
         )
     )
@@ -287,6 +300,7 @@ def ivf_topk(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("c_vec"),
+                _norm(F.col(vec_col)).alias("__nc"),
                 F.col(cell_col).alias("c_cell"),
             )
         )
@@ -295,7 +309,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale).alias("cos_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__nq") * F.col("__nc")),
+                scale,
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -662,6 +680,7 @@ def ivf_kmeans_exact_topk(
     labeled = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__nc"),
         F.element_at(
             _cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1
         ).alias("c_cell"),
@@ -669,6 +688,7 @@ def ivf_kmeans_exact_topk(
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__nq"),
         F.explode(
             F.slice(
                 _cell_ranks(micro_vec(F.col(vec_col), scale), cents),
@@ -684,7 +704,11 @@ def ivf_kmeans_exact_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__nq") * F.col("__nc")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -806,6 +830,7 @@ def hard_negative_mining(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("__nq"),
             F.col(label_col).alias("q_label"),
         )
     )
@@ -814,6 +839,7 @@ def hard_negative_mining(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("c_vec"),
+                _norm(F.col(vec_col)).alias("__nc"),
                 F.col(label_col).alias("neighbor_label"),
             )
         )
@@ -823,9 +849,11 @@ def hard_negative_mining(
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__nq") * F.col("__nc")),
+                scale,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") < F.lit(max_cos))
     )
