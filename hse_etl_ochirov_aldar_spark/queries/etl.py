@@ -1468,3 +1468,70 @@ SELECT CAST(rank AS INTEGER) AS rank, key_value, n_rows,
        CAST(n_rows * 10000 // t.total AS BIGINT) AS share_bp
 FROM r, t WHERE rank <= 10
 """
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits its value
+    to the user's MOST RECENT prior touch (view/click), 'none' when the
+    purchase had no prior touch — the marketing staple built as one
+    user-keyed window carry (last non-null touch type over rows up to
+    1 PRECEDING — the self-exclusion makes same-timestamp ordering
+    deterministic via the event_id tie-break), never a per-user array
+    or self-join. Census per credited channel in exact cents."""
+    ev = load_table(spark, sf_dir, "events")
+    kind = F.lower(F.trim(F.col("event_type")))
+    base = ev.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & kind.isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        kind.alias("kind"),
+        F.col("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = base.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("kind") != "purchase", F.col("kind")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.where((F.col("kind") == "purchase") & F.col("value").isNotNull())
+        .groupBy(F.coalesce(F.col("last_touch"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            as_value(units_sum("value")).alias("total_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE_LAST_TOUCH_ATTRIBUTION = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, lower(trim(event_type)) AS kind, value
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND lower(trim(event_type)) IN ('view', 'click', 'purchase')
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN kind <> 'purchase' THEN kind END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM base
+)
+SELECT coalesce(last_touch, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum({oracle_units('value')}) AS DOUBLE) / 100.0 AS total_value
+FROM carried
+WHERE kind = 'purchase' AND value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
