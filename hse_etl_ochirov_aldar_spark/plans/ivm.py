@@ -1,0 +1,94 @@
+"""Incremental materialized-view maintenance for ADDITIVE aggregates.
+
+The reference rebuilds marts by re-aggregating history every run
+(build_analytical_marts.py drops and refills; HW-4's window rebuild
+re-scans the window). For distributive aggregates — SUM and COUNT, and
+anything derived from them downstream (AVG = sum/count, rates, shares)
+— the mart can instead absorb each new fact batch WITHOUT touching
+fact history: aggregate the delta alone, combine it with the existing
+mart by per-group addition, swap atomically. Cost per refresh is
+O(delta + mart), not O(history) — at 100 TB of facts with a
+groups-sized mart, that is the difference between a per-batch job and
+an impossible one.
+
+Retractions come free from the algebra: a delta row with ``weight=-1``
+subtracts its measures (late-arriving corrections, GDPR deletes,
+reversed orders). Groups whose count reaches zero are dropped from the
+mart. min/max are deliberately NOT supported — they are not
+subtractable, which is exactly why this module is named *additive*.
+
+Write path: aggregate-combine into a staging dir, then the same
+atomic swap the compaction sink uses — a crashed refresh leaves the
+old mart intact, and re-running a refresh with the same delta is NOT
+idempotent (additive semantics); pair with the pipeline runner's
+exactly-once batch bookkeeping (streaming/joins.write_stream_upsert's
+checkpoint idiom) when the source can redeliver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.sinks import _swap_into
+
+
+def aggregate_delta(
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Partial-aggregate one fact batch into mart shape: per group,
+    ``n_rows`` (sum of weights) and ``sum_<c>`` per measure (measure ×
+    weight). ``weight_col=None`` means every row weighs +1."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    aggs = [F.sum(w.cast("long")).alias("n_rows")] + [
+        F.sum(F.col(c) * w).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return delta.groupBy(*group_cols).agg(*aggs)
+
+
+def combine_marts(
+    mart: DataFrame, delta_agg: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Per-group addition of two mart-shaped relations; groups whose
+    combined ``n_rows`` is zero (fully retracted) drop out."""
+    meas = [c for c in mart.columns if c not in group_cols]
+    combined = (
+        mart.unionByName(delta_agg)
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).alias(c) for c in meas])
+    )
+    return combined.where(F.col("n_rows") != 0)
+
+
+def maintain_additive_mart(
+    spark: SparkSession,
+    mart_path: str,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    weight_col: str | None = None,
+) -> None:
+    """Refresh the parquet mart at ``mart_path`` with one delta batch:
+    aggregate the delta, add it to the existing mart (first call
+    bootstraps), atomically swap. O(delta + mart) per refresh."""
+    delta_agg = aggregate_delta(delta, group_cols, sum_cols, weight_col)
+    try:
+        current = spark.read.parquet(mart_path)
+        exists = True
+    except Exception as exc:  # first refresh bootstraps the mart
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        exists = False
+    out = (
+        combine_marts(current, delta_agg, group_cols)
+        if exists
+        else delta_agg.where(F.col("n_rows") != 0)
+    )
+    staging = mart_path.rstrip("/") + "__ivm_staging"
+    out.write.mode("overwrite").parquet(staging)
+    _swap_into(spark, staging, mart_path)

@@ -953,3 +953,59 @@ def test_cdc_apply_idempotent_reapplication(spark):
     once = cdc_apply(snap, changes, ["k"])
     twice = cdc_apply(once, changes, ["k"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_ivm_batches_equal_full_aggregate(spark, sf_dir, tmpdir):
+    """Maintaining the mart with three fact batches must equal one full
+    aggregate over everything — the IVM contract, O(delta+mart) per
+    refresh instead of O(history)."""
+    from hse_etl_ochirov_aldar_spark.plans.ivm import maintain_additive_mart
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    mart = f"{tmpdir}/mart"
+    for i in range(3):
+        batch = ev.where(F.col("event_id") % 3 == i)
+        maintain_additive_mart(
+            spark, mart, batch, ["user_id"], ["value"]
+        )
+    got = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6))
+        for r in spark.read.parquet(mart).collect()
+    }
+    want = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value")
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivm_retraction_undoes_a_batch(spark, tmpdir):
+    """A weight=-1 replay of batch 2 must leave exactly batches 1+3;
+    fully-retracted groups disappear from the mart."""
+    from hse_etl_ochirov_aldar_spark.plans.ivm import maintain_additive_mart
+
+    mart = f"{tmpdir}/mart_r"
+    b1 = spark.createDataFrame([("a", 10.0), ("b", 5.0)], ["k", "value"])
+    b2 = spark.createDataFrame([("a", 7.0), ("c", 2.0)], ["k", "value"])
+    b3 = spark.createDataFrame([("b", 1.0)], ["k", "value"])
+    for b in (b1, b2, b3):
+        maintain_additive_mart(spark, mart, b, ["k"], ["value"])
+    retract = b2.withColumn("weight", F.lit(-1))
+    maintain_additive_mart(
+        spark, mart, retract, ["k"], ["value"], weight_col="weight"
+    )
+    got = {
+        r.k: (r.n_rows, r.sum_value)
+        for r in spark.read.parquet(mart).collect()
+    }
+    # c fully retracted -> gone; a back to batch-1 state; b has 1+3
+    assert got == {"a": (1, 10.0), "b": (2, 6.0)}
