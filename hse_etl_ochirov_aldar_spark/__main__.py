@@ -3,10 +3,15 @@
     python -m hse_etl_ochirov_aldar_spark list
     python -m hse_etl_ochirov_aldar_spark run <query> [--sf-dir DIR] [-n 20]
     python -m hse_etl_ochirov_aldar_spark pipeline [--sf-dir DIR] --out DIR
+    python -m hse_etl_ochirov_aldar_spark sql "SELECT ..." [--sf-dir DIR]
+    python -m hse_etl_ochirov_aldar_spark profile <table> [--sf-dir DIR]
 
 `run` executes any catalog query and shows the result; `pipeline`
 materializes the layered raw -> clean -> mart flow (the reference's
-end-to-end DAG output) as partitioned parquet under --out.
+end-to-end DAG output) as partitioned parquet under --out; `sql` runs
+an arbitrary SQL string against the registered table views (the
+migration path for the reference's SQL-first users); `profile` prints
+the one-scan per-column profile of a table.
 """
 
 from __future__ import annotations
@@ -26,6 +31,15 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe = sub.add_parser("pipeline", help="materialize raw->clean->mart")
     p_pipe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_pipe.add_argument("--out", required=True)
+    p_sql = sub.add_parser("sql", help="run SQL against the table views")
+    p_sql.add_argument("statement")
+    p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_sql.add_argument("-n", type=int, default=20, help="rows to show")
+    p_prof = sub.add_parser("profile", help="per-column table profile")
+    p_prof.add_argument("table")
+    p_prof.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_prof.add_argument("--approx", action="store_true",
+                        help="HLL distincts (the 100 TB path)")
     args = ap.parse_args(argv)
 
     from .queries import ORACLES, QUERIES
@@ -48,6 +62,27 @@ def main(argv: list[str] | None = None) -> int:
         df = QUERIES[args.query](spark, args.sf_dir)
         df.show(args.n, truncate=False)
         print(f"rows: {df.count()}")
+        return 0
+
+    if args.cmd == "sql":
+        from .sources.views import sql_query
+
+        df = sql_query(spark, args.sf_dir, args.statement)
+        df.show(args.n, truncate=False)
+        print(f"rows: {df.count()}")
+        return 0
+
+    if args.cmd == "profile":
+        from .operators.profile import profile_table
+        from .sources.readers import TABLES, load_table
+
+        if args.table not in TABLES:
+            print(f"unknown table {args.table!r}; one of {TABLES}",
+                  file=sys.stderr)
+            return 2
+        profile_table(
+            load_table(spark, args.sf_dir, args.table), approx=args.approx
+        ).show(truncate=False)
         return 0
 
     # pipeline: events -> clean (percentile-trimmed, month-partitioned)

@@ -37,3 +37,15 @@ def test_cli_run_and_pipeline(spark, sf_dir, tmp_path, capsys):
     got = capsys.readouterr().out
     assert "daily_extremes: 10 rows" in got
     assert spark.read.parquet(f"{out_dir}/clean_events").count() > 0
+
+
+def test_cli_sql_and_profile(spark, sf_dir, capsys):
+    assert main(["sql", "SELECT count(*) AS n FROM nation",
+                 "--sf-dir", sf_dir]) == 0
+    assert "25" in capsys.readouterr().out
+
+    assert main(["profile", "nation", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "n_nationkey" in out and "n_distinct" in out
+
+    assert main(["profile", "nonexistent"]) == 2
