@@ -112,3 +112,134 @@ def skew_report(
             F.expr("CAST(n_rows * 10000 div __t AS BIGINT)").alias("share_bp"),
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    buckets: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Exact equal-width histogram of a numeric column: one row per
+    bucket with BIGINT counts. Bounds default to the column's observed
+    min/max (one extra tiny aggregate); values at ``hi`` land in the
+    last bucket (right-closed top edge, the standard width_bucket
+    convention collapsed inward), NULLs are excluded.
+
+    One groupBy on a row-local bucket index — map-side combinable, at
+    most ``buckets`` rows shuffle per partition. Empty buckets are
+    emitted with count 0 via a range join against the bucket spine so
+    the histogram shape is complete (the spine is ``buckets`` rows —
+    broadcast, never a shuffle)."""
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col)).cast("double"), F.max(F.col(col)).cast("double")
+        ).first()
+        lo = float(row[0]) if lo is None else lo
+        hi = float(row[1]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / buckets
+    idx = F.least(
+        F.lit(buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)).cast(
+                "int"
+            ),
+        ),
+    )
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(idx.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spine = df.sparkSession.range(buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    return (
+        spine.join(F.broadcast(counts), "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("bucket_hi"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scales: list[int] | int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlations from EXACT integer moments: each
+    column snaps to BIGINT units at its scale (``scales`` per column,
+    or one int for all), and all five moments per pair (n, sum_x,
+    sum_y, sum_xy, sum_x2/sum_y2) are exact integer sums — summation
+    order cannot move the result, so the final correlation (one double
+    expression over exact integers, rounded to 6dp) is
+    engine-reproducible. One full scan computes every pair's moments;
+    rows with a NULL in either column of a pair are excluded pairwise.
+    Output: (col_x, col_y, n_pairs, corr) for x < y.
+
+    Pick each scale so sum(units^2) stays inside BIGINT (units^2 x
+    row count < 9e18): correlation is scale-invariant, so the scale
+    only needs enough resolution to separate the column's values.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    sc = scales if isinstance(scales, list) else [scales] * len(cols)
+    if len(sc) != len(cols):
+        raise ValueError("scales must match cols")
+    scale_of = dict(zip(cols, sc))
+
+    def u(c: str):
+        return F.round(
+            F.col(c).cast("double") * (10 ** scale_of[c]), 0
+        ).cast("long")
+
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        ua = F.when(both, u(a))
+        ub = F.when(both, u(b))
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"n_{tag}"),
+            F.sum(ua).alias(f"sx_{tag}"),
+            F.sum(ub).alias(f"sy_{tag}"),
+            F.sum(ua * ub).alias(f"sxy_{tag}"),
+            F.sum(ua * ua).alias(f"sxx_{tag}"),
+            F.sum(ub * ub).alias(f"syy_{tag}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        cov = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"n_{tag}").alias("n_pairs"),
+                F.when(den > 0, F.round(cov / den, 6)).alias("corr"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("col_x", "col_y")
+    )

@@ -1535,3 +1535,92 @@ FROM carried
 WHERE kind = 'purchase' AND value IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-width histogram of event values over fixed bounds
+    [0, 200) x 20 buckets (operators/profile.value_histogram):
+    out-of-range values clamp into the edge buckets, empty buckets
+    emit 0 via the broadcast bucket spine. One map-side-combinable
+    groupBy on a row-local bucket index."""
+    from ..operators.profile import value_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_histogram(ev, "value", buckets=20, lo=0.0, hi=200.0)
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH b AS (
+  SELECT least(19, greatest(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 10.0) AS INT)))
+           AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY 1),
+spine AS (SELECT CAST(range AS INT) AS bucket FROM range(0, 20))
+SELECT s.bucket,
+       CAST(s.bucket * 10.0 AS DOUBLE) AS bucket_lo,
+       CAST((s.bucket + 1) * 10.0 AS DOUBLE) AS bucket_hi,
+       coalesce(c.n_rows, 0) AS n_rows
+FROM spine s LEFT JOIN c ON s.bucket = c.bucket
+ORDER BY s.bucket
+"""
+
+
+def q_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures from
+    exact integer moments (operators/profile.correlation_matrix):
+    quantity/extendedprice at scale 0, discount/tax at scale 2 so
+    every sum of squares stays inside BIGINT at any order; the oracle
+    re-derives the same moments (DuckDB's HUGEINT sums equal Spark's
+    non-overflowing BIGINT sums) and the same rounded division."""
+    from ..operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        scales=[0, 0, 2, 2],
+    )
+
+
+def _oracle_corr(cols: list[str], scales: list[int]) -> str:
+    su = {c: f"CAST(round(CAST({c} AS DOUBLE) * {10**s}) AS BIGINT)"
+          for c, s in zip(cols, scales)}
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+            ua, ub = su[a], su[b]
+            parts.append(f"""
+  SELECT '{a}' AS col_x, '{b}' AS col_y,
+         CAST(count(*) FILTER ({both}) AS BIGINT) AS n_pairs,
+         CASE WHEN sqrt(CAST(count(*) FILTER ({both}) AS DOUBLE)
+                        * sum(CASE WHEN {both} THEN {ua} * {ua} END)
+                        - CAST(sum(CASE WHEN {both} THEN {ua} END) AS DOUBLE)
+                          * sum(CASE WHEN {both} THEN {ua} END))
+                   * sqrt(CAST(count(*) FILTER ({both}) AS DOUBLE)
+                          * sum(CASE WHEN {both} THEN {ub} * {ub} END)
+                          - CAST(sum(CASE WHEN {both} THEN {ub} END) AS DOUBLE)
+                            * sum(CASE WHEN {both} THEN {ub} END)) > 0
+              THEN round((CAST(count(*) FILTER ({both}) AS DOUBLE)
+                          * sum(CASE WHEN {both} THEN {ua} * {ub} END)
+                          - CAST(sum(CASE WHEN {both} THEN {ua} END) AS DOUBLE)
+                            * sum(CASE WHEN {both} THEN {ub} END))
+                         / (sqrt(CAST(count(*) FILTER ({both}) AS DOUBLE)
+                                 * sum(CASE WHEN {both} THEN {ua} * {ua} END)
+                                 - CAST(sum(CASE WHEN {both} THEN {ua} END) AS DOUBLE)
+                                   * sum(CASE WHEN {both} THEN {ua} END))
+                            * sqrt(CAST(count(*) FILTER ({both}) AS DOUBLE)
+                                   * sum(CASE WHEN {both} THEN {ub} * {ub} END)
+                                   - CAST(sum(CASE WHEN {both} THEN {ub} END) AS DOUBLE)
+                                     * sum(CASE WHEN {both} THEN {ub} END))), 6)
+         END AS corr
+  FROM lineitem""")
+    return ("SELECT * FROM (" + "\n  UNION ALL\n".join(parts)
+            + ") ORDER BY col_x, col_y")
+
+
+ORACLE_NUMERIC_CORRELATIONS = _oracle_corr(
+    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], [0, 0, 2, 2]
+)

@@ -106,3 +106,44 @@ def test_skew_report_ranks_hot_key_first(spark):
     assert [r.key_value for r in rep] == ["0", "1", "2"]
     assert rep[0].share_bp == 50 * 10000 // 105
     assert [r.rank for r in rep] == [1, 2, 3]
+
+
+def test_value_histogram_shape_and_clamping(spark):
+    from hse_etl_ochirov_aldar_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [(x,) for x in [-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 25.0, None]],
+        "v DOUBLE",
+    )
+    h = value_histogram(df, "v", buckets=2, lo=0.0, hi=10.0).collect()
+    assert [r.bucket for r in h] == [0, 1]
+    # bucket 0: -5 (clamped), 0.0, 4.9; bucket 1: 5.0, 9.9, and the
+    # clamped 10.0 + 25.0; the NULL is excluded
+    assert [r.n_rows for r in h] == [3, 4]
+    assert (h[0].bucket_lo, h[0].bucket_hi) == (0.0, 5.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        value_histogram(df, "v", buckets=0)
+
+
+def test_correlation_matrix_known_values(spark):
+    from hse_etl_ochirov_aldar_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i), 2.0 * i + 1, float(-i), float(i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    out = {(r.col_x, r.col_y): r.corr
+           for r in correlation_matrix(df, ["a", "b", "c"], scales=2).collect()}
+    assert out[("a", "b")] == 1.0      # perfectly linear
+    assert out[("a", "c")] == -1.0     # perfectly anti-linear
+    assert out[("b", "c")] == -1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        correlation_matrix(df, ["a"])
+    with _pytest.raises(ValueError, match="scales must match"):
+        correlation_matrix(df, ["a", "b"], scales=[2])
