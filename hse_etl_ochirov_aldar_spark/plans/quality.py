@@ -84,3 +84,35 @@ def observed_checks(
         return got
 
     return observed, validate
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Rows of ``child`` whose foreign key has no match in ``parent``
+    (NULL keys are NOT orphans — a nullable FK is 'unknown', not
+    'dangling'; gate NULLs separately with expect_check). LEFT ANTI
+    join: the parent side carries only its key column through
+    projection, broadcasts when small, and nothing is collected."""
+    keys = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates()
+    return child.where(F.col(child_key).isNotNull()).join(
+        keys, child_key, "left_anti"
+    )
+
+
+def expect_referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str = "fk",
+) -> DataFrame:
+    """Gate: raise QualityError when any non-NULL child key dangles.
+    Returns ``child`` unchanged for pipeline chaining."""
+    n = fk_orphans(child, parent, child_key, parent_key).count()
+    if n:
+        raise QualityError(f"{name}: {n} orphaned {child_key} rows")
+    return child

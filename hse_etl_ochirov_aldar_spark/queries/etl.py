@@ -1624,3 +1624,57 @@ def _oracle_corr(cols: list[str], scales: list[int]) -> str:
 ORACLE_NUMERIC_CORRELATIONS = _oracle_corr(
     ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], [0, 0, 2, 2]
 )
+
+
+def q_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse FK audit (plans/quality.fk_orphans): orphan counts for
+    the schema's three fact->dim edges plus a deliberately-broken probe
+    (orders joined to a truncated customer dim) proving the check
+    actually fires — each edge one LEFT ANTI join with the parent
+    reduced to its key column."""
+    from ..plans.quality import fk_orphans
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    half_cust = cust.where(F.col("c_custkey") % 2 == 0)
+    edges = [
+        ("orders.o_custkey -> customer", fk_orphans(orders, cust, "o_custkey", "c_custkey")),
+        ("lineitem.l_orderkey -> orders", fk_orphans(li, orders, "l_orderkey", "o_orderkey")),
+        ("customer.c_nationkey -> nation", fk_orphans(cust, nation, "c_nationkey", "n_nationkey")),
+        ("orders.o_custkey -> HALF customer (probe)", fk_orphans(orders, half_cust, "o_custkey", "c_custkey")),
+    ]
+    rows = None
+    for label, orphans in edges:
+        r = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(label).alias("edge"), "n_orphans"
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("edge")
+
+
+ORACLE_REFERENTIAL_INTEGRITY_REPORT = """
+SELECT * FROM (
+  SELECT 'orders.o_custkey -> customer' AS edge,
+         CAST(count(*) AS BIGINT) AS n_orphans
+  FROM orders o WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem.l_orderkey -> orders',
+         CAST(count(*) AS BIGINT)
+  FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         CAST(count(*) AS BIGINT)
+  FROM customer c WHERE c.c_nationkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+  UNION ALL
+  SELECT 'orders.o_custkey -> HALF customer (probe)',
+         CAST(count(*) AS BIGINT)
+  FROM orders o WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey % 2 = 0 AND c.c_custkey = o.o_custkey)
+) ORDER BY edge
+"""

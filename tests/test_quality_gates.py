@@ -147,3 +147,26 @@ def test_correlation_matrix_known_values(spark):
         correlation_matrix(df, ["a"])
     with _pytest.raises(ValueError, match="scales must match"):
         correlation_matrix(df, ["a", "b"], scales=[2])
+
+
+def test_fk_gate_raises_on_orphans_and_ignores_nulls(spark):
+    from hse_etl_ochirov_aldar_spark.plans.quality import (
+        QualityError,
+        expect_referential_integrity,
+        fk_orphans,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], ["id", "fk"]
+    )
+    orphans = fk_orphans(child, parent, "fk", "pk").collect()
+    assert [r.id for r in orphans] == [12]  # NULL fk is not an orphan
+
+    import pytest as _pytest
+
+    with _pytest.raises(QualityError, match="1 orphaned"):
+        expect_referential_integrity(child, parent, "fk", "pk")
+
+    clean = child.where(F.col("id") != 12)
+    assert expect_referential_integrity(clean, parent, "fk", "pk") is clean
