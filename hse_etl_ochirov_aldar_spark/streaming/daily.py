@@ -84,3 +84,44 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_sliding_counts(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window per-type event counts — the trending/monitoring
+    shape the tumbling daily aggregate cannot express (each event
+    contributes to window/slide overlapping windows, so a spike shows
+    up within one slide interval instead of at the day boundary).
+
+    State grows with (overlapping windows in the watermark horizon x
+    active types), both bounded; with append output only windows the
+    watermark has closed emit, exactly once each. The batch twin is
+    the same F.window(ts, window, slide) aggregate — equivalence is
+    pinned in the streaming test suite.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    kind = F.lower(F.trim(F.col("event_type")))
+    return (
+        stream.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"),
+            kind.alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1009,3 +1009,46 @@ def test_ivm_retraction_undoes_a_batch(spark, tmpdir):
     }
     # c fully retracted -> gone; a back to batch-1 state; b has 1+3
     assert got == {"a": (1, 10.0), "b": (2, 6.0)}
+
+
+def test_streaming_sliding_counts_equals_batch(spark, sf_dir, tmpdir):
+    """Sliding-window streaming counts (availableNow, complete mode)
+    must equal the batch F.window aggregate over the same events —
+    every event lands in window/slide overlapping windows."""
+    from hse_etl_ochirov_aldar_spark.streaming.daily import (
+        streaming_sliding_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    src = f"{tmpdir}/slide_src"
+    ev.write.parquet(src)
+
+    result = streaming_sliding_counts(
+        spark, src, window="12 hours", slide="6 hours"
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("t_sliding")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/slide_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.table("t_sliding").collect()
+    }
+    kind = F.lower(F.trim(F.col("event_type")))
+    want = {
+        (str(r.w.start), r.event_type): r.n_events
+        for r in ev.groupBy(
+            F.window("ts", "12 hours", "6 hours").alias("w"),
+            kind.alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    # sliding: total window-contributions = 2x events (window/slide = 2)
+    assert sum(got.values()) == 2 * ev.count()
