@@ -262,3 +262,59 @@ def assemble_trajectories(
             ),
         ).alias("trajectory"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    min_margin: int | float = 0,
+) -> DataFrame:
+    """DPO/RLHF preference-pair assembly: per prompt group, the
+    highest-scored candidate becomes ``chosen`` and the lowest-scored
+    ``rejected`` (ties break on id — smaller id wins the chosen slot
+    and loses the rejected slot, so the pair is deterministic).
+    Groups with fewer than two candidates, or where chosen == rejected
+    after tie-breaking, or whose score margin is below ``min_margin``
+    (no real preference signal) are dropped.
+
+    One aggregation over the group key: max_by/min_by carry the ids
+    with the extreme scores in the same map-side-combinable pass — no
+    window, no per-group sort, no self-join. Output: (group, chosen_id,
+    rejected_id, chosen_score, rejected_score, margin).
+    """
+    gid = F.col(group_col)
+    # encode the tie-break INTO the ordered struct: higher score wins;
+    # equal scores -> SMALLER id wins chosen (struct max on (score, -id))
+    chosen = F.max_by(
+        F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+    )
+    rejected = F.min_by(
+        F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+    )
+    agg = df.groupBy(gid.alias("group")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        chosen.alias("chosen_id"),
+        rejected.alias("rejected_id"),
+        F.max(F.col(score_col)).alias("chosen_score"),
+        F.min(F.col(score_col)).alias("rejected_score"),
+    )
+    return (
+        agg.where(
+            (F.col("__n") >= 2)
+            & (F.col("chosen_id") != F.col("rejected_id"))
+            & (
+                F.col("chosen_score") - F.col("rejected_score")
+                >= F.lit(min_margin)
+            )
+        )
+        .select(
+            "group",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

@@ -635,3 +635,47 @@ LIMIT 10
 
 
 ORACLE_PART_PAGERANK = _oracle_part_pagerank()
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair assembly (operators/normalize.
+    preference_pairs): per source, the longest document (token count)
+    becomes chosen and the shortest rejected, ties broken on doc_id —
+    one max_by/min_by aggregation, no window, no per-group sort. The
+    oracle re-derives both slots with rank windows."""
+    from ..operators.normalize import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("score")
+    )
+    return preference_pairs(
+        docs, "source", "doc_id", "score", min_margin=1
+    ).orderBy("group")
+
+
+ORACLE_PREFERENCE_PAIRS = r"""
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS score
+  FROM documents
+),
+ch AS (
+  SELECT source, doc_id AS chosen_id, score AS chosen_score FROM scored
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY score DESC, doc_id ASC) = 1
+),
+rj AS (
+  SELECT source, doc_id AS rejected_id, score AS rejected_score FROM scored
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY score ASC, doc_id DESC) = 1
+),
+n AS (SELECT source, count(*) AS n FROM scored GROUP BY source)
+SELECT ch.source AS "group", chosen_id, rejected_id,
+       chosen_score, rejected_score,
+       chosen_score - rejected_score AS margin
+FROM ch JOIN rj ON ch.source = rj.source JOIN n ON n.source = ch.source
+WHERE n.n >= 2 AND chosen_id <> rejected_id
+  AND chosen_score - rejected_score >= 1
+ORDER BY ch.source
+"""

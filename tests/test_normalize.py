@@ -126,3 +126,35 @@ def test_assemble_trajectories_order_and_determinism(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_preference_pairs_ties_margin_and_singletons(spark):
+    """Ties break on id (smaller wins chosen, larger takes rejected);
+    singleton groups and sub-margin groups drop; chosen==rejected
+    cannot escape through ties."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.normalize import (
+        preference_pairs,
+    )
+
+    rows = [
+        ("p1", 1, 10), ("p1", 2, 3),            # clear pair
+        ("p2", 3, 5), ("p2", 4, 5), ("p2", 5, 1),  # tied top: 3 wins
+        ("p3", 6, 7),                            # singleton -> dropped
+        ("p4", 7, 4), ("p4", 8, 4),              # all tied: margin 0 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["prompt", "cand_id", "score"])
+    out = {r.group: r for r in preference_pairs(
+        df, "prompt", "cand_id", "score", min_margin=1
+    ).collect()}
+    assert set(out) == {"p1", "p2"}
+    assert (out["p1"].chosen_id, out["p1"].rejected_id) == (1, 2)
+    assert out["p1"].margin == 7
+    assert (out["p2"].chosen_id, out["p2"].rejected_id) == (3, 5)
+    # margin 0 allowed when min_margin=0, but identical-score pairs with
+    # distinct ids then survive (chosen=smaller id, rejected=larger)
+    loose = {r.group: r for r in preference_pairs(
+        df, "prompt", "cand_id", "score", min_margin=0
+    ).collect()}
+    assert (loose["p4"].chosen_id, loose["p4"].rejected_id) == (7, 8)
