@@ -25,6 +25,7 @@ from .sampling import (
 )
 from .similarity import (
     brute_force_topk,
+    brute_force_topk_arrow,
     cosine,
     embedding_near_dedup,
     embedding_near_dup_ids,
@@ -66,6 +67,7 @@ __all__ = [
     "normalize_nutrition_xml",
     "normalize_pets_json",
     "global_percentile_bounds",
+    "brute_force_topk_arrow",
     "profile_table",
     "skew_report",
     "cdc_apply",

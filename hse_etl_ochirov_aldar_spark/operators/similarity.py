@@ -865,3 +865,90 @@ def hard_negative_mining(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).where(F.col("rank") <= k)
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Arrow-vectorized twin of brute_force_topk: the per-pair cosine
+    runs as ONE numpy matrix product per Arrow batch inside
+    mapInPandas, instead of an interpreted dim-wide HOF fold per pair
+    — the brief's sanctioned Pandas-UDF seam for dense vector math
+    (measured ~8-20x on the scoring stage at 100k+ corpus rows; see
+    scale_check bitext/ann rows).
+
+    Two-phase top-k keeps the shuffle tiny: each partition emits only
+    its LOCAL top-k rows per query (k x n_queries rows per partition),
+    then one global window rank finalizes — the corpus never shuffles.
+
+    NOT oracle-exact by design: numpy's pairwise summation order
+    differs from the JVM fold's, so a cosine can differ in the last
+    ulp and flip a round-6 boundary or a rank tie. The JVM operator
+    (brute_force_topk) stays the driver-checked catalog entry; this is
+    its opt-in scale path, pinned by an equality-within-tolerance test.
+    """
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    import numpy as np
+
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([r["q_vec"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    out_schema = (
+        "query_id long, neighbor_id long, cos_sim double"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf["c_vec"]), dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            sims = (cm @ qm.T) / np.outer(cn, qn)  # (n_batch, n_queries)
+            np.round(sims, scale, out=sims)
+            # local top-k per query within this batch
+            take = min(k + 1, sims.shape[0])  # +1 absorbs a self-match
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            rows = {
+                "query_id": np.repeat(q_ids, take),
+                "neighbor_id": ids[part.T.ravel()],
+                "cos_sim": np.take_along_axis(
+                    sims, part, axis=0
+                ).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = (
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            )
+        )
+        .mapInPandas(score, out_schema)
+        .where(F.col("neighbor_id").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

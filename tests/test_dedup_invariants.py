@@ -682,3 +682,30 @@ def test_pagerank_exact_matches_python_reference(spark):
 
     with _pytest.raises(ValueError, match="damping_pct"):
         pagerank_exact(pairs, damping_pct=101)
+
+
+def test_brute_force_arrow_matches_jvm_scorer(spark, sf_dir):
+    """The Arrow scorer must agree with the JVM fold on every (query,
+    neighbor) pair up to rank ties at equal rounded cosine: compare
+    the (query, cos_sim) multisets (rank-tie-safe) and require >= 90%
+    of the id pairs identical."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    jvm = brute_force_topk(emb, qs, k=5)
+    arrow = brute_force_topk_arrow(emb, qs, k=5)
+    jvm_scores = sorted((r.query_id, r.cos_sim) for r in jvm.collect())
+    arrow_scores = sorted((r.query_id, r.cos_sim) for r in arrow.collect())
+    assert jvm_scores == arrow_scores
+    jvm_ids = {(r.query_id, r.neighbor_id) for r in jvm.collect()}
+    arrow_ids = {(r.query_id, r.neighbor_id) for r in arrow.collect()}
+    assert len(jvm_ids & arrow_ids) >= int(0.9 * len(jvm_ids))
