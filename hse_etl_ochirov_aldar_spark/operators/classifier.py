@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import gopher_signals, token_count
+from ..functions.text import token_count, with_gopher_signals
 
 MICRO = 1_000_000
 
@@ -52,7 +52,10 @@ def linear_quality_scores(
     units; 0 for token-less documents) and ``n_tokens``."""
     w = weights or DEFAULT_WEIGHTS
     text = F.col(text_col)
-    sig = gopher_signals(text)
+    # Generate-barrier struct (functions/text.with_gopher_signals):
+    # four fields read below, one fold per row
+    df = with_gopher_signals(df, text_col, "__gsig")
+    sig = F.col("__gsig")
     n = token_count(text)
     # fixed left-associative order — mirror the oracle SQL term order
     z = (
@@ -64,12 +67,16 @@ def linear_quality_scores(
         + F.lit(float(w["log_tokens"])) * F.log(F.lit(1.0) + n)
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return df.withColumn("n_tokens", n.cast("long")).withColumn(
-        "quality_micro",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(score * F.lit(MICRO), 0).cast("long"),
-        ).otherwise(F.lit(0)),
+    return (
+        df.withColumn("n_tokens", n.cast("long"))
+        .withColumn(
+            "quality_micro",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(score * F.lit(MICRO), 0).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__gsig")
     )
 
 

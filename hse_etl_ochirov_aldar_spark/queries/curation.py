@@ -105,7 +105,7 @@ def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio <= 0.9, ellipsis-line ratio <= 0.3, duplicate-line fraction
     <= 0.3. Every signal is per-row column algebra (no shuffle before
     the final agg); rule fixtures are injected deterministically."""
-    from ..functions.text import gopher_signals
+    from ..functions.text import with_gopher_signals
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     bad = spark.createDataFrame(
@@ -113,8 +113,10 @@ def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(bad)
     text = F.col("text")
-    sig = gopher_signals(text)
-    scored = corpus.select(
+    # Generate-barrier struct: the fold runs once per row even though
+    # six fields are read below (functions/text.with_gopher_signals)
+    sig = F.col("gsig")
+    scored = with_gopher_signals(corpus).select(
         "lang",
         token_count(text).alias("n_tokens"),
         sig["mwl"].alias("mwl"),

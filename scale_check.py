@@ -179,10 +179,12 @@ def main() -> None:
     # (one tokenization; the per-signal forms re-tokenize 6x — 3.8x
     # slower, PERF.md)
     def gopher_2m():
-        from hse_etl_ochirov_aldar_spark.functions.text import gopher_signals
+        from hse_etl_ochirov_aldar_spark.functions.text import (
+            with_gopher_signals,
+        )
 
-        docs = _synth_docs(2_000_000)
-        sig = gopher_signals(F.col("text"))
+        docs = with_gopher_signals(_synth_docs(2_000_000))
+        sig = F.col("gsig")
         kept = docs.where(
             sig["mwl"].between(2.0, 10.0)
             & (sig["symr"] <= 0.1)
