@@ -182,20 +182,13 @@ def duplicate_line_fraction(col: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def gopher_signals(col: Column | str) -> Column:
-    """ALL Gopher quality signals as one struct column: (mwl, symr,
-    alphar, bulletr, ellipsisr, dupliner).
-
-    The single-signal functions above each tokenize the text, and
-    CollapseProject inlines every reference into a recomputation (no
-    CSE for interpreted higher-order functions — PERF.md finding 5), so
-    a 6-signal filter re-splits each document ~6x. This form does ONE
-    tokenization + ONE fold carrying integer counters (and one
-    line-split + fold + array_distinct) — measured 3.8x faster on 2M
-    docs (19.5s -> 5.2s, scale_check). Ratios divide the same exact
-    integer counts as the single-signal forms, so values are
-    bit-identical and oracle compatibility is unchanged.
-    """
+def _gopher_counters(col: Column | str) -> Column:
+    """RAW Gopher counters as one struct: ``ts`` (token fold: n, chars,
+    sym, alpha), ``ls`` (line fold: n, bullet, ell), ``dist`` (distinct
+    line count). Two interpreted folds + one array_distinct — the
+    ENTIRE per-row cost of the signal family lives here, so this is
+    the thing to materialize once (with_gopher_signals); the ratio
+    fields derived from it are trivial arithmetic."""
     toks = whitespace_tokens(col)
     zl = F.lit(0).cast("long")
     ts = F.aggregate(
@@ -232,6 +225,19 @@ def gopher_signals(col: Column | str) -> Column:
             ).alias("ell"),
         ),
     )
+    return F.struct(
+        ts.alias("ts"),
+        ls.alias("ls"),
+        F.size(F.array_distinct(lines)).alias("dist"),
+    )
+
+
+def _gopher_ratios(cnt: Column) -> Column:
+    """Ratio struct (mwl, symr, alphar, bulletr, ellipsisr, dupliner)
+    over a counters struct — cheap row-local arithmetic; identical
+    values to the pre-split gopher_signals (same integer counts, same
+    divisions), so oracle compatibility is unchanged."""
+    ts, ls = cnt["ts"], cnt["ls"]
     n, ln = ts["n"], ls["n"]
     return F.struct(
         F.when(n > 0, ts["chars"] / n).alias("mwl"),
@@ -240,9 +246,27 @@ def gopher_signals(col: Column | str) -> Column:
         F.when(ln > 0, ls["bullet"] / ln).otherwise(F.lit(0.0)).alias("bulletr"),
         F.when(ln > 0, ls["ell"] / ln).otherwise(F.lit(0.0)).alias("ellipsisr"),
         F.when(
-            ln > 0, (ln - F.size(F.array_distinct(lines))) / ln
+            ln > 0, (ln - cnt["dist"]) / ln
         ).otherwise(F.lit(0.0)).alias("dupliner"),
     )
+
+
+def gopher_signals(col: Column | str) -> Column:
+    """ALL Gopher quality signals as one struct column: (mwl, symr,
+    alphar, bulletr, ellipsisr, dupliner).
+
+    The single-signal functions above each tokenize the text, and
+    CollapseProject inlines every reference into a recomputation (no
+    CSE for interpreted higher-order functions — PERF.md finding 5), so
+    a 6-signal filter re-splits each document ~6x. This form does ONE
+    tokenization + ONE fold carrying integer counters (and one
+    line-split + fold + array_distinct). As a bare COLUMN each
+    extracted field still re-inlines its own slice of the folds —
+    prefer the DataFrame-level ``with_gopher_signals``, which
+    materializes the counter folds exactly once per row behind a
+    Generate barrier.
+    """
+    return _gopher_ratios(_gopher_counters(col))
 
 
 # ---------------------------------------------------------------------------
@@ -355,13 +379,23 @@ def with_gopher_signals(df, text_col: str = "text", out_col: str = "gsig"):
     A bare ``gopher_signals()`` column referenced k times is re-inlined
     k times once projections collapse (no CSE for interpreted lambdas —
     PERF finding 1/5), so a 6-field screen pays the tokenization fold
-    6x. Routing the struct through ``explode(array(...))`` — a Generate
-    node, which is a projection barrier — computes the fold ONCE per
-    row (measured 1.45x on the 5-field screen at 2M docs; the gap
-    widens with the number of fields read). Same values, same oracles.
+    up to 6x. This routes the RAW COUNTER struct (_gopher_counters —
+    where all the fold cost lives) through ``explode(array(...))``,
+    whose Generate node is a projection barrier: the two folds run
+    exactly once per row at ANY scale, and the ratio fields are then
+    trivial arithmetic over the materialized counters. (Materializing
+    the RATIO struct instead re-expanded each ratio's slice of the
+    folds — measured 3.6x slower at sf0.1; the counters split is what
+    makes the barrier a pure win.) Same values, same oracles.
     """
     from pyspark.sql import functions as F
 
-    return df.select(
-        "*", F.explode(F.array(gopher_signals(F.col(text_col)))).alias(out_col)
+    tmp = f"__{out_col}_cnt"
+    return (
+        df.select(
+            "*",
+            F.explode(F.array(_gopher_counters(F.col(text_col)))).alias(tmp),
+        )
+        .withColumn(out_col, _gopher_ratios(F.col(tmp)))
+        .drop(tmp)
     )

@@ -175,9 +175,9 @@ def main() -> None:
             F.concat_ws(" ", words).alias("text"),
         )
 
-    # Gopher screens over 2M docs: fused single-fold signal struct
-    # (one tokenization; the per-signal forms re-tokenize 6x — 3.8x
-    # slower, PERF.md)
+    # Gopher screens over 2M docs: raw-counter struct materialized
+    # behind a Generate barrier, ratios derived above (PERF finding 14;
+    # bare-column form 23s, ratio-struct barrier 16s, this form 3.8s)
     def gopher_2m():
         from hse_etl_ochirov_aldar_spark.functions.text import (
             with_gopher_signals,
