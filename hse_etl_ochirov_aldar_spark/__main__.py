@@ -5,13 +5,15 @@
     python -m hse_etl_ochirov_aldar_spark pipeline [--sf-dir DIR] --out DIR
     python -m hse_etl_ochirov_aldar_spark sql "SELECT ..." [--sf-dir DIR]
     python -m hse_etl_ochirov_aldar_spark profile <table> [--sf-dir DIR]
+    python -m hse_etl_ochirov_aldar_spark optimize <path> [--zorder x,y]
 
 `run` executes any catalog query and shows the result; `pipeline`
 materializes the layered raw -> clean -> mart flow (the reference's
 end-to-end DAG output) as partitioned parquet under --out; `sql` runs
 an arbitrary SQL string against the registered table views (the
 migration path for the reference's SQL-first users); `profile` prints
-the one-scan per-column profile of a table.
+the one-scan per-column profile of a table; `optimize` compacts a
+parquet dataset with optional sort or z-order clustering.
 """
 
 from __future__ import annotations
@@ -40,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     p_prof.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_prof.add_argument("--approx", action="store_true",
                         help="HLL distincts (the 100 TB path)")
+    p_opt = sub.add_parser(
+        "optimize", help="compact a parquet dataset (sort or z-order)"
+    )
+    p_opt.add_argument("path")
+    p_opt.add_argument("--target-file-mb", type=int, default=128)
+    p_opt.add_argument("--sort-col")
+    p_opt.add_argument("--zorder", help="comma-separated columns")
     args = ap.parse_args(argv)
 
     from .queries import ORACLES, QUERIES
@@ -83,6 +92,20 @@ def main(argv: list[str] | None = None) -> int:
         profile_table(
             load_table(spark, args.sf_dir, args.table), approx=args.approx
         ).show(truncate=False)
+        return 0
+
+    if args.cmd == "optimize":
+        from .sources.sinks import compact_parquet
+
+        zcols = args.zorder.split(",") if args.zorder else None
+        n = compact_parquet(
+            spark,
+            args.path,
+            target_file_mb=args.target_file_mb,
+            sort_col=args.sort_col,
+            zorder_cols=zcols,
+        )
+        print(f"compacted to {n} file(s)")
         return 0
 
     # pipeline: events -> clean (percentile-trimmed, month-partitioned)

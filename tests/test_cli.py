@@ -49,3 +49,12 @@ def test_cli_sql_and_profile(spark, sf_dir, capsys):
     assert "n_nationkey" in out and "n_distinct" in out
 
     assert main(["profile", "nonexistent"]) == 2
+
+
+def test_cli_optimize_zorder(spark, tmp_path, capsys):
+    src = str(tmp_path / "opt")
+    spark.range(2000).selectExpr("id", "id % 50 AS x", "id % 7 AS y").write.parquet(src)
+    assert main(["optimize", src, "--target-file-mb", "1",
+                 "--zorder", "x,y"]) == 0
+    assert "compacted to" in capsys.readouterr().out
+    assert spark.read.parquet(src).count() == 2000
