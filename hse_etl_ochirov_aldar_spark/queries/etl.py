@@ -1678,3 +1678,130 @@ SELECT * FROM (
                     WHERE c.c_custkey % 2 = 0 AND c.c_custkey = o.o_custkey)
 ) ORDER BY edge
 """
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness: per calendar week, average daily
+    active users over the week's observed days, weekly active users,
+    and DAU/WAU in exact basis points — two distinct-user censuses
+    rolled up from one (day, user) dedup pass (the weekly census
+    re-aggregates the daily one; no second scan of raw events)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_user = (
+        ev.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "user_id",
+        )
+        .distinct()
+    )
+    daily = day_user.groupBy("week", "day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    weekly = day_user.select("week", "user_id").distinct().groupBy("week").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    per_week = daily.groupBy("week").agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        per_week.join(weekly, "week")
+        .select(
+            "week",
+            "n_days",
+            F.expr("CAST(sum_dau div n_days AS BIGINT)").alias("avg_dau"),
+            "wau",
+            F.expr(
+                "CAST((sum_dau * 10000) div (n_days * wau) AS BIGINT)"
+            ).alias("stickiness_bp"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_DAU_WAU_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+daily AS (SELECT week, day, count(*) AS dau FROM du GROUP BY 1, 2),
+weekly AS (SELECT week, count(DISTINCT user_id) AS wau
+           FROM du GROUP BY 1),
+pw AS (SELECT week, sum(dau) AS sum_dau, count(*) AS n_days
+       FROM daily GROUP BY 1)
+SELECT pw.week, CAST(n_days AS BIGINT) AS n_days,
+       CAST(sum_dau // n_days AS BIGINT) AS avg_dau,
+       CAST(wau AS BIGINT) AS wau,
+       CAST((sum_dau * 10000) // (n_days * wau) AS BIGINT) AS stickiness_bp
+FROM pw JOIN weekly ON pw.week = weekly.week
+ORDER BY pw.week
+"""
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration diagnostics over customers: exact-integer
+    Gini coefficient in basis points plus top-1%/top-10% revenue shares
+    — the long-tail skew readout that decides partnership/SLA tiers
+    (and, mechanically, whether a per-customer key needs salting). One
+    per-customer rollup, one DISTRIBUTED global rank (range partition +
+    per-partition offsets, operators/rank.py — never a single-partition
+    window), one final aggregate; Gini via the rank formula
+    (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) in pure BIGINT."""
+    from ..operators.rank import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(units("o_totalprice")).alias("rev_u")
+    )
+    # distributed global rank (operators/rank.py) — a bare
+    # row_number() OVER (ORDER BY ...) would drag every customer row
+    # through ONE task
+    ranked = global_rank(per_cust, ["rev_u", "o_custkey"], "i")
+    # the share thresholds reference the total count INSIDE a sum —
+    # Spark forbids nested aggregates, so (n, tot) ride a broadcast
+    # 1-row frame and enter the final aggregate as plain columns
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_u").alias("tot")
+    )
+    return ranked.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n_customers"),
+        F.expr(
+            "CAST((10000 * (2 * sum(i * rev_u) - (max(n) + 1) * max(tot)))"
+            " div (max(n) * max(tot)) AS BIGINT)"
+        ).alias("gini_bp"),
+        F.expr(
+            "CAST((10000 * sum(CASE WHEN i > n - (n div 100)"
+            " THEN rev_u ELSE 0 END)) div max(tot) AS BIGINT)"
+        ).alias("top1pct_share_bp"),
+        F.expr(
+            "CAST((10000 * sum(CASE WHEN i > n - (n div 10)"
+            " THEN rev_u ELSE 0 END)) div max(tot) AS BIGINT)"
+        ).alias("top10pct_share_bp"),
+    )
+
+
+ORACLE_REVENUE_CONCENTRATION = f"""
+WITH pc AS (
+  SELECT o_custkey, CAST(sum({oracle_units('o_totalprice')}) AS BIGINT) AS rev_u
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT rev_u,
+         CAST(row_number() OVER (ORDER BY rev_u ASC, o_custkey ASC) AS BIGINT) AS i
+  FROM pc
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev_u) AS BIGINT) AS tot FROM r)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST((10000 * (2 * sum(i * rev_u) - (max(n) + 1) * max(tot)))
+            // (max(n) * max(tot)) AS BIGINT) AS gini_bp,
+       CAST((10000 * sum(CASE WHEN i > n - (n // 100)
+                              THEN rev_u ELSE 0 END))
+            // max(tot) AS BIGINT) AS top1pct_share_bp,
+       CAST((10000 * sum(CASE WHEN i > n - (n // 10)
+                              THEN rev_u ELSE 0 END))
+            // max(tot) AS BIGINT) AS top10pct_share_bp
+FROM r CROSS JOIN t
+"""

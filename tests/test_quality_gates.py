@@ -170,3 +170,29 @@ def test_fk_gate_raises_on_orphans_and_ignores_nulls(spark):
 
     clean = child.where(F.col("id") != 12)
     assert expect_referential_integrity(clean, parent, "fk", "pk") is clean
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from hse_etl_ochirov_aldar_spark.operators.rank import global_rank
+
+    df = spark.range(5000).selectExpr(
+        "id", "CAST(pmod(id * 2654435761, 997) AS LONG) AS v"
+    ).repartition(16)
+    got = {
+        r.id: r.global_rank
+        for r in global_rank(df, ["v", "id"]).collect()
+    }
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        global_rank(df, [])
