@@ -11,7 +11,14 @@ from .normalize import (
     normalize_pets_json,
 )
 from .percentile import global_percentile_bounds, percentile_trim
-from .profile import profile_table, skew_report
+from .profile import (
+    correlation_matrix,
+    profile_table,
+    skew_report,
+    value_histogram,
+)
+from .rank import global_rank
+from .graph import degree_stats, pagerank_exact
 from .cdc import cdc_apply
 from .sampling import (
     cluster_balanced_sample,
@@ -70,6 +77,11 @@ __all__ = [
     "brute_force_topk_arrow",
     "profile_table",
     "skew_report",
+    "correlation_matrix",
+    "value_histogram",
+    "global_rank",
+    "degree_stats",
+    "pagerank_exact",
     "cdc_apply",
     "percentile_trim",
     "cluster_balanced_sample",
