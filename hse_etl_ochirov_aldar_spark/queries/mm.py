@@ -679,3 +679,53 @@ WHERE n.n >= 2 AND chosen_id <> rejected_id
   AND chosen_score - rejected_score >= 1
 ORDER BY ch.source
 """
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction, step one of BPE training: census of
+    adjacent CHARACTER pairs inside words across the corpus and the
+    top-20 merge candidates (the pair a BPE trainer would merge first,
+    then re-census). Pure array algebra — per doc, one flatten of
+    per-word pair lists below a single explode; the groupBy key space
+    is bounded by the alphabet squared, so map-side partials compress
+    almost everything before the shuffle. Single-char words contribute
+    nothing (guarded: Spark's sequence() runs DESCENDING when start >
+    stop, so an unguarded length-1 word would emit garbage pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # built with F.expr: SQL substring(w, i, 2) accepts column args,
+    # the python F.substring does not
+    per_doc = docs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform("
+                "  filter(split(lower(trim(text)), '\\\\s+'), w -> length(w) >= 2),"
+                "  w -> transform(sequence(1, length(w) - 1),"
+                "                 i -> substring(w, i, 2))))"
+            )
+        ).alias("pair")
+    )
+    return (
+        per_doc.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+ORACLE_BPE_MERGE_CANDIDATES = r"""
+WITH tok AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> len(w) >= 2) AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT p FROM tok,
+       unnest(flatten(list_transform(ws,
+         w -> list_transform(range(1, len(w)),
+                             i -> substring(w, i, 2))))) AS u(p)
+)
+SELECT p AS pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY p
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT 20
+"""
