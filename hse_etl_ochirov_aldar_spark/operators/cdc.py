@@ -78,3 +78,59 @@ def cdc_apply(
         for c in payload
     ]
     return joined.where(survives).select(*out_cols)
+
+
+def streaming_cdc_apply(
+    stream: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    ver_col: str = "ver",
+    op_col: str = "op",
+    trigger_available_now: bool = True,
+):
+    """Maintain the parquet snapshot at ``snapshot_path`` from a CDC
+    change STREAM: each micro-batch applies through :func:`cdc_apply`
+    and atomically swaps the snapshot (write-staging-then-rename, the
+    compaction sink's idiom). The first batch bootstraps an empty
+    snapshot from the batch schema minus the CDC columns.
+
+    Replay safety: cdc_apply is idempotent for U/D ops but an 'I' of a
+    key deleted in a LATER already-applied batch would resurrect it on
+    replay — so, like plans/ivm.streaming_additive_mart, an
+    epoch-marker directory turns replayed batches into no-ops (marker
+    written after the swap; the residual crash window between swap and
+    marker is the usual non-transactional two-store gap).
+    Returns the StreamingQuery.
+    """
+    from ..sources.sinks import _hadoop_fs, _swap_into
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        fs, _ = _hadoop_fs(spark, snapshot_path.rstrip("/") + "__epochs")
+        marker = spark._jvm.org.apache.hadoop.fs.Path(
+            snapshot_path.rstrip("/") + "__epochs", str(epoch)
+        )
+        if fs.exists(marker):
+            return
+        out_cols = [c for c in batch.columns if c not in (ver_col, op_col)]
+        try:
+            snap = spark.read.parquet(snapshot_path)
+        except Exception as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            snap = batch.select(*out_cols).limit(0)
+        nxt = cdc_apply(snap, batch, list(key_cols), ver_col, op_col)
+        staging = snapshot_path.rstrip("/") + "__cdc_staging"
+        nxt.write.mode("overwrite").parquet(staging)
+        _swap_into(spark, staging, snapshot_path)
+        fs.mkdirs(marker)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1123,3 +1123,54 @@ def test_streaming_ivm_replayed_epoch_is_noop(spark, tmpdir):
         maintain_additive_mart(spark, mart, b, ["k"], ["value"])
     got = spark.read.parquet(mart).collect()[0]
     assert (got.n_rows, got.sum_value) == (1, 10.0)
+
+
+def test_streaming_cdc_apply_maintains_snapshot(spark, tmpdir):
+    """A CDC change stream (I/U/D with versions) applied availableNow
+    must leave the snapshot one full batch cdc_apply would produce."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.cdc import (
+        cdc_apply,
+        streaming_cdc_apply,
+    )
+
+    changes = [
+        (1, "a", 10, 1, "I"),
+        (2, "b", 20, 1, "I"),
+        (1, "a2", 11, 2, "U"),
+        (2, "b", 20, 2, "D"),
+        (3, "c", 30, 1, "I"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("ver", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = f"{tmpdir}/cdc_src"
+    # several files -> several micro-batches, order by version groups
+    spark.createDataFrame(changes[:2], schema).write.parquet(src)
+    spark.createDataFrame(changes[2:], schema).write.mode("append").parquet(src)
+
+    snap = f"{tmpdir}/cdc_snap"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_cdc_apply(stream, snap, f"{tmpdir}/cdc_ckpt", ["k"])
+    q.awaitTermination()
+    got = {(r.k, r.name, r.v) for r in spark.read.parquet(snap).collect()}
+
+    full = cdc_apply(
+        spark.createDataFrame([], "k LONG, name STRING, v LONG"),
+        spark.createDataFrame(changes, schema),
+        ["k"],
+    )
+    want = {(r.k, r.name, r.v) for r in full.collect()}
+    assert got == want
+    assert got == {(1, "a2", 11), (3, "c", 30)}
