@@ -208,3 +208,66 @@ def test_write_stream_versioned_upsert(spark, tmp_path):
     assert current_version(spark, root) == 2
     got = {(r.k, r.ver, r.val) for r in read_versioned(spark, root).collect()}
     assert got == {("a", 2, 11), ("b", 1, 20), ("c", 1, 30)}
+
+
+def test_ewma_anomaly_stream_equals_batch_and_flags_spike(spark, tmp_path):
+    """The stateful EWMA scorer must (a) flag an injected spike after
+    warmup, (b) judge each value against PRE-update state, and (c)
+    produce identical output streaming (across micro-batches) and
+    batch — state carries across batch boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.streaming.anomaly import (
+        ewma_anomaly_stream,
+        ewma_scores_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2):
+        for i in range(30):
+            # stable signal ~10 with tiny deterministic wiggle
+            v = 10.0 + ((i * 7) % 3 - 1) * 0.1
+            if uid == 1 and i == 20:
+                v = 50.0  # injected spike
+            rows.append((uid, i, t0 + dt.timedelta(minutes=i), v))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ewma_src")
+    # two time-ordered files so the stream sees two micro-batches and
+    # state must survive the boundary
+    df.where("event_id < 15").coalesce(1).write.parquet(src)
+    df.where("event_id >= 15").coalesce(1).write.mode("append").parquet(src)
+
+    batch = {(r.user_id, str(r.ts), round(r.zscore, 6))
+             for r in ewma_scores_batch(df).collect()}
+    assert batch, "the spike must be flagged"
+    assert all(u == 1 for u, _, _ in batch)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ewma_anomaly_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {(r.user_id, str(r.ts), round(r.zscore, 6))
+                for r in spark.table("t_ewma").collect()}
+    assert streamed == batch
