@@ -73,3 +73,62 @@ def cap_per_domain(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def parallel_page_candidates(
+    df: DataFrame,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> DataFrame:
+    """Translation-pair candidates by URL STRUCTURE (the web-mining
+    heuristic behind WMT-style crawl alignment, used BEFORE any
+    embedding comparison): two pages whose canonical URLs differ only
+    in a language path segment (``/en/`` vs ``/de/``) are almost
+    certainly the same page in two languages.
+
+    The language segment is normalized out of the canonical URL to form
+    an alignment key; pages sharing a key with DIFFERENT declared
+    languages pair up (smaller doc_id side first). One groupBy-sized
+    self-join on the alignment key — the key space is one entry per
+    multilingual page, and a hot key means a page in many languages,
+    bounded by the language count.
+    """
+    from functools import reduce
+
+    from ..functions.url import canonicalize_url
+
+    canon = canonicalize_url(F.col(url_col))
+    # anchored to the FIRST path segment: Spark's regexp_replace is
+    # global while DuckDB's is first-match — an anchored pattern has at
+    # most one match, so both engines (and the oracle twin) agree
+    seg = F.regexp_extract(canon, r"^[a-z]+://[^/]+/([a-z]{2})(/|$)", 1)
+    norm = F.regexp_replace(
+        canon, r"^([a-z]+://[^/]+)/[a-z]{2}(/|$)", r"$1$2"
+    )
+    lang_ok = reduce(
+        lambda a, b: a | b, [seg == F.lit(lg) for lg in langs]
+    )
+    keyed = df.where(lang_ok).select(
+        F.col(key_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        seg.alias("url_lang"),
+        norm.alias("align_key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.align_key") == F.col("b.align_key"))
+            & (F.col("a.url_lang") < F.col("b.url_lang")),
+        )
+        .select(
+            F.col("a.align_key").alias("align_key"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("a.url_lang").alias("lang_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("b.url_lang").alias("lang_b"),
+        )
+    )

@@ -242,3 +242,66 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
 FROM ranked WHERE rn <= 5
 GROUP BY domain ORDER BY domain
 """
+
+
+def q_parallel_page_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-structure bitext candidates (operators/url_curation.
+    parallel_page_candidates): synthetic per-document URLs carry a
+    language path segment (/en/, /de/, ...), so documents from the same
+    source sharing a page slot pair up across languages — the
+    crawl-alignment heuristic that runs before any embedding
+    comparison. Census per (lang_a, lang_b) direction with an id
+    checksum."""
+    from ..operators.url_curation import parallel_page_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".com/"),
+            F.col("lang"),
+            F.lit("/page/"),
+            F.pmod(F.col("doc_id"), F.lit(40)).cast("string"),
+        ).alias("url"),
+    )
+    pairs = parallel_page_candidates(urls)
+    return (
+        pairs.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("doc_id_a") + F.col("doc_id_b")).alias("sum_ids"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+ORACLE_PARALLEL_PAGE_CANDIDATES = r"""
+WITH u AS (
+  SELECT doc_id, lang,
+         'https://' || source || '.com/' || lang || '/page/'
+         || CAST(doc_id % 40 AS VARCHAR) AS url
+  FROM documents
+),
+k AS (
+  SELECT doc_id,
+         regexp_extract(url, '^[a-z]+://[^/]+/([a-z]{2})(/|$)', 1)
+           AS url_lang,
+         regexp_replace(url, '^([a-z]+://[^/]+)/[a-z]{2}(/|$)', '\1\2')
+           AS align_key
+  FROM u
+  WHERE regexp_extract(url, '^[a-z]+://[^/]+/([a-z]{2})(/|$)', 1)
+        IN ('en', 'de', 'fr', 'es')
+),
+p AS (
+  SELECT a.url_lang AS lang_a, b.url_lang AS lang_b,
+         a.doc_id AS id_a, b.doc_id AS id_b
+  FROM k a JOIN k b
+    ON a.align_key = b.align_key AND a.url_lang < b.url_lang
+)
+SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
