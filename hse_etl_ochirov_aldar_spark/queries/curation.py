@@ -2316,3 +2316,70 @@ FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1
 """
+
+
+def q_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition entry: gap-sessionization (streaming/sessionize.
+    sessionize_batch, 2h gap) feeding the exact equal-width histogram
+    (operators/profile.value_histogram) of session durations in
+    minutes — the engagement-distribution readout product teams pull
+    weekly. Sessions shuffle once on user_id; the histogram is a
+    row-local bucket index + one tiny groupBy."""
+    from ..operators.profile import value_histogram
+    from ..streaming.sessionize import _epoch_micros, sessionize_batch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    sessions = sessionize_batch(ev, gap_seconds=7200)
+    # _epoch_micros: the session bounds can be TIMESTAMP_NTZ under the
+    # driver's plain session (the verify-skill events gotcha) — a bare
+    # double cast rejects NTZ
+    dur_us = _epoch_micros(sessions, "session_end") - _epoch_micros(
+        sessions, "session_start"
+    )
+    with_dur = sessions.withColumn(
+        "duration_min", dur_us / 1_000_000.0 / 60.0
+    )
+    return value_histogram(with_dur, "duration_min", buckets=12, lo=0.0, hi=720.0)
+
+
+ORACLE_SESSION_DURATION_HISTOGRAM = """
+WITH e AS (
+  SELECT user_id, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 7200000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sid AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 / 60.0
+           AS duration_min
+  FROM sid GROUP BY user_id, session_id
+),
+b AS (
+  SELECT least(11, greatest(0,
+           CAST(floor((duration_min - 0.0) / 60.0) AS INT))) AS bucket
+  FROM sess WHERE duration_min IS NOT NULL
+),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY 1),
+spine AS (SELECT CAST(range AS INT) AS bucket FROM range(0, 12))
+SELECT s.bucket,
+       CAST(s.bucket * 60.0 AS DOUBLE) AS bucket_lo,
+       CAST((s.bucket + 1) * 60.0 AS DOUBLE) AS bucket_hi,
+       coalesce(c.n_rows, 0) AS n_rows
+FROM spine s LEFT JOIN c ON s.bucket = c.bucket
+ORDER BY s.bucket
+"""
