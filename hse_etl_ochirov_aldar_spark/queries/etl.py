@@ -1805,3 +1805,49 @@ SELECT CAST(max(n) AS BIGINT) AS n_customers,
             // max(tot) AS BIGINT) AS top10pct_share_bp
 FROM r CROSS JOIN t
 """
+
+
+def q_events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-dashboard heatmap: event counts by (ISO weekday, hour of
+    day) with an exact basis-point share of the total — one census
+    over row-local calendar extractions (the 7x24 key space compresses
+    to nothing under map-side partials). Weekday via dayofweek with an
+    explicit Monday=1 rebase: Spark counts Sunday=1 while DuckDB
+    counts Sunday=0, so both sides rebase rather than trusting the
+    engine default."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # Monday=1..Sunday=7 from Spark's Sunday=1..Saturday=7
+    iso_dow = F.pmod(F.dayofweek("ts") + 5, F.lit(7)) + 1
+    counts = (
+        ev.groupBy(
+            iso_dow.cast("int").alias("weekday"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    total = counts.agg(F.sum("n_events").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "weekday",
+            "hour",
+            "n_events",
+            F.expr("CAST(n_events * 10000 div __t AS BIGINT)").alias("share_bp"),
+        )
+        .orderBy("weekday", "hour")
+    )
+
+
+ORACLE_EVENTS_HOURLY_HEATMAP = """
+WITH c AS (
+  SELECT CAST((dayofweek(ts) + 6) % 7 + 1 AS INTEGER) AS weekday,
+         CAST(hour(ts) AS INTEGER) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM c)
+SELECT weekday, hour, n_events,
+       CAST(n_events * 10000 // t.tot AS BIGINT) AS share_bp
+FROM c, t ORDER BY weekday, hour
+"""

@@ -1270,3 +1270,46 @@ WHERE late = 1 AND nsupp >= 2 AND nlate = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 """
+
+
+def q_fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment SLA readout: exact p50/p90/p99 of ship lag
+    (days from order date to line ship date) per order priority — the
+    warehouse latency dashboard. One orderkey join, one grouped exact
+    percentile digest per priority (five groups; map-side partial
+    value digests), lag in whole days so the interpolated percentiles
+    are engine-exact doubles."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderpriority").alias("priority"), lag.alias("lag_days"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.percentile(F.col("lag_days"), F.lit(0.5)).alias("p50_days"),
+            F.percentile(F.col("lag_days"), F.lit(0.9)).alias("p90_days"),
+            F.percentile(F.col("lag_days"), F.lit(0.99)).alias("p99_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_FULFILLMENT_LAG_PERCENTILES = """
+WITH l AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority, CAST(count(*) AS BIGINT) AS n_lines,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_days) AS p50_days,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_days) AS p90_days,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY lag_days) AS p99_days
+FROM l GROUP BY priority ORDER BY priority
+"""
