@@ -1851,3 +1851,60 @@ SELECT weekday, hour, n_events,
        CAST(n_events * 10000 // t.tot AS BIGINT) AS share_bp
 FROM c, t ORDER BY weekday, hour
 """
+
+
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation KPI: per-source exact-duplicate rate — total docs,
+    survivors after exact dedup, and the duplicate rate in exact basis
+    points per source (literal copies injected at doc_id+2,000,000 for
+    doc_id < 25, so every source shows both natural and seeded
+    duplication). Two small censuses joined on source; the dedup
+    shuffle carries 16-byte digests, never document text."""
+    from ..operators.text_dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") < 25).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    corpus = docs.unionByName(copies)
+    total = corpus.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        exact_dedup(corpus)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        total.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr(
+                "CAST((n_docs - n_kept) * 10000 div n_docs AS BIGINT)"
+            ).alias("dup_rate_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_RATE_REPORT = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, source, text FROM documents WHERE doc_id < 25
+),
+total AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM corpus GROUP BY 1),
+kept AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+  FROM (
+    SELECT * FROM corpus
+    QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) = 1
+  ) GROUP BY 1
+)
+SELECT t.source, n_docs, n_kept,
+       CAST((n_docs - n_kept) * 10000 // n_docs AS BIGINT) AS dup_rate_bp
+FROM total t JOIN kept k ON t.source = k.source
+ORDER BY t.source
+"""
