@@ -124,6 +124,12 @@ def ngram_diversity_stats(
     uni = census(1, "n_tokens", "distinct_unigrams")
     bi = census(2, "n_bigrams", "distinct_bigrams")
     tri = census(3, "n_trigrams", "distinct_trigrams")
+    return _assemble_report(group_col, uni, bi, tri)
+
+
+def _assemble_report(
+    group_col: str, uni: DataFrame, bi: DataFrame, tri: DataFrame
+) -> DataFrame:
 
     def bp(distinct: str, total: str):
         return F.when(
@@ -152,5 +158,83 @@ def ngram_diversity_stats(
                 F.col("n_tokens") > 0,
                 ent_micro.cast("double") / F.lit(float(MICRO)),
             ).alias("unigram_entropy"),
+        )
+    )
+
+
+def ngram_diversity_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    rsd: float = 0.01,
+    tolerance_bp: int = 500,
+) -> DataFrame:
+    """Cross-checkable twin of ``approx=True``: per slice, the EXACT
+    totals/distincts PLUS a boolean verdict that the HLL++ sketch
+    estimate lands within ``tolerance_bp`` basis points (default 5% =
+    5x the rsd=0.01 standard error) of the exact distinct count.
+
+    The sketch is fed the (slice, key) census rows rather than the raw
+    exploded n-grams: HLL state depends only on the SET of distinct
+    values, and the census holds each distinct key exactly once per
+    slice, so the estimate is bit-identical to sketching the raw
+    stream while costing one extra fixed-size aggregate instead of a
+    second full census. That makes the audit ~the price of the exact
+    report, while still executing the production sketch path for real
+    — if approx_count_distinct ever drifted outside its documented
+    error, the verdict flips false and the driver's oracle compare
+    (which emits literal ``true``) goes red instead of silently
+    recording a bad estimate.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+
+    def census_audit(n: int, total: str, distinct: str, est: str) -> DataFrame:
+        grams = base.select(
+            "__g",
+            F.explode(
+                F.transform(
+                    _ngram_array(F.col("__toks"), n), lambda t: F.xxhash64(t)
+                )
+            ).alias("__t"),
+        )
+        cnt = grams.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+        return cnt.groupBy("__g").agg(
+            F.sum("__c").alias(total),
+            F.count(F.lit(1)).alias(distinct),
+            F.approx_count_distinct("__t", rsd).alias(est),
+        )
+
+    uni = census_audit(1, "n_tokens", "distinct_unigrams", "__e1")
+    bi = census_audit(2, "n_bigrams", "distinct_bigrams", "__e2")
+    tri = census_audit(3, "n_trigrams", "distinct_trigrams", "__e3")
+
+    def within(est: str, exact: str):
+        # |est - exact| * 10000 <= tolerance_bp * exact, integer-only
+        return (
+            F.abs(F.col(est) - F.col(exact)) * 10000
+            <= F.lit(tolerance_bp) * F.col(exact)
+        )
+
+    return (
+        uni.join(bi, "__g", "left")
+        .join(tri, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens",
+            "distinct_unigrams",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("distinct_bigrams", F.lit(0)).alias("distinct_bigrams"),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("distinct_trigrams", F.lit(0)).alias("distinct_trigrams"),
+            within("__e1", "distinct_unigrams").alias("unigram_sketch_ok"),
+            F.coalesce(within("__e2", "distinct_bigrams"), F.lit(True)).alias(
+                "bigram_sketch_ok"
+            ),
+            F.coalesce(within("__e3", "distinct_trigrams"), F.lit(True)).alias(
+                "trigram_sketch_ok"
+            ),
         )
     )

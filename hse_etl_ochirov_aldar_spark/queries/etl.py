@@ -211,34 +211,138 @@ WHERE value BETWEEN p.p_lo AND p.p_hi
 
 
 def q_clean_percentile_trim_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB escape hatch for Q1, driver-visible: same [p5, p95]
-    trim but bounds from ``approx_percentile`` (bounded-memory GK
-    sketch, measured 7x faster than the exact sort-based percentile at
-    10M rows — PERF.md scale checks). The kept-row SET depends on the
-    sketch, so there is no cross-engine oracle twin: the driver records
-    the rows-only check, and the repo's own suite asserts the kept
-    count stays within the documented tolerance of the exact trim
-    (tests/test_queries_oracle.py). Output schema matches the exact
-    entry so either can feed the downstream clean layer."""
-    return percentile_trim(_events_base(spark, sf_dir), "value", approx=True)
+    """The 100 TB escape hatch for Q1, made oracle-checkable (r5): the
+    bounds come from ``approx_percentile`` (bounded-memory GK sketch,
+    measured 7x faster than the exact sort-based percentile at 10M
+    rows — PERF.md scale checks), but because the kept-row SET is
+    sketch-dependent the entry no longer emits the rows; it emits a
+    GUARANTEE AUDIT the oracle can reproduce. GK with ``accuracy=a``
+    returns an element whose rank r satisfies |r - p*n| <= n/a (a hard,
+    deterministic bound, not probabilistic), so the Spark side computes
+    the sketch bounds, then in one exact pass checks each bound's true
+    rank band and the kept-row fraction, emitting one row per metric:
+    (metric STRING, n BIGINT exact base count, ok BOOLEAN). DuckDB
+    emits the same exact ``n`` and literal ``true`` — if the sketch
+    ever broke its bound, Spark's ``ok`` flips false and the driver's
+    value-hash compare goes red. The trimmed rows themselves remain
+    available via ``percentile_trim(..., approx=True)`` (library op,
+    tolerance-tested in tests/test_queries_oracle.py)."""
+    from ..operators.percentile import global_percentile_bounds
+
+    accuracy = 10_000
+    base = _events_base(spark, sf_dir)
+    bounds = global_percentile_bounds(
+        base, "value", approx=True, accuracy=accuracy
+    )
+    v = F.col("value")
+    stats = base.crossJoin(F.broadcast(bounds)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(v < F.col("p_lo")).alias("n_lt_lo"),
+        F.count_if(v <= F.col("p_lo")).alias("n_le_lo"),
+        F.count_if(v < F.col("p_hi")).alias("n_lt_hi"),
+        F.count_if(v <= F.col("p_hi")).alias("n_le_hi"),
+        F.count_if(v.between(F.col("p_lo"), F.col("p_hi"))).alias("n_kept"),
+    )
+    # rank slack: the guaranteed n/accuracy rank error, +1 for the
+    # open/closed rank-convention edge at exact ties
+    slack = F.ceil(F.col("n") / accuracy) + 1
+
+    def rank_ok(lt: str, le: str, p: float):
+        target = F.col("n") * p
+        return (F.col(lt) <= target + slack) & (F.col(le) >= target - slack)
+
+    kept_ok = (F.col("n_kept") <= F.col("n")) & (
+        F.col("n_kept") >= F.col("n") * 0.90 - 2 * slack
+    )
+    audited = stats.select(
+        F.col("n"),
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("kept_fraction").alias("metric"),
+                    kept_ok.alias("ok"),
+                ),
+                F.struct(
+                    F.lit("p05_rank").alias("metric"),
+                    rank_ok("n_lt_lo", "n_le_lo", 0.05).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("p95_rank").alias("metric"),
+                    rank_ok("n_lt_hi", "n_le_hi", 0.95).alias("ok"),
+                ),
+            )
+        ),
+    )
+    return audited.select("metric", "n", "ok").orderBy("metric")
+
+
+ORACLE_CLEAN_PERCENTILE_TRIM_APPROX = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+SELECT t.metric, c.n, true AS ok
+FROM (VALUES ('kept_fraction'), ('p05_rank'), ('p95_rank')) t(metric)
+CROSS JOIN c
+ORDER BY t.metric
+"""
 
 
 def q_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ variant of the n-gram diversity report, driver-visible:
-    bigram/trigram distinct counts come from fixed-size
-    approx_count_distinct sketches (rsd=0.01) instead of the exact
-    (slice, n-gram) census — the dominant cost at corpus scale, since
-    near-unique n-grams defeat partial aggregation (2M-doc scale
-    check: 51s -> 28s, within 1.7%). Sketch estimates are engine-
-    specific, so no oracle twin: rows-only for the driver, tolerance
-    asserted against the exact entry in the repo suite. Totals,
-    unigram stats, and entropy remain exact."""
-    from ..operators.diversity import ngram_diversity_stats
+    """HLL++ n-gram diversity, made oracle-checkable (r5): per source
+    the EXACT totals and distinct counts (DuckDB-matched) plus boolean
+    verdicts that the production ``approx_count_distinct`` (rsd=0.01)
+    estimate lands within 5% of the exact count. The sketch runs for
+    real — over the census rows, which hold exactly the distinct key
+    set, so the HLL state is bit-identical to sketching the raw n-gram
+    stream (operators/diversity.ngram_diversity_audit) — and the
+    oracle emits literal ``true``, so a sketch drifting outside its
+    documented error turns the driver row red instead of being
+    unverifiable. The pure-approx report (no exact census at all, the
+    actual 100 TB plan: 2M-doc check 51s -> 28s, within 1.7%) remains
+    ``ngram_diversity_stats(approx=True)`` as a library op."""
+    from ..operators.diversity import ngram_diversity_audit
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_diversity_stats(docs, "source", "text", approx=True).orderBy(
-        "source"
-    )
+    return ngram_diversity_audit(docs, "source", "text").orderBy("source")
+
+
+ORACLE_NGRAM_DIVERSITY_APPROX = r"""
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (SELECT source, u.g FROM tok, unnest(t) AS u(g)),
+bi AS (
+  SELECT source, u.g
+  FROM tok, unnest(list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1])) AS u(g)
+),
+tri AS (
+  SELECT source, u.g
+  FROM tok, unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)
+),
+ua AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT g) AS BIGINT) AS distinct_unigrams
+       FROM uni GROUP BY 1),
+ba AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+       FROM bi GROUP BY 1),
+ta AS (SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+              CAST(count(DISTINCT g) AS BIGINT) AS distinct_trigrams
+       FROM tri GROUP BY 1)
+SELECT ua.source, n_tokens, distinct_unigrams,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+       coalesce(n_trigrams, 0) AS n_trigrams,
+       coalesce(distinct_trigrams, 0) AS distinct_trigrams,
+       true AS unigram_sketch_ok,
+       true AS bigram_sketch_ok,
+       true AS trigram_sketch_ok
+FROM ua LEFT JOIN ba USING (source) LEFT JOIN ta USING (source)
+ORDER BY ua.source
+"""
 
 
 def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,21 +64,38 @@ def test_query_runs_nonempty(name, spark, sf_dir):
 
 
 def test_approx_percentile_trim_tracks_exact(spark, sf_dir):
-    """The rows-only approx entry must keep a row count within 2% of
-    the exact trim's (the sketch moves only the band EDGES, so the kept
-    set can differ slightly but its size must not drift)."""
+    """The approx trim LIBRARY op (the actual 100 TB path; the catalog
+    entry is now the oracle-checkable guarantee audit) must keep a row
+    count within 2% of the exact trim's (the sketch moves only the band
+    EDGES, so the kept set can differ slightly but its size must not
+    drift)."""
+    from hse_etl_ochirov_aldar_spark.operators.percentile import percentile_trim
+    from hse_etl_ochirov_aldar_spark.queries import _events_base
+
+    base = _events_base(spark, sf_dir)
     n_exact = QUERIES["clean_percentile_trim"](spark, sf_dir).count()
-    n_approx = QUERIES["clean_percentile_trim_approx"](spark, sf_dir).count()
+    n_approx = percentile_trim(base, "value", approx=True).count()
     assert n_exact > 0
     assert abs(n_approx - n_exact) <= max(5, 0.02 * n_exact)
 
 
 def test_approx_ngram_diversity_tracks_exact(spark, sf_dir):
-    """HLL distinct estimates must land within 5% of the exact census
-    per slice (rsd=0.01 gives ~1% standard error; 5% is the hard
-    failure line), and the exact-path columns must match exactly."""
+    """The pure-approx LIBRARY report (no exact census; the catalog
+    entry is now the oracle-checkable sketch audit): HLL distinct
+    estimates within 5% of the exact census per slice (rsd=0.01 gives
+    ~1% standard error; 5% is the hard failure line), exact-path
+    columns identical."""
+    from hse_etl_ochirov_aldar_spark.operators.diversity import (
+        ngram_diversity_stats,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
     exact = {r["source"]: r.asDict() for r in QUERIES["ngram_diversity"](spark, sf_dir).collect()}
-    approx = {r["source"]: r.asDict() for r in QUERIES["ngram_diversity_approx"](spark, sf_dir).collect()}
+    approx = {
+        r["source"]: r.asDict()
+        for r in ngram_diversity_stats(docs, "source", "text", approx=True).collect()
+    }
     assert set(exact) == set(approx)
     for src, e in exact.items():
         a = approx[src]
@@ -89,3 +106,18 @@ def test_approx_ngram_diversity_tracks_exact(spark, sf_dir):
         for c in ("distinct_bigrams", "distinct_trigrams"):
             if e[c]:
                 assert abs(a[c] - e[c]) / e[c] <= 0.05, (src, c, a[c], e[c])
+
+
+def test_ngram_audit_verdicts_all_true(spark, sf_dir):
+    """The audit entry's sketch verdicts must be true on real data —
+    this is what guarantees the driver's literal-true oracle matches."""
+    rows = QUERIES["ngram_diversity_approx"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["unigram_sketch_ok"] and r["bigram_sketch_ok"] and r["trigram_sketch_ok"], r
+
+
+def test_percentile_audit_verdicts_all_true(spark, sf_dir):
+    rows = QUERIES["clean_percentile_trim_approx"](spark, sf_dir).collect()
+    assert [r["metric"] for r in rows] == ["kept_fraction", "p05_rank", "p95_rank"]
+    assert all(r["ok"] for r in rows)
