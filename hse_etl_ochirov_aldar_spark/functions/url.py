@@ -79,8 +79,12 @@ def url_path(url: Column) -> Column:
 
 
 def url_query(url: Column) -> Column:
-    """Raw query string after '?' ('' when absent; fragment excluded)."""
-    return F.regexp_extract(url, r"\?([^#]*)", 1)
+    """Raw query string after the first '?' that precedes any '#' ('' when
+    absent). Anchoring before the fragment matters: an unanchored
+    ``\\?([^#]*)`` would match a '?' INSIDE the fragment
+    ('https://x.com/p#sec?a=1'), leaking fragment content into the
+    canonical query even though the contract drops fragments."""
+    return F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
 
 
 def _kept_params(url: Column, prefixes: tuple[str, ...]) -> Column:
@@ -102,7 +106,16 @@ def _kept_params(url: Column, prefixes: tuple[str, ...]) -> Column:
 def canonicalize_url(
     url: Column, prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES
 ) -> Column:
-    """Canonical URL per the module contract (see module docstring)."""
+    """Canonical URL per the module contract (see module docstring).
+
+    No-authority guard: every component regex anchors on 'scheme://',
+    so a scheme-less or protocol-relative URL ('//host/x',
+    'example.com/x') would canonicalize to the near-constant ':///...'
+    form — and a canonical-URL dedup would then collapse ALL such rows
+    onto one key, silently dropping every malformed document but one
+    (and a per-domain cap would lump them under domain ''). When the
+    URL has no parseable authority, the original string IS the
+    canonical form: distinct inputs stay distinct."""
     scheme = url_scheme(url)
     host = url_host(url)
     port = url_port(url)
@@ -120,7 +133,8 @@ def canonicalize_url(
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, keep_port, norm_path, query)
+    canon = F.concat(scheme, F.lit("://"), host, keep_port, norm_path, query)
+    return F.when(host == "", url).otherwise(canon)
 
 
 def registrable_domain(host: Column) -> Column:

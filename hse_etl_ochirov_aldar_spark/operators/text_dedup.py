@@ -254,6 +254,15 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame
     per round instead of a full exceptAll shuffle. At fixpoint the
     edges form stars rooted at each component's minimum id.
     """
+    # ids appearing ONLY as self-pairs (id_a == id_b) carry no edge and
+    # would otherwise vanish at the a != b filter; they re-enter at the
+    # end as their own rep so both algorithm paths honor the same
+    # every-input-id-gets-a-rep contract (minlabel keeps them naturally).
+    selfers = (
+        pairs.where(F.col("id_a") == F.col("id_b"))
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
     edges = (
         pairs.select(
             F.least("id_a", "id_b").alias("a"),
@@ -264,6 +273,7 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame
         .localCheckpoint()
     )
     sig = None
+    converged = False
     for _ in range(max_iter):
         # ---- large-star ----
         nbrs = edges.select(
@@ -301,13 +311,29 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame
         ).first()
         new_sig = (row["n"], row["h"])
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
-    return (
+    if not converged:
+        # a non-contracted graph can map one id to MULTIPLE reps,
+        # breaking the one-rep-per-id contract downstream dedup relies
+        # on — never return that silently
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iter} rounds; the edge-set signature was still "
+            f"changing. Raise max_iter (O(log^2 n) rounds suffice for "
+            f"any graph, so this indicates max_iter far below log^2 of "
+            f"the node count)."
+        )
+    reps = (
         edges.select(F.col("b").alias("id"), F.col("a").alias("rep"))
         .unionByName(edges.select(F.col("a").alias("id"), F.col("a").alias("rep")))
         .distinct()
     )
+    self_only = selfers.join(
+        reps.select("id"), "id", "left_anti"
+    ).select("id", F.col("id").alias("rep"))
+    return reps.unionByName(self_only)
 
 
 def connected_components_min(

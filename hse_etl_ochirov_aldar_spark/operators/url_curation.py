@@ -58,21 +58,31 @@ def cap_per_domain(
     """Keep at most ``cap`` rows per registrable domain, selected by
     md5-hash order of ``key_col`` (a seeded, engine-portable uniform
     draw — NOT first-crawled order, which over-represents whatever the
-    frontier happened to fetch first). Adds the ``domain`` column."""
+    frontier happened to fetch first). Adds the ``domain`` column.
+
+    URLs with no parseable authority (domain '') bypass the cap
+    entirely: they are unrelated malformed rows, not one domain, so
+    capping them together would silently drop all but ``cap`` of them
+    — and routing them through the window would make one giant ''
+    partition the hot key. They pass through with domain '' attached
+    for a downstream malformed-URL screen to handle explicitly."""
     if cap <= 0:
         raise ValueError("cap must be positive")
     dom = df.withColumn(
         "domain", registrable_domain(url_host(F.col(url_col)))
     )
+    no_authority = dom.where(F.col("domain") == "")
     order = F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
     w = Window.partitionBy("domain").orderBy(
         hash_bucket(order, 1_000_000_007), F.col(key_col)
     )
-    return (
-        dom.withColumn("__rn", F.row_number().over(w))
+    capped = (
+        dom.where(F.col("domain") != "")
+        .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+    return capped.unionByName(no_authority)
 
 
 def parallel_page_candidates(
@@ -89,11 +99,14 @@ def parallel_page_candidates(
     certainly the same page in two languages.
 
     The language segment is normalized out of the canonical URL to form
-    an alignment key; pages sharing a key with DIFFERENT declared
-    languages pair up (smaller doc_id side first). One groupBy-sized
-    self-join on the alignment key — the key space is one entry per
-    multilingual page, and a hot key means a page in many languages,
-    bounded by the language count.
+    an alignment key; pages whose DECLARED language agrees with their
+    URL segment (pages where the two contradict are noise for bitext
+    mining and are screened out) and that share a key with a DIFFERENT
+    language segment pair up (lexicographically smaller segment first —
+    which, given the consistency screen, is also a declared-language
+    inequality). One groupBy-sized self-join on the alignment key — the
+    key space is one entry per multilingual page, and a hot key means a
+    page in many languages, bounded by the language count.
     """
     from functools import reduce
 
@@ -110,6 +123,8 @@ def parallel_page_candidates(
     lang_ok = reduce(
         lambda a, b: a | b, [seg == F.lit(lg) for lg in langs]
     )
+    # declared-language / URL-segment consistency screen (see docstring)
+    lang_ok = lang_ok & (F.col(lang_col) == seg)
     keyed = df.where(lang_ok).select(
         F.col(key_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),

@@ -129,11 +129,12 @@ parts AS (
          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path,
-         regexp_extract(url, '\?([^#]*)', 1) AS query
+         regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
   FROM synth
 ),
 canon AS (
   SELECT doc_id, source, host,
+         CASE WHEN host = '' THEN url ELSE
          scheme || '://' || host
          || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                    OR (scheme = 'https' AND port = '443')
@@ -141,7 +142,8 @@ canon AS (
          || CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
                  ELSE regexp_replace(path, '/$', '') END
          || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-                 ELSE '' END AS canonical_url
+                 ELSE '' END
+         END AS canonical_url
   FROM (
     SELECT *,
            list_sort(list_filter(string_split(query, '&'),
@@ -294,6 +296,7 @@ k AS (
   FROM u
   WHERE regexp_extract(url, '^[a-z]+://[^/]+/([a-z]{2})(/|$)', 1)
         IN ('en', 'de', 'fr', 'es')
+    AND lang = regexp_extract(url, '^[a-z]+://[^/]+/([a-z]{2})(/|$)', 1)
 ),
 p AS (
   SELECT a.url_lang AS lang_a, b.url_lang AS lang_b,

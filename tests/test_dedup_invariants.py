@@ -232,6 +232,30 @@ def test_connected_components_star_deep_chain_few_rounds(spark):
     assert got == {(i, 0) for i in range(513)}
 
 
+def test_connected_components_star_self_pairs_and_nonconvergence(spark):
+    """Contract parity with the minlabel/union-find paths: ids present
+    ONLY as self-pairs still get a rep=id row, and an exhausted
+    max_iter raises instead of silently returning a non-contracted
+    edge set (which could map one id to multiple reps)."""
+    import pytest
+
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (8, 8), (1, 1)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.rep) for r in connected_components_star(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (7, 7), (8, 8)}
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(512)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(deep, max_iter=1)
+
+
 def test_lsh_bucket_cap_bounds_pair_count(spark):
     """Boilerplate corpus (identical docs -> one giant bucket per band):
     the cap turns b*(b-1)/2 pair explosion into a b-1 chain, and dedup

@@ -18,6 +18,12 @@ CASES = [
     ("https://host.com/?fbclid=abc&gclid=1&ref=tw&sessionid=9",
      "https://host.com/"),
     ("https://host.com/a?b=2&a=1", "https://host.com/a?a=1&b=2"),
+    # no parseable authority -> original string IS the canonical form
+    ("//host/x", "//host/x"),
+    ("example.com/x?utm_source=1", "example.com/x?utm_source=1"),
+    ("not a url at all", "not a url at all"),
+    # '?' inside the fragment must NOT leak into the query
+    ("https://x.com/p#sec?a=1", "https://x.com/p"),
 ]
 
 
@@ -88,3 +94,34 @@ def test_cap_per_domain_bounds_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError, match="positive"):
         cap_per_domain(df, cap=0)
+
+
+def test_cap_per_domain_passes_through_no_authority(spark):
+    """Malformed/scheme-less URLs (domain '') are unrelated rows, not
+    one domain — they must bypass the cap instead of being collapsed
+    to ``cap`` survivors under the '' pseudo-domain."""
+    from hse_etl_ochirov_aldar_spark.operators.url_curation import (
+        cap_per_domain,
+    )
+
+    rows = [(i, f"https://big.com/p/{i}") for i in range(10)]
+    rows += [(100 + i, f"relative/path/{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = cap_per_domain(df, cap=3)
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big.com": 3, "": 8}
+
+
+def test_dedup_canonical_url_never_merges_no_authority(spark):
+    """Distinct malformed URLs must stay distinct under canonical-URL
+    dedup (the ':///' collapse guard)."""
+    from hse_etl_ochirov_aldar_spark.operators.url_curation import (
+        dedup_canonical_url,
+    )
+
+    rows = [(1, "//host/x"), (2, "example.com/x"), (3, "not a url"),
+            (4, "https://a.com/x"), (5, "https://a.com/x/")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = sorted(r.doc_id for r in dedup_canonical_url(df).collect())
+    assert kept == [1, 2, 3, 4]
