@@ -1,0 +1,49 @@
+"""Plan-metadata probes shared by the CPU-bound operator families.
+
+The one question these answer: "would this input arrive in fewer
+partitions than the session has cores?" — asked before per-row CPU
+work (signature folds, dense-vector scoring) so a small single-file
+scan doesn't serialize onto one core. The probe reads Catalyst's
+logical-plan statistics (``optimizedPlan().stats().sizeInBytes`` — for
+file sources the actual byte size of the files after pruning), NOT
+``df.rdd.getNumPartitions()``: the RDD probe forces a full physical
+plan + RDD conversion per call outside AQE (measured ~25x slower), and
+the converted plan is then thrown away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_FALLBACK_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _max_partition_bytes(spark) -> int:
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes",
+        str(_FALLBACK_MAX_PARTITION_BYTES),
+    )
+    try:
+        # Spark's own byte-string parser handles '134217728b', '128m', ...
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                raw
+            )
+        )
+    except Exception:
+        return _FALLBACK_MAX_PARTITION_BYTES
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the default parallelism, only when
+    Catalyst's size estimate says the scan would yield fewer partitions
+    than the session has cores (estimated bytes < cores x
+    maxPartitionBytes). At real scale the estimate is huge and this is
+    a no-op — it never collapses a large scan; unknown-size sources
+    (estimate = Long.Max) are likewise left untouched."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est_bytes >= target * _max_partition_bytes(spark):
+        return df
+    return df.repartition(target)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ._plan import spread_small_input
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -52,12 +53,10 @@ def _spread(df: DataFrame) -> DataFrame:
     the whole O(n*q) / O(n^2) scoring on a single core (measured 18x
     slower at sf0.1). One cheap row-shuffle before the join spreads the
     quadratic work across the cluster; at real scale the input already
-    has more partitions than cores and the guard makes this a no-op
+    has more partitions than cores and the guard (a Catalyst plan-stats
+    probe, operators/_plan.py, no RDD conversion) makes this a no-op
     (never collapses a large scan)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    return spread_small_input(df)
 
 
 def brute_force_topk(

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import whitespace_tokens, word_shingles
 from .dedup import dedup_keep_first
+from ._plan import spread_small_input
 
 
 def exact_dedup(
@@ -43,16 +44,13 @@ _LONG_MAX = (1 << 63) - 1
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the default parallelism, only when
-    the input has fewer partitions. Signature folds are per-row CPU
-    work; a corpus read from one small parquet file is one partition,
-    which serializes the whole computation on a single core (measured
-    6.4x slower at sf0.1). At real scale inputs already carry more
-    partitions than cores and this is a no-op — the guard avoids
+    the input is small. Signature folds are per-row CPU work; a corpus
+    read from one small parquet file is one partition, which serializes
+    the whole computation on a single core (measured 6.4x slower at
+    sf0.1). At real scale this is a no-op — the guard (a Catalyst
+    plan-stats probe, operators/_plan.py, no RDD conversion) avoids
     collapsing a large scan into defaultParallelism partitions."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    return spread_small_input(df)
 
 
 def minhash_signatures(
