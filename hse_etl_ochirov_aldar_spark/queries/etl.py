@@ -614,9 +614,13 @@ def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the analogue of the reference's LATERAL UNNEST mode branches.
 
     Plan shape: ONE orders scan feeds a (custkey, month, priority)
-    partial aggregate; the stats re-aggregate from that partial
-    (integer-units sums are associative) and the priority mode ranks
-    it — the naive form scanned and shuffled the raw orders twice.
+    partial aggregate; the stats totals AND the priority mode both come
+    off that partial in a SINGLE window pass (the group totals as
+    unbounded-frame window sums sharing the rank's partitioning — one
+    Exchange+Sort, two pipelined Window nodes, no stats-side groupBy
+    and no stats<->mode join; integer-units sums are associative so the
+    re-aggregation is exact). The naive form scanned and shuffled the
+    raw orders three times and joined three branches back together.
     Each mode input is pre-aggregated before its window, so no raw-row
     windows anywhere.
     """
@@ -631,29 +635,24 @@ def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         units_sum("o_totalprice").alias("s_total"),
     )
-    stats = (
-        prio_partial.groupBy("o_custkey", "report_month")
-        .agg(
-            F.sum("cnt").alias("num_orders"),
-            F.sum("s_total").alias("_s_total"),
+    w_grp = Window.partitionBy("o_custkey", "report_month")
+    w_prio = w_grp.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    stats_with_mode = (
+        prio_partial.select(
+            "o_custkey",
+            "report_month",
+            "o_orderpriority",
+            F.sum("cnt").over(w_grp).alias("num_orders"),
+            F.sum("s_total").over(w_grp).alias("_s_total"),
+            F.row_number().over(w_prio).alias("__rn"),
         )
+        .where(F.col("__rn") == 1)
         .select(
             "o_custkey",
             "report_month",
             "num_orders",
             as_value("_s_total").alias("sum_total"),
             avg_units_expr("_s_total", "num_orders", 2, 2).alias("avg_total"),
-        )
-    )
-    w_prio = Window.partitionBy("o_custkey", "report_month").orderBy(
-        F.desc("cnt"), F.asc("o_orderpriority")
-    )
-    top_priority = (
-        prio_partial.withColumn("__rn", F.row_number().over(w_prio))
-        .where(F.col("__rn") == 1)
-        .select(
-            "o_custkey",
-            "report_month",
             F.col("o_orderpriority").alias("top_priority"),
         )
     )
@@ -663,10 +662,7 @@ def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_flag = mode_by_group(
         exploded, ["o_custkey", "report_month"], "l_returnflag", "top_returnflag"
     )
-    return (
-        stats.join(top_priority, ["o_custkey", "report_month"], "left")
-        .join(top_flag, ["o_custkey", "report_month"], "left")
-    )
+    return stats_with_mode.join(top_flag, ["o_custkey", "report_month"], "left")
 
 
 ORACLE_MART_USER_ACTIVITY = f"""
