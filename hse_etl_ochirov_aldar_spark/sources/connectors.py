@@ -190,6 +190,126 @@ def mongo_read_options(
     return opts
 
 
+def apply_mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
+    """Execute the aggregation-pipeline subset the reference ships
+    (mongo_to_postgres_replication.py:35-39: ``$sort`` + ``$group`` with
+    ``$first`` — dedup at source — plus ``$match``/``$project``/
+    ``$limit``) as DataFrame operations.
+
+    Two jobs: (a) the executable twin that lets tests run the EXACT
+    pipeline dict that ``mongo_read_options`` serializes server-side,
+    against a seeded export, so the semantics are pinned by an executed
+    assertion rather than an option-string contract; (b) the degraded-
+    mode path when a deployment can only hand over a ``mongoexport``
+    dump (read_mongo_export) — the pipeline then runs in Spark instead
+    of mongod, same results, just without the wire-size win.
+
+    Mongo semantics notes: ``$group``+``$first`` picks the first doc in
+    the PRECEDING ``$sort`` order — with no upstream sort the choice is
+    undefined server-side, so this translator refuses it (SURVEY §4
+    caution 3: every dedup must be deterministic). ``$sort`` keys use
+    1/-1 ascending/descending; ``_id`` in the output is the group key.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sort_keys: list[tuple[str, int]] | None = None
+    for stage in pipeline:
+        if len(stage) != 1:
+            raise ValueError(f"one operator per stage, got {stage!r}")
+        (op, spec), = stage.items()
+        if op == "$match":
+            import operator as pyop
+
+            mops = {"$eq": pyop.eq, "$ne": pyop.ne, "$gt": pyop.gt,
+                    "$gte": pyop.ge, "$lt": pyop.lt, "$lte": pyop.le}
+            for field, cond in spec.items():
+                if isinstance(cond, dict):
+                    for mop, val in cond.items():
+                        if mop == "$in":
+                            df = df.where(F.col(field).isin(*val))
+                        elif mop in mops:
+                            df = df.where(mops[mop](F.col(field), F.lit(val)))
+                        else:
+                            raise ValueError(f"unsupported $match op {mop!r}")
+                else:
+                    df = df.where(F.col(field) == F.lit(cond))
+        elif op == "$sort":
+            sort_keys = list(spec.items())
+            df = df.orderBy(
+                *[
+                    F.col(k).asc() if d == 1 else F.col(k).desc()
+                    for k, d in sort_keys
+                ]
+            )
+        elif op == "$group":
+            gid = spec["_id"]
+            if not (isinstance(gid, str) and gid.startswith("$")):
+                raise ValueError("only '_id': '$field' group keys supported")
+            if sort_keys is None:
+                raise ValueError(
+                    "$group with $first requires a preceding $sort — "
+                    "without it Mongo's pick is undefined"
+                )
+            key = gid[1:]
+            accs = []
+            for out, acc in spec.items():
+                if out == "_id":
+                    continue
+                if not (isinstance(acc, dict) and list(acc) == ["$first"]):
+                    raise ValueError(f"unsupported accumulator {acc!r}")
+                accs.append((out, acc["$first"][1:]))
+            w = Window.partitionBy(key).orderBy(
+                *[
+                    F.col(k).asc() if d == 1 else F.col(k).desc()
+                    for k, d in sort_keys
+                ]
+            )
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(
+                    F.col(key).alias("_id"),
+                    *[F.col(src).alias(out) for out, src in accs],
+                )
+            )
+            sort_keys = None
+        elif op == "$project":
+            keep = [f for f, v in spec.items() if v in (1, True)]
+            drop = [f for f, v in spec.items() if v in (0, False)]
+            if keep and drop:
+                raise ValueError("$project cannot mix includes and excludes")
+            df = df.select(*keep) if keep else df.drop(*drop)
+        elif op == "$limit":
+            df = df.limit(int(spec))
+        else:
+            raise ValueError(f"unsupported pipeline stage {op!r}")
+    return df
+
+
+def read_mongo_export(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    pipeline: list[dict] | None = None,
+) -> DataFrame:
+    """S5 degraded mode, fully executable here: read a ``mongoexport``
+    JSON-lines dump with a DECLARED schema (skipping inference's extra
+    scan, same philosophy as read_csv_all_string) and run the same
+    aggregation pipeline ``mongo_read_options`` would push server-side
+    via :func:`apply_mongo_pipeline`. JSON files split per line, so the
+    scan parallelizes like any file source; the declared schema also
+    prunes parsing to the referenced fields (Jackson skips unrequested
+    tokens)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if pipeline:
+        df = apply_mongo_pipeline(df, pipeline)
+    return df
+
+
 def read_mongo_collection(
     spark: SparkSession, options: dict[str, str], schema=None
 ) -> DataFrame:

@@ -167,3 +167,130 @@ def test_jdbc_filter_pushdown_reaches_the_database(spark, derby_people):
     )
     assert "PushedFilters" in plan and "LessThan(id,10)" in plan
     assert df.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# REAL Mongo-path execution (the connector jar is absent, so the wire
+# read can't run here — instead the EXACT pipeline dict that
+# mongo_read_options serializes server-side is executed by the
+# apply_mongo_pipeline twin over a seeded mongoexport-style dump,
+# mirroring the Derby round-trip's options-are-executed philosophy).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mongo_export(spark, tmp_path_factory):
+    """A seeded user_sessions mongoexport dump (JSON lines) with
+    deliberate duplicate natural keys — the reference's dedup-at-source
+    testbed (seed_mongo.py idiom)."""
+    import json as _json
+
+    path = tmp_path_factory.mktemp("mongo") / "user_sessions.json"
+    rows = []
+    for i in range(30):
+        rows.append({"_id": f"oid{i}", "natural_key": f"s{i % 10}",
+                     "updated_at": 1000 + i, "device": "mobile" if i % 2 else "web"})
+    path.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    return str(path)
+
+
+_REFERENCE_DEDUP_PIPELINE = [
+    {"$sort": {"updated_at": -1}},
+    {"$group": {"_id": "$natural_key",
+                "updated_at": {"$first": "$updated_at"},
+                "device": {"$first": "$device"}}},
+]
+
+
+def test_mongo_pipeline_executes_on_export(spark, mongo_export):
+    """The reference's $sort + $group/$first dedup pipeline, run for
+    real: one survivor per natural key, and it is the NEWEST doc."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from hse_etl_ochirov_aldar_spark.sources.connectors import (
+        read_mongo_export,
+    )
+
+    schema = StructType([
+        StructField("_id", StringType()),
+        StructField("natural_key", StringType()),
+        StructField("updated_at", LongType()),
+        StructField("device", StringType()),
+    ])
+    df = read_mongo_export(
+        spark, mongo_export, schema=schema,
+        pipeline=_REFERENCE_DEDUP_PIPELINE,
+    )
+    assert [f.name for f in df.schema.fields] == ["_id", "updated_at", "device"]
+    rows = {r["_id"]: (r.updated_at, r.device) for r in df.collect()}
+    # 30 docs over 10 natural keys -> 10 survivors, each the newest
+    # (keys s0..s9 seen at i, i+10, i+20 -> newest is i+20)
+    assert rows == {
+        f"s{i}": (1020 + i, "mobile" if i % 2 else "web") for i in range(10)
+    }
+
+
+def test_mongo_pipeline_is_what_the_options_serialize(spark, mongo_export):
+    """The executed pipeline and the server-side option string are the
+    SAME object — the executed test therefore pins the semantics of
+    what a live connector would push into mongod."""
+    import json as _json
+
+    from hse_etl_ochirov_aldar_spark.sources.connectors import (
+        mongo_read_options,
+    )
+
+    opts = mongo_read_options(
+        "mongodb://m:27017", "app", "user_sessions",
+        _REFERENCE_DEDUP_PIPELINE,
+    )
+    assert _json.loads(opts["aggregation.pipeline"]) == _REFERENCE_DEDUP_PIPELINE
+
+
+def test_mongo_export_declared_schema_prunes_and_matches(spark, mongo_export):
+    """$match translates to a real Filter ahead of the dedup window,
+    and the declared schema (no inference pass) reaches the JSON scan's
+    ReadSchema."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from hse_etl_ochirov_aldar_spark.sources.connectors import (
+        read_mongo_export,
+    )
+
+    schema = StructType([
+        StructField("_id", StringType()),
+        StructField("natural_key", StringType()),
+        StructField("updated_at", LongType()),
+        StructField("device", StringType()),
+    ])
+    df = read_mongo_export(
+        spark, mongo_export, schema=schema,
+        pipeline=[{"$match": {"device": "web",
+                              "updated_at": {"$gte": 1010}}}]
+                 + _REFERENCE_DEDUP_PIPELINE,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "PushedFilters" in plan or "Filter" in plan
+    rows = df.collect()
+    assert rows and all(r.device == "web" and r.updated_at >= 1010 for r in rows)
+
+
+def test_mongo_pipeline_refuses_nondeterministic_first(spark, mongo_export):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hse_etl_ochirov_aldar_spark.sources.connectors import (
+        read_mongo_export,
+    )
+
+    with pytest.raises(ValueError, match="preceding .sort"):
+        read_mongo_export(
+            spark, mongo_export,
+            pipeline=[{"$group": {"_id": "$natural_key",
+                                  "device": {"$first": "$device"}}}],
+        )
