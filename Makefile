@@ -24,3 +24,7 @@ bench:
 # Synthetic multi-million-row scale checks (results recorded in PERF.md).
 scale:
 	python scale_check.py
+
+# Regenerate the README catalog table (pass BENCH=path to fill timings).
+catalog:
+	python tools/catalog_table.py $(BENCH)

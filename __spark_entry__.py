@@ -31,13 +31,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each hash-checkable query.
 
-    Every deterministic catalog query has an oracle entry (round 3
-    closed the last such residual: multimodal decode parses real PPM
-    bytes whose features are SQL-predictable). The only rows-only
-    entries are the two DELIBERATE sketch-based escape hatches added in
-    round 4 (``clean_percentile_trim_approx``,
-    ``ngram_diversity_approx``): their estimates are engine-specific by
-    design, and the repo suite asserts their tolerance against the
-    exact twins instead.
+    As of round 5 EVERY catalog entry has an oracle: round 3 closed the
+    deterministic residuals (multimodal decode parses real PPM bytes
+    whose features are SQL-predictable), and round 5 closed the two
+    sketch-based escape hatches by restructuring them into
+    guarantee-audit outputs (exact values + verdict booleans the sketch
+    must satisfy deterministically) — see
+    ``q_clean_percentile_trim_approx`` / ``q_ngram_diversity_approx``.
+    A registry test (tests/test_queries_oracle.py) enforces the
+    invariant at authoring time.
     """
     return dict(ORACLES)

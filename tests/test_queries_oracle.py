@@ -56,6 +56,33 @@ def test_oracle_output_types_hash_safe(name, con):
     )
 
 
+# Entries allowed to ship WITHOUT a DuckDB oracle twin. Each needs a
+# written justification; an empty dict means the board is fully
+# hash-checkable. This is the authoring-time gate that would have
+# caught round 4's no_oracle rows before the driver did.
+ROWS_ONLY_JUSTIFIED: dict[str, str] = {}
+
+
+def test_every_catalog_entry_is_oracle_checkable_or_justified():
+    missing = set(QUERIES) - set(ORACLES) - set(ROWS_ONLY_JUSTIFIED)
+    assert not missing, (
+        f"catalog entries with neither an ORACLES row nor a documented "
+        f"rows-only justification: {sorted(missing)}"
+    )
+    stale = set(ROWS_ONLY_JUSTIFIED) & set(ORACLES)
+    assert not stale, f"justifications for entries that HAVE oracles: {sorted(stale)}"
+
+
+def test_registry_keys_are_consistent():
+    from hse_etl_ochirov_aldar_spark.queries import BENCH_QUERIES
+
+    assert set(ORACLES) <= set(QUERIES), sorted(set(ORACLES) - set(QUERIES))
+    assert set(BENCH_QUERIES) <= set(QUERIES), sorted(
+        set(BENCH_QUERIES) - set(QUERIES)
+    )
+    assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
 def test_query_runs_nonempty(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
