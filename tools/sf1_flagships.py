@@ -1,0 +1,144 @@
+"""sf1.0 bench of the five heavy flagship catalog entries.
+
+The driver ships no sf1.0 fixtures, so this builds a faithful 10x
+upsample of sf0.1 under .scale/sf1.0 and runs the ACTUAL catalog
+entries (same code path as bench.py) at both scales in one session,
+sf0.1 first so the sf1.0 run sees warm codegen — the printed ratio
+then reflects data scaling, not JIT noise.
+
+Upsample design (why it preserves workload shape):
+
+- documents: 10 replicas, ids shifted by 5000 per replica, every TOKEN
+  tagged with the replica index (``spark`` -> ``spark~3``). Replicas
+  share zero tokens, so no cross-replica near-dups are fabricated,
+  while each replica reproduces the original's intra-corpus dup
+  structure, token counts, and span censuses exactly — corpus 10x,
+  vocabulary 10x, dup RATE constant.
+- embeddings: 10 replicas, ids shifted by 2000, each component
+  jittered by a deterministic hash in [-0.1, 0.1) — replicas land well
+  below the semantic-dup cosine thresholds, so cluster sizes scale
+  instead of duplicate multiplicity.
+
+    python tools/sf1_flagships.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent.parent
+SF01 = "/root/testdata/sf0.1"
+SF1 = str(REPO / ".scale" / "sf1.0")
+
+FLAGSHIPS = [
+    "ann_ivf_kmeans_topk",
+    "near_dedup_keep_best",
+    "semantic_dedup",
+    "duplicate_span_screen",
+    "curation_pipeline_v4",
+]
+
+
+def build_sf1(spark) -> None:
+    if (Path(SF1) / "documents.parquet").exists():
+        return
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("__r"))
+    up_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("__r") * n_docs).alias("doc_id"),
+            F.when(F.col("__r") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(
+                            t, F.lit("~"), F.col("__r").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    up_docs.repartition(8).write.mode("overwrite").parquet(
+        f"{SF1}/documents.parquet"
+    )
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n_emb = emb.count()
+    up_emb = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("__r") * n_emb).alias("vec_id"),
+            F.when(F.col("__r") == 0, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id"), F.col("__r"), i),
+                                200,
+                            )
+                            - 100
+                        ).cast("float")
+                        / 1000.0
+                    ).cast("float"),
+                )
+            )
+            .alias("embedding"),
+            "label",
+        )
+    )
+    up_emb.repartition(4).write.mode("overwrite").parquet(
+        f"{SF1}/embeddings.parquet"
+    )
+
+
+def main() -> None:
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from hse_etl_ochirov_aldar_spark.queries import QUERIES
+    from hse_etl_ochirov_aldar_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-flagships")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_sf1(spark)
+    for t in ("documents", "embeddings"):
+        n01 = spark.read.parquet(f"{SF01}/{t}.parquet").count()
+        n1 = spark.read.parquet(f"{SF1}/{t}.parquet").count()
+        print(json.dumps({"table": t, "sf0.1": n01, "sf1.0": n1}))
+
+    results = {}
+    for sf_label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF1)):
+        for name in FLAGSHIPS:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 2)
+            results.setdefault(name, {})[sf_label] = (dt, n)
+            print(json.dumps({"query": name, "sf": sf_label,
+                              "seconds": dt, "rows": n}))
+    print("\n| query | sf0.1 s | sf1.0 s | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for name in FLAGSHIPS:
+        a, _ = results[name]["sf0.1"]
+        b, _ = results[name]["sf1.0"]
+        print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
