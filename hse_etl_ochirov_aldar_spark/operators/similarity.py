@@ -563,6 +563,38 @@ def _cell_ranks(vcol: Column, cents: list[list[int]]) -> Column:
     )
 
 
+def _local_lloyd(
+    vecs: list[list[int]], n_cells: int, iters: int
+) -> list[list[int]]:
+    """Driver-local exact Lloyd over an ALREADY hash-rank-ordered,
+    cap-bounded micro-vector sample — the same integer math as the
+    distributed path (init = first ``n_cells`` rows, argmin with
+    first-min/lowest-cell tie-break, signed half-up mean), so for a
+    sample that covers the whole corpus the centroids are
+    bit-identical. numpy int64 throughout; bounds: |component| <=
+    ~2e6 micro-units -> squares <= 4e12, 64-dim distance sums <=
+    ~3e14, cap-bounded update sums <= cap * 2e6 — all far inside
+    int64."""
+    import numpy as np
+
+    V = np.asarray(vecs, dtype=np.int64)
+    cents = V[:n_cells].copy()
+    for _ in range(iters):
+        d = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # first-min == lowest cell_id tie-break
+        new = cents.copy()
+        for c in range(n_cells):
+            mask = lab == c
+            n_c = int(mask.sum())
+            if n_c:  # empty cells keep their previous centroid
+                s = V[mask].sum(axis=0)
+                new[c] = np.array(
+                    [_halfup_div(int(x), n_c) for x in s], dtype=np.int64
+                )
+        cents = new
+    return [[int(x) for x in row] for row in cents]
+
+
 def exact_kmeans_centroids(
     vectors: DataFrame,
     n_cells: int = 8,
@@ -570,6 +602,7 @@ def exact_kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    sample_cap: int | None = None,
 ) -> list[list[int]]:
     """Deterministic Lloyd k-means in exact BIGINT micro-unit
     arithmetic; returns the centroid micro-vectors as Python ints.
@@ -597,8 +630,36 @@ def exact_kmeans_centroids(
     broadcast-model iteration. iters is fixed and small: the quantizer
     gates efficiency/recall, not correctness, so convergence is not
     chased (same trade as sampled_centroids).
+
+    ``sample_cap``: fit on the first ``sample_cap`` vectors by
+    (md5-hash32(id), id) — the production quantizer shape at 100 TB
+    (FAISS-style sample-fit: the coarse quantizer is trained on a
+    bounded sample, never the full corpus). One TakeOrdered job
+    (map-side partial top-cap, no full sort) collects <= cap
+    micro-vectors (cap * dims BIGINTs — a documented bounded collect)
+    and the Lloyd loop runs driver-local in the identical integer
+    arithmetic (_local_lloyd). When the corpus has <= cap vectors the
+    sample IS the corpus and the centroids are bit-identical to the
+    distributed path (asserted in tests), so the DuckDB twins
+    (_kmeans_label_ctes with the same cap) stay exact at any SF.
+    Replaces iters+2 scan jobs with one — at bench scale the fit cost
+    is per-job fixed overhead, not arithmetic.
     """
     from .text_dedup import md5_hash32
+
+    if sample_cap is not None:
+        if sample_cap < n_cells:
+            raise ValueError("sample_cap must be >= n_cells")
+        rows = (
+            vectors.select(
+                F.col(id_col).alias("_id"),
+                micro_vec(F.col(vec_col), scale).alias("_v"),
+            )
+            .orderBy(md5_hash32(F.col("_id").cast("string")), F.col("_id"))
+            .limit(sample_cap)
+            .collect()
+        )
+        return _local_lloyd([[int(x) for x in r["_v"]] for r in rows], n_cells, iters)
 
     # _spread: a small corpus read from one parquet file would run every
     # assign scan's interpreted-HOF distance math on a single core; at
@@ -657,6 +718,7 @@ def ivf_kmeans_exact_topk(
     query_id_col: str = "query_id",
     scale: int = 6,
     centroids: list[list[int]] | None = None,
+    sample_cap: int | None = None,
 ) -> DataFrame:
     """End-to-end IVF search on the exact-arithmetic quantizer: fit
     (exact_kmeans_centroids) -> label corpus (1 cell each, literal
@@ -674,7 +736,7 @@ def ivf_kmeans_exact_topk(
     cluster_balanced_sample).
     """
     cents = centroids if centroids is not None else exact_kmeans_centroids(
-        corpus, n_cells, iters, id_col, vec_col, scale
+        corpus, n_cells, iters, id_col, vec_col, scale, sample_cap
     )
     labeled = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -729,6 +791,7 @@ def semantic_dedup_flags(
     vec_col: str = "embedding",
     scale: int = 6,
     centroids: list[list[int]] | None = None,
+    sample_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) flags: cluster the
     corpus with the exact-integer k-means fit, then mark as redundant
@@ -762,7 +825,7 @@ def semantic_dedup_flags(
     sampled_centroids quantized through micro_vec), reuse per batch.
     """
     cents = centroids if centroids is not None else exact_kmeans_centroids(
-        vectors, n_cells, iters, id_col, vec_col, scale
+        vectors, n_cells, iters, id_col, vec_col, scale, sample_cap
     )
     labeled = vectors.withColumn(
         "cluster_id",
@@ -785,11 +848,13 @@ def semantic_dedup(
     vec_col: str = "embedding",
     scale: int = 6,
     centroids: list[list[int]] | None = None,
+    sample_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup survivors: the corpus minus semantically redundant
     vectors (see semantic_dedup_flags), with their cluster_id."""
     flags = semantic_dedup_flags(
-        vectors, threshold, n_cells, iters, id_col, vec_col, scale, centroids
+        vectors, threshold, n_cells, iters, id_col, vec_col, scale, centroids,
+        sample_cap,
     )
     return flags.where(~F.col("is_dup")).drop("is_dup")
 

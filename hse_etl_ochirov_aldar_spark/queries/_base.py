@@ -64,6 +64,16 @@ from ..sources.readers import load_table
 _QUANTIZER_CACHE: dict[tuple, list[list[int]]] = {}
 
 
+# The fit sample bound shared by every embeddings-quantizer consumer
+# and its DuckDB twin (_kmeans_label_ctes sample_cap): the coarse
+# quantizer trains on the first QUANTIZER_SAMPLE_CAP vectors by
+# (md5-hash32(id), id) — the FAISS-style sample-fit that bounds the
+# fit's collect at any corpus size. Both gate SFs have <= 2k vectors,
+# so the sample covers the corpus and centroids are bit-identical to
+# the full distributed fit (asserted in tests).
+QUANTIZER_SAMPLE_CAP = 4096
+
+
 def embeddings_centroids(
     spark: SparkSession,
     sf_dir: str,
@@ -80,7 +90,7 @@ def embeddings_centroids(
     if key not in _QUANTIZER_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _QUANTIZER_CACHE[key] = exact_kmeans_centroids(
-            emb, n_cells, iters, scale=scale
+            emb, n_cells, iters, scale=scale, sample_cap=QUANTIZER_SAMPLE_CAP
         )
     return _QUANTIZER_CACHE[key]
 
@@ -163,6 +173,7 @@ def _kmeans_label_ctes(
     iters: int = 3,
     dims: int = 64,
     scale: int = 6,
+    sample_cap: int | None = None,
 ) -> list[str]:
     """Shared DuckDB CTE scaffolding for the deterministic integer
     Lloyd fit (exact_kmeans_centroids twin): micro-unit quantization,
@@ -170,7 +181,12 @@ def _kmeans_label_ctes(
     final ``labeled(vec_id, cell_id)`` assignment over ``source``.
     Every arithmetic step is BIGINT (signed half-up division split on
     sign so engine floor-vs-truncate semantics never matter). Used by
-    both the IVF-search oracle and the SemDeDup oracle."""
+    both the IVF-search oracle and the SemDeDup oracle.
+
+    ``sample_cap`` mirrors exact_kmeans_centroids' sample-fit: the
+    init and the assign/update rounds draw from the first
+    ``sample_cap`` vectors by (hash, id) — ``fitset`` — while the
+    final ``labeled`` assignment still covers all of ``source``."""
     h = _oracle_hash32("CAST(vec_id AS VARCHAR)")
     m = 10**scale
     dist = (
@@ -181,6 +197,11 @@ def _kmeans_label_ctes(
         "CAST(CASE WHEN s >= 0 THEN (2*s + n) // (2*n) "
         "ELSE -((-2*s + n) // (2*n)) END AS BIGINT)"
     )
+    fit_filter = (
+        f"QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {sample_cap}"
+        if sample_cap is not None
+        else ""
+    )
     ctes = [
         f"""qv AS (
   SELECT vec_id,
@@ -188,11 +209,15 @@ def _kmeans_label_ctes(
            x -> CAST(round(CAST(x AS DOUBLE) * {m}) AS BIGINT)) AS v
   FROM {source}
 )""",
+        f"""fitset AS (
+  SELECT vec_id, v FROM qv
+  {fit_filter}
+)""",
         f"cells AS (SELECT CAST(range AS BIGINT) AS cell_id FROM range(0, {n_cells}))",
         f"""cents0 AS (
   SELECT CAST(row_number() OVER (ORDER BY {h}, vec_id) - 1 AS BIGINT) AS cell_id,
          v AS c
-  FROM qv
+  FROM fitset
   QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {n_cells}
 )""",
     ]
@@ -203,7 +228,7 @@ def _kmeans_label_ctes(
     SELECT q.vec_id, q.v, s.cell_id,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {dist}, s.cell_id) AS rn
-    FROM qv q CROSS JOIN cents{t - 1} s
+    FROM fitset q CROSS JOIN cents{t - 1} s
   ) WHERE rn = 1
 )""",
         )

@@ -55,6 +55,7 @@ from ._base import (  # noqa: F401  (shared helpers re-used across modules)
     _ORACLE_EVENTS_BASE,
     _docs_with_near_dups,
     _events_base,
+    QUANTIZER_SAMPLE_CAP,
     _kmeans_label_ctes,
     _oracle_hash32,
     embeddings_centroids,
@@ -1247,7 +1248,9 @@ def _oracle_ivf_kmeans(
         "i -> (q.v[i] - s.c[i]) * (q.v[i] - s.c[i])))"
     ).format(d=dims + 1)
     final = iters
-    ctes = _kmeans_label_ctes("embeddings", n_cells, iters, dims, scale)
+    ctes = _kmeans_label_ctes(
+        "embeddings", n_cells, iters, dims, scale, QUANTIZER_SAMPLE_CAP
+    )
     ctes.append(
         f"""probes AS (
   SELECT query_id, cell_id FROM (
@@ -1558,7 +1561,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     corpus = emb.unionByName(copies)
-    flags = semantic_dedup_flags(corpus, threshold=0.45, n_cells=8, iters=3)
+    flags = semantic_dedup_flags(
+        corpus, threshold=0.45, n_cells=8, iters=3,
+        sample_cap=QUANTIZER_SAMPLE_CAP,
+    )
     return (
         flags.groupBy("cluster_id")
         .agg(
@@ -1584,7 +1590,9 @@ def _oracle_semantic_dedup(
          label
   FROM embeddings WHERE vec_id < 20
 )"""
-    ctes = [corpus] + _kmeans_label_ctes("corpus", n_cells, iters, dims, scale)
+    ctes = [corpus] + _kmeans_label_ctes(
+        "corpus", n_cells, iters, dims, scale, QUANTIZER_SAMPLE_CAP
+    )
     ctes.append(
         f"""dups AS (
   SELECT DISTINCT b.vec_id

@@ -54,6 +54,7 @@ from ._base import (  # noqa: F401  (shared helpers re-used across modules)
     _ORACLE_EVENTS_BASE,
     _docs_with_near_dups,
     _events_base,
+    QUANTIZER_SAMPLE_CAP,
     _kmeans_label_ctes,
     _oracle_hash32,
     embeddings_centroids,
@@ -158,7 +159,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CLUSTER_BALANCED_SAMPLE = (
     "WITH "
-    + ",\n".join(_kmeans_label_ctes("embeddings", 8, 3, 64, 6))
+    + ",\n".join(_kmeans_label_ctes("embeddings", 8, 3, 64, 6, QUANTIZER_SAMPLE_CAP))
     + f""",
 counts AS (SELECT cell_id, count(*) AS n FROM labeled GROUP BY cell_id),
 w AS (SELECT cell_id, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM counts),

@@ -733,3 +733,71 @@ def test_brute_force_arrow_matches_jvm_scorer(spark, sf_dir):
     jvm_ids = {(r.query_id, r.neighbor_id) for r in jvm.collect()}
     arrow_ids = {(r.query_id, r.neighbor_id) for r in arrow.collect()}
     assert len(jvm_ids & arrow_ids) >= int(0.9 * len(jvm_ids))
+
+
+def test_sample_cap_fit_identical_when_corpus_covered(spark, sf_dir):
+    """exact_kmeans_centroids(sample_cap=N) with N >= corpus size must
+    be BIT-IDENTICAL to the distributed full-corpus fit: the sample is
+    the whole corpus in the same (hash, id) order, and _local_lloyd
+    replays the same integer arithmetic. This is the invariant that
+    lets every catalog consumer switch to the one-job sample fit
+    (QUANTIZER_SAMPLE_CAP) without touching its DuckDB oracle."""
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        exact_kmeans_centroids,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = exact_kmeans_centroids(emb, n_cells=8, iters=3)
+    samp = exact_kmeans_centroids(emb, n_cells=8, iters=3, sample_cap=4096)
+    assert samp == full
+
+
+def test_sample_cap_strict_subset_matches_duckdb_twin(spark, sf_dir):
+    """When sample_cap < corpus size the fit trains on a strict hash
+    sample; the labeling must still match the DuckDB twin built with
+    the same cap (fitset CTE) — proving the SQL scaffolding and the
+    driver-local Lloyd agree beyond the trivial cap >= n case."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        _cell_ranks,
+        exact_kmeans_centroids,
+        micro_vec,
+    )
+    from hse_etl_ochirov_aldar_spark.queries._base import _kmeans_label_ctes
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    from .oracle_utils import assert_matches_oracle, duckdb_connection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cap = 64
+    assert cap < n, "fixture corpus must exceed the cap for this test"
+    cents = exact_kmeans_centroids(emb, n_cells=8, iters=3, sample_cap=cap)
+    labeled = emb.select(
+        "vec_id",
+        F.element_at(
+            _cell_ranks(micro_vec(F.col("embedding"), 6), cents), 1
+        ).alias("cell_id"),
+    )
+    sql = (
+        "WITH "
+        + ",\n".join(_kmeans_label_ctes("embeddings", 8, 3, 64, 6, cap))
+        + "\nSELECT vec_id, cell_id FROM labeled"
+    )
+    con = duckdb_connection(sf_dir)
+    assert_matches_oracle(labeled, con, sql, "sample_cap_labels")
+
+
+def test_sample_cap_rejects_cap_below_n_cells(spark, sf_dir):
+    import pytest as _pytest
+
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        exact_kmeans_centroids,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="sample_cap"):
+        exact_kmeans_centroids(emb, n_cells=8, iters=1, sample_cap=4)
