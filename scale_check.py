@@ -695,6 +695,36 @@ def main() -> None:
     timed("funnel_10m_events", funnel_10m)
     timed("ppm_decode_500k_images", ppm_decode_500k)
     timed("ngram_diversity_2m_docs", ngram_diversity_2m)
+
+    # 31) quantizer fit over 2M x 16-dim vectors, 64 cells: the
+    #     sample-cap path (one TakeOrdered collect of 4096 micro-
+    #     vectors + driver-local integer Lloyd) vs the distributed
+    #     iteration path (iters+2 full scans with an interpreted-HOF
+    #     64-way argmin per row per round). Same integer arithmetic;
+    #     identical centroids whenever the corpus fits the cap.
+    def quantizer_fit_2m():
+        from hse_etl_ochirov_aldar_spark.operators.similarity import (
+            exact_kmeans_centroids,
+        )
+
+        n = 2_000_000
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id"), i), 1000) / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        t0 = time.perf_counter()
+        exact_kmeans_centroids(vecs, n_cells=64, iters=3, sample_cap=4096)
+        t_samp = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        exact_kmeans_centroids(vecs, n_cells=64, iters=3)
+        t_full = round(time.perf_counter() - t0, 2)
+        return {"sample_cap_s": t_samp, "distributed_s": t_full}
+
     timed("ngram_diversity_2m_docs_approx", ngram_diversity_2m_approx)
     timed("cluster_balanced_sample_200k", cluster_balanced_200k)
     timed("waiting_orders_blame_10m", waiting_orders_10m)
@@ -720,6 +750,7 @@ def main() -> None:
     timed("gopher_filters_2m_docs", gopher_2m)
     timed("split_pack_10m_docs", pack_10m)
     timed("decontaminate_2m_docs", decontaminate_2m)
+    timed("quantizer_fit_2m_sample_cap", quantizer_fit_2m)
     spark.stop()
 
 
