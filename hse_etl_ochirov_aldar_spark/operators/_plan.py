@@ -40,7 +40,15 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     than the session has cores (estimated bytes < cores x
     maxPartitionBytes). At real scale the estimate is huge and this is
     a no-op — it never collapses a large scan; unknown-size sources
-    (estimate = Long.Max) are likewise left untouched."""
+    (estimate = Long.Max) are likewise left untouched.
+
+    Known trade vs the old RDD probe: bytes/maxPartitionBytes only
+    approximates the partition count for SPLITTABLE sources. A large
+    single-file non-splittable scan (one gzipped CSV/JSON) estimates
+    big, no-ops here, and still arrives as one partition — if such a
+    source ever feeds a CPU-bound family, repartition it explicitly at
+    the read (the package's own readers stage through splittable
+    parquet/JSON-lines, so none of the in-repo paths hit this)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())

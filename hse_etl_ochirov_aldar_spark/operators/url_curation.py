@@ -65,11 +65,15 @@ def cap_per_domain(
     capping them together would silently drop all but ``cap`` of them
     — and routing them through the window would make one giant ''
     partition the hot key. They pass through with domain '' attached
-    for a downstream malformed-URL screen to handle explicitly."""
+    for a downstream malformed-URL screen to handle explicitly.
+    NULL urls (and anything else registrable_domain cannot parse)
+    coalesce into the same '' bypass — a row must never vanish just
+    because neither split predicate is true of NULL."""
     if cap <= 0:
         raise ValueError("cap must be positive")
     dom = df.withColumn(
-        "domain", registrable_domain(url_host(F.col(url_col)))
+        "domain",
+        F.coalesce(registrable_domain(url_host(F.col(url_col))), F.lit("")),
     )
     no_authority = dom.where(F.col("domain") == "")
     order = F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))

@@ -1396,8 +1396,20 @@ def q_warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     version merge are both exercised, not assumed. Everything is exact
     integer units, so the DuckDB twin reproduces both snapshots from
     the raw definition — the IVM batches==full invariant IS the oracle.
+
+    Known boundary (deliberate): the keep-newest snapshot commit
+    cannot propagate a FULL group retraction — a key absent from the
+    new snapshot survives with its prior version's row (upserts carry
+    no tombstones). maintain_additive_mart itself drops zero-count
+    groups correctly; a production pipeline whose groups can fully
+    retract must commit through delete-aware snapshots (overwrite or
+    CDC MERGE with deletes, operators/cdc.py) rather than the upsert
+    sink. Here retractions are a strict subset per type, so the
+    invariant holds by construction.
     """
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     from ..plans.ivm import maintain_additive_mart
@@ -1414,7 +1426,16 @@ def q_warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wt", F.lit(-1)
         )
     )
-    tmp = tempfile.mkdtemp(prefix="hse_wm_")
+    # Deterministic per-(process, sf_dir) workspace, wiped on entry:
+    # the returned DataFrame still reads these files, so cleanup must
+    # happen at the NEXT invocation, and a fresh mkdtemp per call
+    # would leak a mart+snapshot copy every bench/test run.
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"hse_wm_{os.getpid()}_{token}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     mart = os.path.join(tmp, "mart")
     vroot = os.path.join(tmp, "versioned")
     for ver, batch in enumerate((b1, b2, b3), start=1):

@@ -238,10 +238,18 @@ ranked AS (
                     % 1000000007,
                     doc_id) AS rn
   FROM domained
+  WHERE coalesce(domain, '') <> ''
+),
+kept AS (
+  SELECT domain, doc_id FROM ranked WHERE rn <= 5
+  UNION ALL
+  -- no-authority bypass: '' / NULL domains pass through uncapped
+  -- (mirrors cap_per_domain's malformed-row contract)
+  SELECT '' AS domain, doc_id FROM domained WHERE coalesce(domain, '') = ''
 )
 SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-FROM ranked WHERE rn <= 5
+FROM kept
 GROUP BY domain ORDER BY domain
 """
 

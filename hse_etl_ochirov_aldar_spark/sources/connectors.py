@@ -207,11 +207,28 @@ def apply_mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
     Mongo semantics notes: ``$group``+``$first`` picks the first doc in
     the PRECEDING ``$sort`` order — with no upstream sort the choice is
     undefined server-side, so this translator refuses it (SURVEY §4
-    caution 3: every dedup must be deterministic). ``$sort`` keys use
-    1/-1 ascending/descending; ``_id`` in the output is the group key.
+    caution 3: every dedup must be deterministic). On EQUAL sort keys
+    Mongo's pick is also undefined, so the ``$group`` window appends a
+    content-hash tie-breaker (xxhash64 of the whole row) — the choice
+    is then a pure function of the data, never of partition/arrival
+    order, and ties only between fully identical rows are left to the
+    hash (where the pick cannot matter). ``$sort`` keys use 1/-1
+    ascending/descending; ``_id`` in the output is the group key.
+
+    ``$sort`` is LAZY: a global orderBy before ``$group`` would
+    range-shuffle the whole collection only for the group window to
+    re-shuffle by key and discard that order. The sort keys are
+    recorded and materialized only where ordering is observable —
+    consumed by the next ``$group``'s window, fused with ``$limit``
+    into a TakeOrdered top-N, or applied once at pipeline end.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    def _sort_cols(keys):
+        return [
+            F.col(k).asc() if d == 1 else F.col(k).desc() for k, d in keys
+        ]
 
     sort_keys: list[tuple[str, int]] | None = None
     for stage in pipeline:
@@ -236,12 +253,6 @@ def apply_mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
                     df = df.where(F.col(field) == F.lit(cond))
         elif op == "$sort":
             sort_keys = list(spec.items())
-            df = df.orderBy(
-                *[
-                    F.col(k).asc() if d == 1 else F.col(k).desc()
-                    for k, d in sort_keys
-                ]
-            )
         elif op == "$group":
             gid = spec["_id"]
             if not (isinstance(gid, str) and gid.startswith("$")):
@@ -259,12 +270,8 @@ def apply_mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
                 if not (isinstance(acc, dict) and list(acc) == ["$first"]):
                     raise ValueError(f"unsupported accumulator {acc!r}")
                 accs.append((out, acc["$first"][1:]))
-            w = Window.partitionBy(key).orderBy(
-                *[
-                    F.col(k).asc() if d == 1 else F.col(k).desc()
-                    for k, d in sort_keys
-                ]
-            )
+            tie = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+            w = Window.partitionBy(key).orderBy(*_sort_cols(sort_keys), tie)
             df = (
                 df.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
@@ -279,11 +286,25 @@ def apply_mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
             drop = [f for f, v in spec.items() if v in (0, False)]
             if keep and drop:
                 raise ValueError("$project cannot mix includes and excludes")
+            if sort_keys is not None:
+                survivors = set(keep) if keep else set(df.columns) - set(drop)
+                if any(k not in survivors for k, _ in sort_keys):
+                    # the projection drops a pending sort key — the
+                    # order must be fixed while the key still exists
+                    df = df.orderBy(*_sort_cols(sort_keys))
+                    sort_keys = None
             df = df.select(*keep) if keep else df.drop(*drop)
         elif op == "$limit":
+            if sort_keys is not None:
+                # $sort + $limit fuse into TakeOrdered top-N
+                df = df.orderBy(*_sort_cols(sort_keys))
+                sort_keys = None
             df = df.limit(int(spec))
         else:
             raise ValueError(f"unsupported pipeline stage {op!r}")
+    if sort_keys is not None:
+        # terminal $sort: the one place the global order is observable
+        df = df.orderBy(*_sort_cols(sort_keys))
     return df
 
 

@@ -294,3 +294,65 @@ def test_mongo_pipeline_refuses_nondeterministic_first(spark, mongo_export):
             pipeline=[{"$group": {"_id": "$natural_key",
                                   "device": {"$first": "$device"}}}],
         )
+
+
+def test_mongo_group_first_tie_is_content_deterministic(spark):
+    """$group/$first on EQUAL sort keys must pick as a pure function
+    of the data (content-hash tie-break), not partition/arrival order:
+    the same rows in reversed order and different partitioning must
+    yield the identical pick."""
+    from hse_etl_ochirov_aldar_spark.sources.connectors import (
+        apply_mongo_pipeline,
+    )
+
+    rows = [
+        ("k1", 5, "a"), ("k1", 5, "b"), ("k1", 5, "c"),
+        ("k2", 7, "x"), ("k2", 7, "y"),
+    ]
+    pipe = [
+        {"$sort": {"updated_at": -1}},
+        {"$group": {"_id": "$nk", "device": {"$first": "$device"}}},
+    ]
+    schema = "nk STRING, updated_at INT, device STRING"
+    a = apply_mongo_pipeline(
+        spark.createDataFrame(rows, schema).repartition(1), pipe
+    )
+    b = apply_mongo_pipeline(
+        spark.createDataFrame(list(reversed(rows)), schema).repartition(7),
+        pipe,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_mongo_sort_limit_and_terminal_sort(spark):
+    """The lazy $sort must still materialize where order is
+    observable: fused with $limit into a top-N, and at pipeline end."""
+    from hse_etl_ochirov_aldar_spark.sources.connectors import (
+        apply_mongo_pipeline,
+    )
+
+    rows = [(i, 100 - i) for i in range(20)]
+    schema = "k INT, v INT"
+    df = spark.createDataFrame(rows, schema).repartition(5)
+    topn = apply_mongo_pipeline(
+        df, [{"$sort": {"v": 1}}, {"$limit": 3}]
+    ).collect()
+    assert [r["v"] for r in topn] == [81, 82, 83]
+    term = apply_mongo_pipeline(df, [{"$sort": {"k": -1}}]).collect()
+    assert [r["k"] for r in term] == sorted(range(20), reverse=True)
+
+
+def test_mongo_project_dropping_sort_key_fixes_order_first(spark):
+    """A $project that drops a pending sort key materializes the sort
+    while the key still exists (the eager-$sort behavior)."""
+    from hse_etl_ochirov_aldar_spark.sources.connectors import (
+        apply_mongo_pipeline,
+    )
+
+    rows = [(i, 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k INT, v INT").repartition(3)
+    out = apply_mongo_pipeline(
+        df,
+        [{"$sort": {"v": 1}}, {"$project": {"k": 1}}, {"$limit": 2}],
+    ).collect()
+    assert [r["k"] for r in out] == [9, 8]

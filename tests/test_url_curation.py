@@ -125,3 +125,25 @@ def test_dedup_canonical_url_never_merges_no_authority(spark):
     df = spark.createDataFrame(rows, ["doc_id", "url"])
     kept = sorted(r.doc_id for r in dedup_canonical_url(df).collect())
     assert kept == [1, 2, 3, 4]
+
+
+def test_cap_per_domain_null_url_passes_through(spark):
+    """A NULL url (or anything registrable_domain cannot parse) must
+    coalesce into the '' bypass, never vanish: NULL fails both sides
+    of a ''/non-'' split unless coalesced first."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.url_curation import (
+        cap_per_domain,
+    )
+
+    rows = [(i, f"https://ex{i % 2}.com/p{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, url STRING").unionByName(
+        spark.createDataFrame([(100,)], "doc_id BIGINT").withColumn(
+            "url", F.lit(None).cast("string")
+        )
+    )
+    out = cap_per_domain(df, cap=3)
+    assert out.count() == 7  # 3 + 3 capped + 1 NULL pass-through
+    null_row = out.where(F.col("doc_id") == 100).collect()
+    assert len(null_row) == 1 and null_row[0]["domain"] == ""

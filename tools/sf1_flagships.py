@@ -44,7 +44,12 @@ FLAGSHIPS = [
 
 
 def build_sf1(spark) -> None:
-    if (Path(SF1) / "documents.parquet").exists():
+    # both outputs must exist — a crash between the two writes must
+    # not leave a half-built sf1.0 that every later run skips
+    if all(
+        (Path(SF1) / f"{t}.parquet").exists()
+        for t in ("documents", "embeddings")
+    ):
         return
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     n_docs = docs.count()
