@@ -86,13 +86,20 @@ def leakage_safe_split(
     rate; assignment stays a pure function of (key, cluster graph),
     recomputable by any engine.
     """
+    # unique internal name: a bare '_rep' collides (AMBIGUOUS_REFERENCE)
+    # when the input frame already carries one, e.g. retained dedup-
+    # cluster metadata (same collision class fixed in
+    # minhash_dedup_keep_best)
+    rep_col = "__lss_rep"
+    while rep_col in df.columns:
+        rep_col = "_" + rep_col
     reps = cluster_map.select(
-        F.col("id").alias(key_col), F.col("rep").alias("_rep")
+        F.col("id").alias(key_col), F.col("rep").alias(rep_col)
     )
     joined = df.join(F.broadcast(reps), key_col, "left")
-    split_key = F.coalesce(F.col("_rep"), F.col(key_col))
+    split_key = F.coalesce(F.col(rep_col), F.col(key_col))
     return joined.withColumn("split", split_assign(split_key, weights)).drop(
-        "_rep"
+        rep_col
     )
 
 
@@ -156,8 +163,13 @@ def temperature_mixture_sample(
     sinks. Selection within a group is hash-order rank (deterministic,
     partitioning-independent); one shuffle on ``group_col``.
     """
+    # NULL groups are excluded (same guard as distribution_matched_
+    # sample): None cannot be a create_map key, and sorted() on a
+    # None/str mix raises — a NULL-group row simply draws no quota.
     counts = {
-        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+        r[0]: r[1]
+        for r in df.groupBy(group_col).count().collect()
+        if r[0] is not None
     }
     w = {g: math.isqrt(n) for g, n in counts.items()}
     s = sum(w.values())

@@ -35,6 +35,15 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def _checked_rename(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename reports most failures by RETURNING
+    FALSE, not raising — an unchecked call can silently drop the only
+    remaining copy of a dataset after its destination was deleted.
+    Every sink rename goes through this guard."""
+    if not fs.rename(src, dst):
+        raise IOError(f"filesystem rename failed: {src} -> {dst}")
+
+
 def _swap_into(spark: SparkSession, staging: str, target: str) -> None:
     """Replace ``target`` with ``staging`` by FS rename — one metadata
     operation instead of a second full Spark write of the same rows."""
@@ -42,7 +51,7 @@ def _swap_into(spark: SparkSession, staging: str, target: str) -> None:
     _, jstaging = _hadoop_fs(spark, staging)
     if fs.exists(jtarget):
         fs.delete(jtarget, True)
-    fs.rename(jstaging, jtarget)
+    _checked_rename(fs, jstaging, jtarget)
 
 
 def write_overwrite(df: DataFrame, path: str) -> None:
@@ -144,9 +153,19 @@ def upsert_keep_newest(
             r[0] for r in df.select(partition_col).distinct().collect()
         ]
         if target_exists:
-            existing = spark.read.parquet(path).where(
-                F.col(partition_col).isin(touched)
+            # NULL partition values need an explicit isNull branch:
+            # `col IN (..., NULL)` is NULL (never true) in SQL, so the
+            # existing __HIVE_DEFAULT_PARTITION__ rows would be left
+            # out of the merge and then clobbered by the rename loop.
+            non_null = [t for t in touched if t is not None]
+            pred = (
+                F.col(partition_col).isin(non_null)
+                if non_null
+                else F.lit(False)
             )
+            if any(t is None for t in touched):
+                pred = pred | F.col(partition_col).isNull()
+            existing = spark.read.parquet(path).where(pred)
             merged = existing.unionByName(df, allowMissingColumns=True)
         else:
             merged = df
@@ -164,31 +183,33 @@ def upsert_keep_newest(
     )
     # Parquet can't overwrite a path while reading it — write-to-new-
     # then-rename. A leftover staging dir from a crashed run is
-    # harmlessly overwritten here before any target mutation.
+    # harmlessly overwritten here before any target mutation. Staging
+    # is deleted ONLY on success: after a failed rename (target
+    # already deleted) it holds the sole surviving copy of the merged
+    # data, so a finally-block delete would turn a recoverable crash
+    # into silent total loss.
     staging = path.rstrip("/") + "__staging"
-    try:
-        if partition_col is not None:
-            result.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-            # move only the touched partition directories into place;
-            # listStatus preserves Spark's partition-value escaping
-            _, jstaging = _hadoop_fs(spark, staging)
-            if not target_exists:
-                fs.mkdirs(jpath)
-            prefix = f"{partition_col}="
-            for status in fs.listStatus(jstaging):
-                name = status.getPath().getName()
-                if not name.startswith(prefix):
-                    continue
-                dst = spark._jvm.org.apache.hadoop.fs.Path(jpath, name)
-                if fs.exists(dst):
-                    fs.delete(dst, True)
-                fs.rename(status.getPath(), dst)
-        else:
-            result.write.mode("overwrite").parquet(staging)
-            _swap_into(spark, staging, path)
-    finally:
-        sfs, jstaging = _hadoop_fs(spark, staging)
-        sfs.delete(jstaging, True)
+    if partition_col is not None:
+        result.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        # move only the touched partition directories into place;
+        # listStatus preserves Spark's partition-value escaping
+        _, jstaging = _hadoop_fs(spark, staging)
+        if not target_exists:
+            fs.mkdirs(jpath)
+        prefix = f"{partition_col}="
+        for status in fs.listStatus(jstaging):
+            name = status.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            dst = spark._jvm.org.apache.hadoop.fs.Path(jpath, name)
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            _checked_rename(fs, status.getPath(), dst)
+    else:
+        result.write.mode("overwrite").parquet(staging)
+        _swap_into(spark, staging, path)
+    sfs, jstaging = _hadoop_fs(spark, staging)
+    sfs.delete(jstaging, True)
 
 
 def compact_parquet(
@@ -437,8 +458,21 @@ def versioned_upsert(
             "(this sink is single-writer; use Delta/Iceberg for OCC)"
         )
 
-    for v in range(1, nxt - keep_versions + 1):
-        _, jold = _hadoop_fs(spark, _versioned_data_dir(root, v))
-        if fs.exists(jold):
-            fs.delete(jold, True)
+    # GC by ONE listing of the live data dirs, not exists-probes from
+    # v1: after steady-state GC only ~keep_versions dirs remain, so
+    # each commit's GC is O(keep), not O(total versions ever written)
+    # — the difference between a per-micro-batch streaming sink that
+    # stays flat and one that degrades O(N^2) over its lifetime.
+    # Commit markers stay (tiny, the time-travel log — the Delta log
+    # idiom); only data dirs are reclaimed.
+    cutoff = nxt - keep_versions
+    _, jroot = _hadoop_fs(spark, root)
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) <= cutoff
+        ):
+            fs.delete(status.getPath(), True)
     return nxt

@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 from ..operators.decontaminate import ngram_decontaminate
 
 
+def _null_safe_key(stream: DataFrame, src_col: str, key: F.Column) -> F.Column:
+    """Dedup key with a per-row fallback for NULL ``src_col``: the
+    fallback hashes the WHOLE row (to_json of every column), so two
+    distinct malformed rows get distinct keys and pass through, while
+    bit-identical rows still dedup — NULL keys must never make
+    unrelated rows "duplicates" of each other."""
+    fallback = F.concat(
+        F.lit("__null__:"),
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in stream.columns]))),
+    )
+    return F.when(F.col(src_col).isNull(), fallback).otherwise(key)
+
+
 def streaming_content_dedup(
     stream: DataFrame,
     text_col: str = "text",
@@ -35,11 +48,16 @@ def streaming_content_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Keep the first-seen document per normalized content hash within
-    the watermark horizon. Emits the input columns unchanged."""
+    the watermark horizon. Emits the input columns unchanged.
+
+    NULL text must not become a shared dedup key (md5(NULL) is NULL
+    and the dedup treats NULL keys as equal — unrelated malformed rows
+    would collapse to one); such rows key on a hash of their full row
+    content instead, so only bit-identical NULL-text rows ever dedup
+    against each other."""
     return (
-        stream.withColumn(
-            "__content_key", F.md5(F.lower(F.trim(F.col(text_col))))
-        )
+        stream.withColumn("__content_key", _null_safe_key(stream, text_col,
+            F.md5(F.lower(F.trim(F.col(text_col))))))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__content_key"])
         .drop("__content_key")
@@ -61,11 +79,14 @@ def streaming_url_dedup(
     in tracking params / case / default port / fragment never reaches
     the sink twice inside the horizon. State keys are the canonical
     strings; for long horizons over hot crawls substitute
-    ``F.md5(canonical)`` to fix the per-key state size."""
+    ``F.md5(canonical)`` to fix the per-key state size. NULL urls take
+    the same full-row-hash fallback key as streaming_content_dedup —
+    never one shared NULL bucket."""
     from ..functions.url import canonicalize_url
 
     return (
-        stream.withColumn("__canon", canonicalize_url(F.col(url_col)))
+        stream.withColumn("__canon", _null_safe_key(stream, url_col,
+            canonicalize_url(F.col(url_col))))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__canon"])
         .drop("__canon")
@@ -144,14 +165,30 @@ def streaming_decontaminate(
     trigger_available_now: bool = True,
 ):
     """Start a query appending eval-clean documents to ``out_path``
-    (parquet). Each micro-batch runs the batch decontamination operator
-    against the static eval set; exactly-once per batch via the
-    checkpoint. Returns the StreamingQuery."""
+    (parquet, partitioned by ``batch_epoch``). Returns the
+    StreamingQuery.
 
-    def _clean(batch: DataFrame, _epoch: int) -> None:
-        ngram_decontaminate(
-            batch, eval_df, n=n, id_col=id_col, text_col=text_col
-        ).write.mode("append").parquet(out_path)
+    foreachBatch is AT-LEAST-ONCE: a crash between the parquet write
+    and the checkpoint commit replays the batch, so a blind append
+    would duplicate every row of the replayed batch. Each batch
+    therefore writes its own ``batch_epoch=<id>`` partition with
+    dynamic partition overwrite — a replay rewrites the identical
+    partition instead of appending a second copy, which is the
+    standard idempotent-by-epoch foreachBatch sink idiom (the
+    exactly-once guarantee is the PAIR checkpoint + idempotent
+    write, never the checkpoint alone)."""
+
+    def _clean(batch: DataFrame, epoch: int) -> None:
+        (
+            ngram_decontaminate(
+                batch, eval_df, n=n, id_col=id_col, text_col=text_col
+            )
+            .withColumn("batch_epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_epoch")
+            .parquet(out_path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_clean)

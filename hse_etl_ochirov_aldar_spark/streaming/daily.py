@@ -13,9 +13,11 @@ with:
   reference lacks (its only late-data handling is the last-7-days
   rebuild window, I2).
 
-At scale: state is bounded by (watermark horizon x days) aggregate rows;
-file-source listing is incremental; output mode ``update``/``append``
-writes only changed windows per micro-batch.
+At scale: state is bounded by (watermark horizon x days) aggregate rows
+UNDER update/append output (the production modes — e.g. update +
+write_stream_upsert), which write only changed windows per micro-batch;
+the complete-mode memory runner below is the test/driver surface and
+deliberately retains everything. File-source listing is incremental.
 """
 
 from __future__ import annotations
@@ -73,7 +75,17 @@ def run_available_now(
     result: DataFrame, checkpoint_dir: str, query_name: str = "daily_avg_stream"
 ):
     """Run to completion with availableNow (the scheduled-batch analogue)
-    into an in-memory sink; returns the finished StreamingQuery."""
+    into an in-memory sink; returns the finished StreamingQuery.
+
+    HARNESS RUNNER, deliberately complete-mode: the memory sink must
+    hold the whole queryable result, and in complete mode the
+    watermark never evicts aggregation state — state and output grow
+    with every distinct window, which is exactly what a collectible
+    test/driver surface wants and exactly what an unbounded production
+    stream must NOT do. The bounded-state production path is
+    update-mode + ``streaming/joins.write_stream_upsert`` (keep-newest
+    per window into parquet), where the module docstring's
+    "state bounded by watermark horizon" contract actually applies."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)

@@ -48,6 +48,23 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
+# What the pandas state function emits: epoch MICROSECOND LONGS, never
+# timestamps. Arrow hands TimestampType to pandas as session-timezone
+# wall-clock (naive), so gap math on pandas .value would shift across
+# DST transitions and diverge from the batch twin's unix_micros gaps;
+# keeping the Python side in true epoch integers (computed JVM-side by
+# _epoch_micros, converted back by timestamp_micros above the
+# operator) removes wall-clock from the state path entirely.
+_SESSION_US_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_us", T.LongType()),
@@ -129,14 +146,14 @@ def _make_sessionizer(gap_seconds: int):
     def sessionize(key: tuple, pdfs: Iterator[Any], state: Any) -> Iterator[Any]:
         import pandas as pd
 
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        rows = pd.concat(list(pdfs)).sort_values("ts_us")
         if state.exists:
             start_us, last_us, n, cents = state.get
         else:
             start_us, last_us, n, cents = None, None, 0, 0
         closed: list[tuple] = []
-        for ts, val in zip(rows["ts"], rows["value"]):
-            us = int(ts.value // 1_000)  # pandas ns -> us
+        for us, val in zip(rows["ts_us"], rows["value"]):
+            us = int(us)  # true epoch micros, computed JVM-side
             if last_us is not None and us - last_us > gap_us:
                 closed.append((key[0], start_us, last_us, n, cents / 100.0))
                 start_us, n, cents = None, 0, 0
@@ -150,13 +167,10 @@ def _make_sessionizer(gap_seconds: int):
                 cents += int(float(val) * 100.0 + 0.5)
         state.update((start_us, last_us, n, cents))
         if closed:
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 closed,
-                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+                columns=["user_id", "start_us", "end_us", "n_events", "total_value"],
             )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-            yield out
 
     return sessionize
 
@@ -168,15 +182,33 @@ def sessionize_stream(
     """Stateful-streaming sessionization over a (user_id, ts, value)
     stream. Emits a session's row once a later event closes it; the
     open tail session stays in state (see module docstring for the
-    production timeout story)."""
+    production timeout story).
+
+    Timestamps cross the Arrow boundary as epoch-microsecond LONGS in
+    both directions (_epoch_micros below, timestamp_micros above) so
+    the gap math matches the batch twin exactly — pandas-side
+    TimestampType arrives as session-timezone wall-clock, whose gaps
+    shift by the offset change across a DST transition."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return events_stream.groupBy("user_id").applyInPandasWithState(
+    prepared = events_stream.select(
+        "user_id",
+        _epoch_micros(events_stream, "ts").alias("ts_us"),
+        "value",
+    )
+    sessions = prepared.groupBy("user_id").applyInPandasWithState(
         _make_sessionizer(gap_seconds),
-        outputStructType=SESSION_SCHEMA,
+        outputStructType=_SESSION_US_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return sessions.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+        "total_value",
     )
 
 

@@ -15,15 +15,14 @@ def test_cli_list(capsys):
     assert "near_dedup_minhash\t[oracle]" in out
     assert "ann_ivf_kmeans_topk\t[oracle]" in out
     assert "multimodal_features\t[oracle]" in out
-    # r4: the only rows-only entries are the two DELIBERATE sketch-based
-    # escape hatches (engine-specific estimates by design; tolerance vs
-    # the exact twins asserted in test_queries_oracle.py)
+    # r5: the two sketch entries were restructured into oracle-checkable
+    # guarantee audits (GK rank bound / HLL-within-5%), so EVERY catalog
+    # entry now carries a DuckDB oracle — the board has no rows-only
+    # residue left
     rows_only = {
         ln.split("\t")[0] for ln in out.splitlines() if "[rows-only]" in ln
     }
-    assert rows_only == {
-        "clean_percentile_trim_approx", "ngram_diversity_approx"
-    }
+    assert rows_only == set()
 
 
 def test_cli_run_and_pipeline(spark, sf_dir, tmp_path, capsys):

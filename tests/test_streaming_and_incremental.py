@@ -1174,3 +1174,136 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmpdir):
     want = {(r.k, r.name, r.v) for r in full.collect()}
     assert got == want
     assert got == {(1, "a2", 11), (3, "c", 30)}
+
+
+def test_partition_scoped_upsert_preserves_null_partition(spark, tmpdir):
+    """NULL partition values: `col IN (..., NULL)` is never true in
+    SQL, so without an explicit isNull branch the existing
+    __HIVE_DEFAULT_PARTITION__ rows are left out of the merge and then
+    clobbered by the staging rename — silent data loss."""
+    from pyspark.sql import functions as F
+
+    path = f"{tmpdir}/null_part"
+    first = spark.createDataFrame(
+        [(1, "a", 1), (2, None, 1)], "k INT, day STRING, ver INT"
+    )
+    upsert_keep_newest(spark, first, path, ["k"], "ver", partition_col="day")
+    # second batch touches the NULL partition with a DIFFERENT key:
+    # k=2 must survive the merge, not vanish
+    second = spark.createDataFrame(
+        [(3, None, 2)], "k INT, day STRING, ver INT"
+    )
+    upsert_keep_newest(spark, second, path, ["k"], "ver", partition_col="day")
+    got = {
+        (r["k"], r["day"], r["ver"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", 1), (2, None, 1), (3, None, 2)}
+
+
+def test_temperature_mixture_tolerates_null_group(spark):
+    """A NULL group draws no quota but must not crash the driver
+    (None create_map keys / None-vs-str sorted comparisons)."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g1" if i % 2 else None) for i in range(40)],
+        "k INT, grp STRING",
+    )
+    out = temperature_mixture_sample(df, "grp", "k", total=10)
+    rows = out.collect()
+    assert rows, "non-null groups still draw their quota"
+    assert all(r["grp"] is not None for r in rows)
+
+
+def test_leakage_safe_split_tolerates_existing_rep_column(spark):
+    """An input frame already carrying '_rep' (retained dedup-cluster
+    metadata) must not trigger AMBIGUOUS_REFERENCE in the join."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"meta{i}") for i in range(20)], "doc_id INT, _rep STRING"
+    )
+    cmap = spark.createDataFrame([(1, 0), (3, 0)], "id INT, rep INT")
+    out = leakage_safe_split(df, cmap, "doc_id")
+    assert out.count() == 20
+    by_id = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert by_id[1] == by_id[3] == by_id[0]  # cluster rides rep=0's bucket
+    assert "_rep" in out.columns  # caller metadata untouched
+
+
+def test_streaming_dedup_null_keys_pass_through(spark, tmpdir):
+    """Two DISTINCT NULL-text documents inside the watermark horizon
+    must BOTH survive: md5(NULL) is NULL and the dedup treats NULL
+    keys as equal, so without the full-row-hash fallback one of them
+    silently disappears."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.streaming.curation import (
+        streaming_content_dedup,
+    )
+
+    src = f"{tmpdir}/null_dedup_src"
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", None),
+            (2, "2024-01-01 10:01:00", None),
+            (3, "2024-01-01 10:02:00", "same"),
+            (4, "2024-01-01 10:03:00", "same"),
+        ],
+        "doc_id LONG, ts_s STRING, text STRING",
+    ).select(
+        "doc_id", F.to_timestamp("ts_s").alias("ts"), "text"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id LONG, ts TIMESTAMP, text STRING"
+    ).parquet(src)
+    q = (
+        streaming_content_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_null_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/null_dedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM t_null_dedup").collect()}
+    assert 1 in got and 2 in got, "distinct NULL-text rows must both survive"
+    assert len(got & {3, 4}) == 1, "real duplicates still dedup"
+
+
+def test_streaming_decontaminate_epoch_replay_idempotent(spark, sf_dir, tmpdir):
+    """The decontaminate sink writes per-epoch partitions with dynamic
+    overwrite, so replaying a batch (at-least-once foreachBatch)
+    rewrites its partition instead of appending duplicates."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    out = f"{tmpdir}/decon_replay_out"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    # simulate the sink's per-batch write twice with the SAME epoch
+    for _ in range(2):
+        (
+            docs.withColumn("batch_epoch", F.lit(7))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_epoch")
+            .parquet(out)
+        )
+    assert spark.read.parquet(out).count() == 30
