@@ -353,3 +353,72 @@ def distribution_matched_sample(
         .where(F.col("__rn") <= qmap[F.col(group_col)])
         .drop("__rn")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws the reservoir key
+    ln(u) / w with u a uniform derived from md5(key), and the k
+    largest keys are the sample — inclusion probability proportional
+    to weight, exactly one pass, no replacement bookkeeping.
+
+    Determinism/portability: u = (hash32(key) + 0.5) / 2^32 is exact
+    in both engines; ln and one division are correctly-rounded IEEE
+    ops on identical inputs, and the key is rounded to 6dp with a
+    (key DESC)-then-id tie-break so the selected set is reproducible
+    bit-for-bit outside Spark (the audit requirement every
+    ``rand()``-based sampler fails).
+
+    Scale shape (100 TB): key computation is row-local; selection is
+    a TakeOrdered top-k (per-partition heaps, no global sort, no
+    shuffle of the data — only k rows reach the driver-side merge).
+    Weights must be >= 1 (guard with greatest()).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        hash_bucket(key_col, 4_294_967_296).cast("double") + F.lit(0.5)
+    ) / F.lit(4_294_967_296.0)
+    # ln(u) < 0, so larger weight -> key closer to 0 -> more likely
+    # in the top-k, the A-ES ordering (equivalent to u^(1/w) DESC)
+    rank_key = F.round(F.log(u) / F.greatest(w.cast("double"), F.lit(1.0)), 6)
+    return (
+        df.withColumn("__res_key", rank_key)
+        .orderBy(F.col("__res_key").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__res_key")
+    )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Adds a ``fold`` column in [0, k): within every stratum rows are
+    ranked by (md5-hash, key) and folds assigned round-robin — so fold
+    sizes within a stratum differ by AT MOST ONE (exact balance, which
+    the probabilistic hash_split cannot promise for small strata: a
+    20-row language would routinely land 0 rows in some fold at k=5).
+
+    Cross-validation contract: every row appears in exactly one fold;
+    fold membership is a pure function of (key, stratum, k) —
+    recomputable by any engine, stable across cluster sizes and reruns.
+
+    Scale shape (100 TB): one shuffle on ``strata_col`` for the
+    row_number window; strata are language/source-sized (thousands of
+    groups, each large), so AQE handles size variance. For a skewed
+    mega-stratum swap in the hash-bucket assignment (hash_split) where
+    exact balance stops mattering at that size.
+    """
+    win = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key_col, 1_000_000_007), F.col(key_col)
+    )
+    return df.withColumn(
+        "fold", (F.row_number().over(win) - F.lit(1)) % F.lit(k)
+    )

@@ -2391,3 +2391,75 @@ SELECT s.bucket,
 FROM spine s LEFT JOIN c ON s.bucket = c.bucket
 ORDER BY s.bucket
 """
+
+
+def q_weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sampling WITHOUT replacement
+    (operators/sampling.weighted_sample_topk, the Efraimidis-Spirakis
+    A-ES reservoir): the 100 docs drawn with probability proportional
+    to character length — the "sample by token budget, not by doc
+    count" draw every mixture pipeline needs. Deterministic and
+    engine-portable: the reservoir key is ln(md5-uniform)/weight
+    rounded to 6dp with a doc_id tie-break, so the oracle reproduces
+    the exact member set (a rand()-based sampler cannot be audited at
+    all). Selection is TakeOrdered top-k — no global sort, no shuffle
+    of the corpus."""
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn(
+        "weight", F.greatest(F.length("text"), F.lit(1)).cast("bigint")
+    )
+    return weighted_sample_topk(weighted, "doc_id", "weight", k=100).select(
+        "doc_id", "lang", "weight"
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE_TOKENS = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(greatest(len(text), 1) AS BIGINT) AS weight,
+         ({_oracle_hash32("CAST(doc_id AS VARCHAR)")} + 0.5)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, weight
+FROM (
+  SELECT *, round(ln(u) / CAST(weight AS DOUBLE), 6) AS rk
+  FROM w ORDER BY rk DESC, doc_id LIMIT 100
+)
+"""
+
+
+def q_stratified_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-balanced stratified k-fold assignment
+    (operators/sampling.stratified_kfold): within every language the
+    docs are ranked by md5-hash order and dealt round-robin into 5
+    folds, so per-stratum fold sizes differ by at most one — the
+    cross-validation contract a probabilistic hash split cannot give
+    small strata. Output is the per-(lang, fold) census with a
+    membership checksum; fold membership is a pure function of
+    (doc_id, lang, k), recomputable by any engine."""
+    from ..operators.sampling import stratified_kfold
+
+    docs = load_table(spark, sf_dir, "documents")
+    folds = stratified_kfold(docs, "doc_id", "lang", k=5)
+    return folds.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+ORACLE_STRATIFIED_KFOLD_BALANCE = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST((row_number() OVER (
+            PARTITION BY lang
+            ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")}
+                     % 1000000007, doc_id) - 1) % 5 AS INT) AS fold
+  FROM documents
+)
+SELECT lang, fold, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM r GROUP BY 1, 2
+"""

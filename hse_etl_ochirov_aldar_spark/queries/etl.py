@@ -2120,3 +2120,109 @@ SELECT t.source, n_docs, n_kept,
 FROM total t JOIN kept k ON t.source = k.source
 ORDER BY t.source
 """
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution without the cartesian product: all customer-name
+    pairs within ONE edit operation, found by SymSpell deletion-
+    neighborhood blocking (operators/fuzzy_join.fuzzy_self_join —
+    O(n*len) variant rows through an ordinary hash join, exact recall
+    at d=1) and summarized per edited character position. TPC-H names
+    differ only in the numeric suffix, so the census shape (which digit
+    position, how many pairs) is a sharp correctness signal.
+
+    Oracle: brute-force O(n^2) levenshtein join — a genuinely
+    independent second implementation; matching it end-to-end proves
+    the blocking lost no pair."""
+    from ..operators.fuzzy_join import fuzzy_self_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = fuzzy_self_join(cust, "c_custkey", "c_name", max_dist=1)
+    # first differing character position (names are equal length here,
+    # so a d=1 pair differs in exactly one substituted position)
+    edit_pos = F.array_min(
+        F.filter(
+            F.sequence(F.lit(1), F.length("name_a")),
+            lambda i: F.substring(F.col("name_a"), i, F.lit(1))
+            != F.substring(F.col("name_b"), i, F.lit(1)),
+        )
+    )
+    return (
+        pairs.withColumn("edit_pos", edit_pos)
+        .groupBy("edit_pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("key_checksum"),
+        )
+        .orderBy("edit_pos")
+    )
+
+
+ORACLE_FUZZY_NAME_MATCH = """
+WITH pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_name AS name_a, b.c_name AS name_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 1
+)
+SELECT list_min(list_filter(range(1, CAST(len(name_a) AS INT) + 1),
+                            i -> substr(name_a, CAST(i AS INT), 1)
+                                 <> substr(name_b, CAST(i AS INT), 1)))
+         AS edit_pos,
+       count(*) AS n_pairs,
+       CAST(sum(id_a + id_b) AS BIGINT) AS key_checksum
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (operators/basket
+    .basket_pair_lift): the 2-itemset census over order baskets —
+    support, per-item supports, and lift for every part pair
+    co-purchased in >= 3 orders. The self-join is quadratic per basket,
+    never per table, and the basket-size cap bounds the worst case
+    before the join runs (scale notes in the operator docstring)."""
+    from ..operators.basket import basket_pair_lift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pair_lift(
+        li, "l_orderkey", "l_partkey", min_support=3, max_basket=64
+    ).select(
+        F.col("item_a").cast("bigint").alias("item_a"),
+        F.col("item_b").cast("bigint").alias("item_b"),
+        "supp_ab",
+        "supp_a",
+        "supp_b",
+        "lift",
+    )
+
+
+ORACLE_BASKET_LIFT_PAIRS = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+sized AS (
+  SELECT b FROM items GROUP BY b HAVING count(*) <= 64
+),
+kept AS (SELECT items.b, items.i FROM items JOIN sized USING (b)),
+nb AS (SELECT count(DISTINCT b) AS n FROM kept),
+pairs AS (
+  SELECT a.i AS item_a, k.i AS item_b, count(*) AS supp_ab
+  FROM kept a JOIN kept k ON a.b = k.b AND a.i < k.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+isupp AS (SELECT i, count(*) AS supp FROM kept GROUP BY i)
+SELECT CAST(item_a AS BIGINT) AS item_a,
+       CAST(item_b AS BIGINT) AS item_b,
+       CAST(supp_ab AS BIGINT) AS supp_ab,
+       CAST(sa.supp AS BIGINT) AS supp_a,
+       CAST(sb.supp AS BIGINT) AS supp_b,
+       round(CAST(nb.n AS BIGINT) * supp_ab
+             / CAST(CAST(sa.supp AS BIGINT) * sb.supp AS DOUBLE), 6)
+         AS lift
+FROM pairs
+JOIN isupp sa ON pairs.item_a = sa.i
+JOIN isupp sb ON pairs.item_b = sb.i
+CROSS JOIN nb
+"""
