@@ -2463,3 +2463,116 @@ SELECT lang, fold, count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
 FROM r GROUP BY 1, 2
 """
+
+
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding-window trend counts
+    (streaming/daily.streaming_sliding_counts): events replayed through
+    readStream -> watermark -> 1h windows sliding every 30min, grouped
+    by normalized event type — each event lands in 2 overlapping
+    windows, so a spike surfaces within one slide instead of at a day
+    boundary. availableNow + complete-mode memory sink (the harness
+    runner); production uses update mode + the upsert sink, where the
+    watermark bounds state (module docstring). Oracle: each event
+    expands to its slide-aligned window starts via integer epoch-us
+    division — the batch twin of F.window's epoch-aligned assignment."""
+    import os
+    import tempfile
+
+    from ..streaming.daily import run_available_now, streaming_sliding_counts
+
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="hse_stream_")
+    src = os.path.join(tmp, "src")
+    events.write.mode("overwrite").parquet(src)
+    name = f"stream_sliding_counts_{next(_STREAM_RUN_SEQ)}"
+    run_available_now(
+        streaming_sliding_counts(spark, src),
+        os.path.join(tmp, "ckpt"),
+        query_name=name,
+    )
+    return spark.table(name)
+
+
+ORACLE_SLIDING_WINDOW_COUNTS = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, lower(trim(event_type)) AS event_type
+  FROM events WHERE ts IS NOT NULL
+),
+expanded AS (
+  SELECT unnest(list_transform(range(0, 2),
+                k -> (us // 1800000000 - k) * 1800000000)) AS start_us,
+         us, event_type
+  FROM e
+)
+SELECT make_timestamp(start_us) AS window_start,
+       make_timestamp(start_us + 3600000000) AS window_end,
+       event_type,
+       count(*) AS n_events
+FROM expanded
+WHERE us < start_us + 3600000000 AND us >= start_us
+GROUP BY 1, 2, 3
+"""
+
+
+def q_ewma_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online per-user EWMA z-score anomaly screen, batch flavor
+    (streaming/anomaly.ewma_scores_batch — the applyInPandasWithState
+    stream twin is equivalence-pinned in the streaming suite): each
+    value is judged against the exponentially weighted mean/variance of
+    its user's PAST values only (warmup 5, |z| >= 3), the constant-state
+    monitoring fold that windowed stddev cannot match at stream scale.
+
+    Oracle-checkable because the fold is a sequential chain of IEEE
+    double ops with hardware sqrt — no reduction, no summation-order
+    freedom — replayed exactly by a DuckDB recursive CTE over the same
+    (ts, event_id) order."""
+    from ..streaming.anomaly import ewma_scores_batch
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    scores = ewma_scores_batch(ev, alpha=0.2, threshold=3.0)
+    return scores.select(
+        "user_id",
+        "ts",
+        "value",
+        F.round("zscore", 6).alias("zscore"),
+        F.round("ewma_mean", 6).alias("ewma_mean"),
+    )
+
+
+ORACLE_EWMA_ANOMALY_SCORES = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
+),
+fold AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+         0.0 AS mean, 0.0 AS var, CAST(0 AS BIGINT) AS n,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS v,
+         CAST(NULL AS DOUBLE) AS z, CAST(NULL AS DOUBLE) AS mean_prev
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN f.n = 0 THEN e.v
+              ELSE f.mean + 0.2 * (e.v - f.mean) END,
+         CASE WHEN f.n = 0 THEN 0.0
+              ELSE (1.0 - 0.2) * (f.var + 0.2 * (e.v - f.mean)
+                                          * (e.v - f.mean)) END,
+         f.n + 1, e.ts, e.v,
+         CASE WHEN f.n >= 5 AND f.var > 0.0
+              THEN (e.v - f.mean) / sqrt(f.var) END,
+         f.mean
+  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT user_id, ts, v AS value,
+       round(z, 6) AS zscore,
+       round(mean_prev, 6) AS ewma_mean
+FROM fold
+WHERE z IS NOT NULL AND abs(z) >= 3.0
+"""

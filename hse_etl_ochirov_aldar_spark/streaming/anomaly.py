@@ -11,10 +11,12 @@ regardless of stream length, the applyInPandasWithState contract.
 Determinism: events are processed in (ts, event_id) order inside each
 micro-batch, and the batch twin (ewma_scores_batch) runs the identical
 fold per key via applyInPandas — the equivalence test feeds the same
-data through both. EWMA math is float64 on both paths (same numpy
-ops in the same order), so scores agree exactly; this is a monitoring
-operator, deliberately NOT an oracle'd catalog entry (stateful
-streaming is the documented rows-only class).
+data through both. The fold is a SEQUENTIAL chain of IEEE-754 double
+ops (sub/mul/add/hardware sqrt, one fixed order — no reduction whose
+summation order an engine could change), so any engine replaying the
+chain reproduces the scores bit-for-bit: the batch twin IS an oracle'd
+catalog entry (ewma_anomaly_scores, recursive-CTE oracle), unlike the
+Arrow-SUM twins the PERF notes exclude from oracles.
 
 Scale shape: one shuffle on the key; Arrow batches per group; state
 O(keys). The same fold at 100 TB history is why EWMA beats windowed
@@ -54,6 +56,8 @@ _WARMUP = 5  # score only after this many observations seeded the state
 def _fold(rows, state_tuple, alpha: float, threshold: float):
     """Shared EWMA fold: returns (anomalies, new_state). ``rows`` is an
     iterable of (ts, value, event_id)-sorted records."""
+    import math
+
     mean, var, n = state_tuple
     out = []
     for ts, val in rows:
@@ -61,7 +65,12 @@ def _fold(rows, state_tuple, alpha: float, threshold: float):
             continue
         v = float(val)
         if n >= _WARMUP and var > 0.0:
-            z = (v - mean) / (var ** 0.5)
+            # math.sqrt is IEEE-754 correctly rounded (hardware sqrt),
+            # so any engine reproduces it bit-for-bit; var ** 0.5 goes
+            # through libm pow, whose last ulp is implementation-defined
+            # — that difference is what separates an oracle-checkable
+            # fold from a tolerance test
+            z = (v - mean) / math.sqrt(var)
             if abs(z) >= threshold:
                 out.append((ts, v, z, mean))
         if n == 0:
