@@ -14,9 +14,14 @@ sweep:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
 	python -m pytest tests/test_queries_oracle.py -q
 
-# Oracle output-type lint only (fast; binds every oracle through DuckDB).
+# Oracle lint (fast; no Spark): binds every oracle through DuckDB for
+# hash-safe output types AND executes it at sf0.001 — runtime-only
+# failures (e.g. recursive-CTE DECIMAL overflow) fail here, not at the
+# driver. Run after ANY catalog change; no catalog change may land after
+# the round's final `make sweep`.
 lint-oracles:
-	python -m pytest tests/test_queries_oracle.py -q -k oracle_output_types
+	python -m pytest tests/test_queries_oracle.py -q \
+		-k "oracle_output_types or oracle_executes"
 
 bench:
 	python bench.py

@@ -2553,7 +2553,8 @@ WITH RECURSIVE ev AS (
 ),
 fold AS (
   SELECT user_id, CAST(0 AS BIGINT) AS rn,
-         0.0 AS mean, 0.0 AS var, CAST(0 AS BIGINT) AS n,
+         CAST(0.0 AS DOUBLE) AS mean, CAST(0.0 AS DOUBLE) AS var,
+         CAST(0 AS BIGINT) AS n,
          CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS v,
          CAST(NULL AS DOUBLE) AS z, CAST(NULL AS DOUBLE) AS mean_prev
   FROM (SELECT DISTINCT user_id FROM ev)

@@ -55,7 +55,20 @@ _WARMUP = 5  # score only after this many observations seeded the state
 
 def _fold(rows, state_tuple, alpha: float, threshold: float):
     """Shared EWMA fold: returns (anomalies, new_state). ``rows`` is an
-    iterable of (ts, value, event_id)-sorted records."""
+    iterable of (ts, value)-sorted records whose values are plain Python
+    floats (callers bulk-convert with ``Series.tolist()`` — one C-level
+    pass instead of per-row Series boxing, ~3-5x on mega-keys).
+
+    Skew contract: the fold is inherently SEQUENTIAL per key (each
+    z-score is judged against state built from every earlier event of
+    that key), so one mega-key serializes onto one task at Python-loop
+    speed — measured ~1s per 10^6 events/key (test_ewma_hot_key_walltime).
+    A key with 10^8 events costs ~100s on its one core; if profiling
+    (operators.profile.skew_report) shows keys at that scale, shard the
+    key upstream by a coarse time bucket and re-seed state per shard, or
+    accept the tail task. Parallelizing WITHIN a key would change
+    summation order and break the bit-exact oracle contract above.
+    """
     import math
 
     mean, var, n = state_tuple
@@ -63,7 +76,7 @@ def _fold(rows, state_tuple, alpha: float, threshold: float):
     for ts, val in rows:
         if val is None or val != val:
             continue
-        v = float(val)
+        v = val if type(val) is float else float(val)
         if n >= _WARMUP and var > 0.0:
             # math.sqrt is IEEE-754 correctly rounded (hardware sqrt),
             # so any engine reproduces it bit-for-bit; var ** 0.5 goes
@@ -87,10 +100,19 @@ def _make_scorer(alpha: float, threshold: float):
     def score(key: tuple, pdfs: Iterator[Any], state: Any) -> Iterator[Any]:
         import pandas as pd
 
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # Sort on the JVM-computed epoch-micros long, not the pandas ts
+        # column: Arrow delivers TIMESTAMP as session-timezone
+        # wall-clock, which is non-monotonic across a DST fall-back
+        # under a non-UTC session zone — the fold order (and therefore
+        # EWMA state) would diverge from the oracle's true-time order.
+        # Same hazard sessionize.py fixed via _epoch_micros.
+        rows = pd.concat(list(pdfs)).sort_values(["_ts_us", "event_id"])
         st = state.get if state.exists else (0.0, 0.0, 0)
         anomalies, new_st = _fold(
-            zip(rows["ts"], rows["value"]), st, alpha, threshold
+            zip(rows["ts"].tolist(), rows["value"].tolist()),
+            st,
+            alpha,
+            threshold,
         )
         state.update(new_st)
         if anomalies:
@@ -113,6 +135,9 @@ def ewma_anomaly_stream(
     they were judged against."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .sessionize import _epoch_micros
+
+    stream = stream.withColumn("_ts_us", _epoch_micros(stream, "ts"))
     return stream.groupBy("user_id").applyInPandasWithState(
         _make_scorer(alpha, threshold),
         outputStructType=SCORE_SCHEMA,
@@ -130,13 +155,20 @@ def ewma_scores_batch(
     """Batch twin: identical per-key fold via applyInPandas (one key
     shuffle, per-key time order) — the equivalence baseline for the
     streaming operator and the backfill path."""
+    from .sessionize import _epoch_micros
+
+    df = df.withColumn("_ts_us", _epoch_micros(df, "ts"))
 
     def fold(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # epoch-micros sort key, not wall-clock ts — see _make_scorer
+        pdf = pdf.sort_values(["_ts_us", "event_id"])
         anomalies, _ = _fold(
-            zip(pdf["ts"], pdf["value"]), (0.0, 0.0, 0), alpha, threshold
+            zip(pdf["ts"].tolist(), pdf["value"].tolist()),
+            (0.0, 0.0, 0),
+            alpha,
+            threshold,
         )
         uid = pdf["user_id"].iloc[0]
         return pd.DataFrame(

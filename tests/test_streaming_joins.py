@@ -271,3 +271,32 @@ def test_ewma_anomaly_stream_equals_batch_and_flags_spike(spark, tmp_path):
     streamed = {(r.user_id, str(r.ts), round(r.zscore, 6))
                 for r in spark.table("t_ewma").collect()}
     assert streamed == batch
+
+
+def test_ewma_hot_key_walltime(spark):
+    """Skew contract check (_fold docstring): one mega-key with 10^6
+    events must fold in bounded wall-time — the sequential per-key loop
+    is the documented scale ceiling, so pin its measured cost here. A
+    regression to per-row pandas boxing (or an accidental O(n^2) state
+    concat) blows the generous bound immediately."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.streaming.anomaly import ewma_scores_batch
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        # stable signal with a deterministic 1-in-100k spike
+        F.when(F.col("id") % 100_000 == 99_999, F.lit(1000.0))
+        .otherwise(10.0 + (F.col("id") % 7).cast("double") / 10.0)
+        .alias("value"),
+    )
+    t0 = time.monotonic()
+    flagged = ewma_scores_batch(df).count()
+    elapsed = time.monotonic() - t0
+    assert flagged >= 9  # every spike after warmup crosses |z| >= 3
+    assert elapsed < 60.0, f"hot-key fold took {elapsed:.1f}s for {n} rows"
