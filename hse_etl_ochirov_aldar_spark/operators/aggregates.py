@@ -8,7 +8,7 @@ scale-safe at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import avg_units_expr, units_sum
@@ -55,18 +55,29 @@ def mode_by_group(
     SURVEY §4 caution 3); we add ``value ASC`` so results are stable and
     oracle-comparable — an intentional semantics-tightening deviation.
 
-    Two shuffles: groupBy(group+value) with map-side combine, then a
-    window partitioned by the (already aggregated, small) group keys.
-    The window input is |distinct(group,value)| rows, not raw rows, so
-    the rank stage is cheap even at 100 TB raw input.
+    Two shuffles, both sort-free partial aggregates: groupBy(group+value)
+    with map-side combine, then ``min(struct(-cnt, value))`` per group —
+    struct ordering is lexicographic field-by-field, so the min is
+    exactly cnt DESC then value ASC, the window rank's tie-break,
+    without any Window/Sort node. Replacing the row_number window with
+    this aggregate measured ~3x on mart_user_activity's warm path
+    (PERF.md r6): every Exchange carries combiner-reduced rows and no
+    stage sorts. Both inputs are |distinct(group,value)| rows, not raw
+    rows, so the final stage is cheap even at 100 TB raw input.
     """
     out_col = out_col or f"top_{value_col}"
     counted = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy(*group_cols).orderBy(F.desc("cnt"), F.asc(value_col))
     return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(*group_cols, F.col(value_col).alias(out_col))
+        counted.groupBy(*group_cols)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("_neg_cnt"),
+                    F.col(value_col).alias("v"),
+                )
+            ).alias("_mode")
+        )
+        .select(*group_cols, F.col("_mode.v").alias(out_col))
     )
 
 

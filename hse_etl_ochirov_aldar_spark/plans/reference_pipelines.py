@@ -18,7 +18,7 @@ efficiency).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import (
@@ -154,18 +154,49 @@ def mart_user_activity(clean: DataFrame) -> DataFrame:
         )
     )
     top_device = mode_by_group(monthly, ["user_id", "report_month"], "device", "top_device")
-    pages = monthly.select(
-        "user_id", "report_month", F.explode("pages_visited").alias("page")
+    # Tag-union the page/action mode branches into ONE Generate and one
+    # count+window pass: each session contributes ('page', p) and
+    # ('act', a) rows through a single explode, the counts group on
+    # (user, month, kind, value), and one window ranks within
+    # (user, month, kind). The naive form scanned + exploded + shuffled
+    # + window-sorted the sessions TWICE and joined two mode branches
+    # back; this halves those stages while computing identical modes
+    # (per-kind counts are disjoint, so ranking within kind is
+    # unchanged). Pivot back to columns via the max-of-one-row trick.
+    tagged = monthly.select(
+        "user_id",
+        "report_month",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "pages_visited",
+                    lambda p: F.struct(F.lit("page").alias("kind"), p.alias("value")),
+                ),
+                F.transform(
+                    "actions",
+                    lambda a: F.struct(F.lit("act").alias("kind"), a.alias("value")),
+                ),
+            )
+        ).alias("kv"),
+    ).select("user_id", "report_month", "kv.kind", "kv.value")
+    counted = tagged.groupBy("user_id", "report_month", "kind", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    top_page = mode_by_group(pages, ["user_id", "report_month"], "page", "top_page")
-    actions = monthly.select(
-        "user_id", "report_month", F.explode("actions").alias("action")
+    w = Window.partitionBy("user_id", "report_month", "kind").orderBy(
+        F.desc("cnt"), F.asc("value")
     )
-    top_action = mode_by_group(actions, ["user_id", "report_month"], "action", "top_action")
+    top_kv = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("user_id", "report_month")
+        .agg(
+            F.max(F.when(F.col("kind") == "page", F.col("value"))).alias("top_page"),
+            F.max(F.when(F.col("kind") == "act", F.col("value"))).alias("top_action"),
+        )
+    )
     return (
         stats.join(top_device, ["user_id", "report_month"], "left")
-        .join(top_page, ["user_id", "report_month"], "left")
-        .join(top_action, ["user_id", "report_month"], "left")
+        .join(top_kv, ["user_id", "report_month"], "left")
     )
 
 

@@ -614,15 +614,17 @@ def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the analogue of the reference's LATERAL UNNEST mode branches.
 
     Plan shape: ONE orders scan feeds a (custkey, month, priority)
-    partial aggregate; the stats totals AND the priority mode both come
-    off that partial in a SINGLE window pass (the group totals as
-    unbounded-frame window sums sharing the rank's partitioning — one
-    Exchange+Sort, two pipelined Window nodes, no stats-side groupBy
-    and no stats<->mode join; integer-units sums are associative so the
-    re-aggregation is exact). The naive form scanned and shuffled the
-    raw orders three times and joined three branches back together.
-    Each mode input is pre-aggregated before its window, so no raw-row
-    windows anywhere.
+    partial aggregate; the stats totals AND the priority mode then come
+    off that partial in a second sort-free HashAggregate — the mode is
+    ``min(struct(-cnt, value))``, whose struct ordering (cnt DESC then
+    value ASC, lexicographic field-by-field) is exactly the window
+    rank's tie-break, so no Window/Sort node appears anywhere. The
+    lineitem mode branch gets the same two-level count + min-struct
+    shape. Both replacements of row_number windows with partial-agg'd
+    aggregates measured ~3x on the warm path (1.90s -> ~0.6s at sf0.1,
+    PERF.md r6) because every Exchange now carries combiner-reduced
+    rows and no stage sorts. Integer-units sums are associative so the
+    two-level re-aggregation stays exact.
     """
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "report_month", month_of("o_orderdate")
@@ -635,32 +637,45 @@ def q_mart_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         units_sum("o_totalprice").alias("s_total"),
     )
-    w_grp = Window.partitionBy("o_custkey", "report_month")
-    w_prio = w_grp.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
     stats_with_mode = (
-        prio_partial.select(
-            "o_custkey",
-            "report_month",
-            "o_orderpriority",
-            F.sum("cnt").over(w_grp).alias("num_orders"),
-            F.sum("s_total").over(w_grp).alias("_s_total"),
-            F.row_number().over(w_prio).alias("__rn"),
+        prio_partial.groupBy("o_custkey", "report_month")
+        .agg(
+            F.sum("cnt").alias("num_orders"),
+            F.sum("s_total").alias("_s_total"),
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("_neg_cnt"),
+                    F.col("o_orderpriority").alias("v"),
+                )
+            ).alias("_mode"),
         )
-        .where(F.col("__rn") == 1)
         .select(
             "o_custkey",
             "report_month",
             "num_orders",
             as_value("_s_total").alias("sum_total"),
             avg_units_expr("_s_total", "num_orders", 2, 2).alias("avg_total"),
-            F.col("o_orderpriority").alias("top_priority"),
+            F.col("_mode.v").alias("top_priority"),
         )
     )
     exploded = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
         "o_custkey", "report_month", "l_returnflag"
     )
-    top_flag = mode_by_group(
-        exploded, ["o_custkey", "report_month"], "l_returnflag", "top_returnflag"
+    top_flag = (
+        exploded.groupBy("o_custkey", "report_month", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("o_custkey", "report_month")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("_neg_cnt"),
+                    F.col("l_returnflag").alias("v"),
+                )
+            ).alias("_mode")
+        )
+        .select(
+            "o_custkey", "report_month", F.col("_mode.v").alias("top_returnflag")
+        )
     )
     return stats_with_mode.join(top_flag, ["o_custkey", "report_month"], "left")
 
