@@ -48,10 +48,26 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     big, no-ops here, and still arrives as one partition — if such a
     source ever feeds a CPU-bound family, repartition it explicitly at
     the read (the package's own readers stage through splittable
-    parquet/JSON-lines, so none of the in-repo paths hit this)."""
+    parquet/JSON-lines, so none of the in-repo paths hit this).
+
+    The byte estimate is only trusted for plans whose every leaf is a
+    file relation: a LocalRelation/LogicalRDD (createDataFrame, RDD
+    lineage) or a stale-stats source can undershoot wildly, and the old
+    behavior would then force a full shuffle — possibly COALESCING an
+    input that already had more partitions than cores. Non-file leaves
+    now no-op (such inputs already inherit the parallelism they were
+    built with)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if est_bytes >= target * _max_partition_bytes(spark):
+    plan = df._jdf.queryExecution().optimizedPlan()
+    try:
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            if leaves.apply(i).getClass().getSimpleName() != "LogicalRelation":
+                return df
+    except Exception:
+        return df
+    est_bytes = int(plan.stats().sizeInBytes())
+    if est_bytes <= 0 or est_bytes >= target * _max_partition_bytes(spark):
         return df
     return df.repartition(target)

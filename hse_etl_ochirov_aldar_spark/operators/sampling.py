@@ -368,11 +368,18 @@ def weighted_sample_topk(
     to weight, exactly one pass, no replacement bookkeeping.
 
     Determinism/portability: u = (hash32(key) + 0.5) / 2^32 is exact
-    in both engines; ln and one division are correctly-rounded IEEE
-    ops on identical inputs, and the key is rounded to 6dp with a
+    in both engines; the key is rounded to 12dp with a
     (key DESC)-then-id tie-break so the selected set is reproducible
     bit-for-bit outside Spark (the audit requirement every
-    ``rand()``-based sampler fails).
+    ``rand()``-based sampler fails). 12dp is the sweet spot: libm ln
+    differs across engines only in the last ulp (< 4e-15 for |key| <=
+    |ln(2^-32)| ~ 23), which 1e-12 granularity absorbs, while keys
+    keep full A-ES resolution for weights up to ~1e8 (at weight w the
+    key magnitude is <= 23/w; 6dp collapsed weights above ~1e4 onto a
+    few thousand plateau values, degrading heavy-row selection to
+    id-order — the round-5 advice finding). Weights beyond 1e8 should
+    be rescaled (inclusion probability only depends on relative
+    weight).
 
     Scale shape (100 TB): key computation is row-local; selection is
     a TakeOrdered top-k (per-partition heaps, no global sort, no
@@ -385,7 +392,7 @@ def weighted_sample_topk(
     ) / F.lit(4_294_967_296.0)
     # ln(u) < 0, so larger weight -> key closer to 0 -> more likely
     # in the top-k, the A-ES ordering (equivalent to u^(1/w) DESC)
-    rank_key = F.round(F.log(u) / F.greatest(w.cast("double"), F.lit(1.0)), 6)
+    rank_key = F.round(F.log(u) / F.greatest(w.cast("double"), F.lit(1.0)), 12)
     return (
         df.withColumn("__res_key", rank_key)
         .orderBy(F.col("__res_key").desc(), F.col(key_col))

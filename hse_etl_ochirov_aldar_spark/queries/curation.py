@@ -2400,7 +2400,7 @@ def q_weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     to character length — the "sample by token budget, not by doc
     count" draw every mixture pipeline needs. Deterministic and
     engine-portable: the reservoir key is ln(md5-uniform)/weight
-    rounded to 6dp with a doc_id tie-break, so the oracle reproduces
+    rounded to 12dp with a doc_id tie-break, so the oracle reproduces
     the exact member set (a rand()-based sampler cannot be audited at
     all). Selection is TakeOrdered top-k — no global sort, no shuffle
     of the corpus."""
@@ -2425,7 +2425,7 @@ WITH w AS (
 )
 SELECT doc_id, lang, weight
 FROM (
-  SELECT *, round(ln(u) / CAST(weight AS DOUBLE), 6) AS rk
+  SELECT *, round(ln(u) / CAST(weight AS DOUBLE), 12) AS rk
   FROM w ORDER BY rk DESC, doc_id LIMIT 100
 )
 """

@@ -238,17 +238,47 @@ def apply_mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
         if op == "$match":
             import operator as pyop
 
+            # Mongo vs SQL null semantics (round-5 advice finding):
+            # BSON comparison treats a null/missing field as a VALUE —
+            # {$ne: v} matches docs whose field is null or absent, and
+            # {$in: [null, ...]} matches missing fields — while Spark's
+            # three-valued `col != lit` / `isin` silently drops such
+            # rows. The translations below add the explicit isNull
+            # branches so the executed-dump path reproduces what mongod
+            # would return. Range ops ($gt/$gte/$lt/$lte) are
+            # type-bracketed in Mongo and never match null, which is
+            # exactly Spark's null-propagating comparison — no branch.
             mops = {"$eq": pyop.eq, "$ne": pyop.ne, "$gt": pyop.gt,
                     "$gte": pyop.ge, "$lt": pyop.lt, "$lte": pyop.le}
             for field, cond in spec.items():
                 if isinstance(cond, dict):
                     for mop, val in cond.items():
                         if mop == "$in":
-                            df = df.where(F.col(field).isin(*val))
+                            vals = [v for v in val if v is not None]
+                            pred = F.col(field).isin(*vals) if vals else F.lit(False)
+                            if len(vals) != len(val):  # null in the list
+                                pred = pred | F.col(field).isNull()
+                            df = df.where(pred)
+                        elif mop == "$ne":
+                            if val is None:
+                                df = df.where(F.col(field).isNotNull())
+                            else:
+                                df = df.where(
+                                    (F.col(field) != F.lit(val))
+                                    | F.col(field).isNull()
+                                )
+                        elif mop == "$eq":
+                            df = df.where(
+                                F.col(field).isNull()
+                                if val is None
+                                else F.col(field) == F.lit(val)
+                            )
                         elif mop in mops:
                             df = df.where(mops[mop](F.col(field), F.lit(val)))
                         else:
                             raise ValueError(f"unsupported $match op {mop!r}")
+                elif cond is None:
+                    df = df.where(F.col(field).isNull())
                 else:
                     df = df.where(F.col(field) == F.lit(cond))
         elif op == "$sort":
@@ -269,7 +299,12 @@ def apply_mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
                     continue
                 if not (isinstance(acc, dict) and list(acc) == ["$first"]):
                     raise ValueError(f"unsupported accumulator {acc!r}")
-                accs.append((out, acc["$first"][1:]))
+                src = acc["$first"]
+                if not (isinstance(src, str) and src.startswith("$")):
+                    raise ValueError(
+                        f"$first operand must be a '$field' string, got {src!r}"
+                    )
+                accs.append((out, src[1:]))
             tie = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
             w = Window.partitionBy(key).orderBy(*_sort_cols(sort_keys), tie)
             df = (

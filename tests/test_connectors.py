@@ -356,3 +356,38 @@ def test_mongo_project_dropping_sort_key_fixes_order_first(spark):
         [{"$sort": {"v": 1}}, {"$project": {"k": 1}}, {"$limit": 2}],
     ).collect()
     assert [r["k"] for r in out] == [9, 8]
+
+
+def test_mongo_match_null_semantics(spark):
+    """BSON comparison treats null/missing as a value: {$ne: v} and
+    {$in: [null, ...]} both match null fields, {field: null} matches
+    only nulls, and range ops never match null — pinned against what
+    mongod returns (round-5 advice finding: the naive col != lit
+    translation silently dropped the null rows)."""
+    import pytest
+
+    from hse_etl_ochirov_aldar_spark.sources.connectors import (
+        apply_mongo_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id INT, tag STRING"
+    )
+
+    def ids(pipe):
+        return sorted(r["id"] for r in apply_mongo_pipeline(df, pipe).collect())
+
+    assert ids([{"$match": {"tag": {"$ne": "a"}}}]) == [2, 3, 4]
+    assert ids([{"$match": {"tag": {"$ne": None}}}]) == [1, 3]
+    assert ids([{"$match": {"tag": {"$in": [None, "b"]}}}]) == [2, 3, 4]
+    assert ids([{"$match": {"tag": {"$in": ["a", "b"]}}}]) == [1, 3]
+    assert ids([{"$match": {"tag": None}}]) == [2, 4]
+    assert ids([{"$match": {"tag": {"$eq": None}}}]) == [2, 4]
+    assert ids([{"$match": {"tag": {"$gt": "a"}}}]) == [3]
+
+    with pytest.raises(ValueError, match=r"\$first operand"):
+        apply_mongo_pipeline(
+            df,
+            [{"$sort": {"id": 1}},
+             {"$group": {"_id": "$tag", "x": {"$first": 1}}}],
+        )
