@@ -18,6 +18,17 @@ Upsample design (why it preserves workload shape):
   jittered by a deterministic hash in [-0.1, 0.1) — replicas land well
   below the semantic-dup cosine thresholds, so cluster sizes scale
   instead of duplicate multiplicity.
+- lineitem: 10 replicas with l_orderkey shifted past the max key per
+  replica, measures untouched — 10x baskets with the ORIGINAL
+  basket-size distribution (basket_lift_pairs' quadratic term scales
+  with baskets, not basket size) and bit-identical per-column moment
+  statistics (numeric_correlations outputs the same matrix on 10x
+  rows).
+- customer: 10 replicas with c_custkey shifted and names prefixed by
+  a doubled replica digit ("33~Customer#..."): within-replica edit
+  structure is untouched while any cross-replica pair differs in >= 2
+  positions, so the d=1 fuzzy-join pair census scales exactly 10x
+  instead of fabricating O(replicas^2) cross-replica matches.
 
     python tools/sf1_flagships.py
 """
@@ -40,16 +51,21 @@ FLAGSHIPS = [
     "semantic_dedup",
     "duplicate_span_screen",
     "curation_pipeline_v4",
+    # r6 second tier: every catalog entry over 1.5s at sf0.1 now has a
+    # 10x scaling row (VERDICT r5 task #7)
+    "basket_lift_pairs",
+    "fuzzy_name_match",
+    "near_dedup_minhash",
+    "numeric_correlations",
 ]
+
+_TABLES = ("documents", "embeddings", "lineitem", "customer")
 
 
 def build_sf1(spark) -> None:
-    # both outputs must exist — a crash between the two writes must
-    # not leave a half-built sf1.0 that every later run skips
-    if all(
-        (Path(SF1) / f"{t}.parquet").exists()
-        for t in ("documents", "embeddings")
-    ):
+    # every output must exist — a crash between writes must not leave
+    # a half-built sf1.0 that every later run skips
+    if all((Path(SF1) / f"{t}.parquet").exists() for t in _TABLES):
         return
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     n_docs = docs.count()
@@ -110,6 +126,32 @@ def build_sf1(spark) -> None:
         f"{SF1}/embeddings.parquet"
     )
 
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    okey_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+    up_li = li.crossJoin(reps).select(
+        (F.col("l_orderkey") + F.col("__r") * okey_span).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    up_li.repartition(16).write.mode("overwrite").parquet(
+        f"{SF1}/lineitem.parquet"
+    )
+
+    cust = spark.read.parquet(f"{SF01}/customer.parquet")
+    ckey_span = cust.agg(F.max("c_custkey")).first()[0] + 1
+    up_cust = cust.crossJoin(reps).select(
+        (F.col("c_custkey") + F.col("__r") * ckey_span).alias("c_custkey"),
+        F.concat(
+            F.col("__r").cast("string"),
+            F.col("__r").cast("string"),
+            F.lit("~"),
+            F.col("c_name"),
+        ).alias("c_name"),
+        *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+    )
+    up_cust.repartition(4).write.mode("overwrite").parquet(
+        f"{SF1}/customer.parquet"
+    )
+
 
 def main() -> None:
     import sys
@@ -121,7 +163,7 @@ def main() -> None:
     spark = get_spark(app_name="sf1-flagships")
     spark.sparkContext.setLogLevel("ERROR")
     build_sf1(spark)
-    for t in ("documents", "embeddings"):
+    for t in _TABLES:
         n01 = spark.read.parquet(f"{SF01}/{t}.parquet").count()
         n1 = spark.read.parquet(f"{SF1}/{t}.parquet").count()
         print(json.dumps({"table": t, "sf0.1": n01, "sf1.0": n1}))
