@@ -17,7 +17,10 @@ from .profile import (
     skew_report,
     value_histogram,
 )
+from .heavy_hitters import heavy_hitters
 from .rank import global_rank
+from .retrieval import jaccard_topk, rrf_fuse
+from .trending import decayed_counts
 from .graph import degree_stats, pagerank_exact
 from .cdc import cdc_apply
 from .sampling import (
@@ -57,6 +60,10 @@ from .topk import topk_extremes
 from .url_curation import cap_per_domain, dedup_canonical_url
 
 __all__ = [
+    "heavy_hitters",
+    "jaccard_topk",
+    "rrf_fuse",
+    "decayed_counts",
     "conditional_count",
     "margin_bitext_mine",
     "margin_bitext_mine_blocked",

@@ -2577,3 +2577,130 @@ SELECT user_id, ts, v AS value,
 FROM fold
 WHERE z IS NOT NULL AND abs(z) >= 3.0
 """
+
+
+# --- sketch-pruned heavy hitters --------------------------------------------
+
+
+def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every token above 2% of the corpus token mass, with its EXACT
+    count, found via per-partition weighted Misra-Gries sketches + one
+    exact recount of the tiny candidate set
+    (operators/heavy_hitters.heavy_hitters — the module docstring
+    derives the completeness bound that makes a sketch path
+    hash-checkable: the sketch affects cost, never the answer). The
+    hot-token screen a tokenizer/stopword audit runs without shuffling
+    a billion-key vocabulary."""
+    from ..operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return heavy_hitters(toks, "token", m=49).select(
+        F.col("key").alias("token"), "cnt"
+    )
+
+
+ORACLE_HEAVY_HITTERS_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''
+         )) AS token
+  FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+SELECT token, cnt FROM c WHERE cnt * 50 > (SELECT count(*) FROM toks)
+"""
+
+
+# --- hybrid retrieval (RRF) -------------------------------------------------
+
+
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid related-document retrieval: the lexical leg ranks by
+    exact token-set Jaccard (operators/retrieval.jaccard_topk), the
+    dense leg by embedding cosine (operators/similarity
+    .brute_force_topk), and reciprocal-rank fusion combines them in
+    integer micro-units (operators/retrieval.rrf_fuse) — the
+    eval-set / RAG construction step that needs no score calibration
+    between legs. 10 query docs, top-10 per leg, fused top-5."""
+    from ..operators.retrieval import jaccard_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_docs = docs.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = jaccard_topk(docs, q_docs, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    dense = brute_force_topk(emb, _ann_queries(spark, sf_dir), k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    return rrf_fuse([lex, dense], k=5)
+
+
+ORACLE_RRF_HYBRID_RETRIEVAL = rf"""
+WITH q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 10),
+qt AS (
+  SELECT query_id, unnest(list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''
+         ))) AS token
+  FROM q
+),
+qs AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+ct AS (
+  SELECT doc_id AS neighbor_id, unnest(list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''
+         ))) AS token
+  FROM documents
+),
+cs AS (SELECT neighbor_id, count(*) AS nc FROM ct GROUP BY 1),
+inter AS (
+  SELECT qt.query_id, ct.neighbor_id, count(*) AS ni
+  FROM qt JOIN ct USING (token)
+  WHERE qt.query_id <> ct.neighbor_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(ni / CAST(nq + nc - ni AS DOUBLE), 6) DESC,
+                    neighbor_id ASC) AS INT) AS rank
+  FROM inter JOIN qs USING (query_id) JOIN cs USING (neighbor_id)
+  QUALIFY rank <= 10
+),
+qe AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT qe.query_id, c.vec_id AS neighbor_id,
+         {_ORACLE_COS.replace("q.embedding", "qe.embedding")} AS cos_sim
+  FROM qe CROSS JOIN embeddings c
+  WHERE c.vec_id <> qe.query_id
+),
+dense AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored QUALIFY rank <= 10
+),
+pooled AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM lex
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST(floor(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM dense
+),
+fused AS (
+  SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_units
+  FROM pooled GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf_units,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY rrf_units DESC, neighbor_id ASC) AS INT) AS fused_rank
+FROM fused QUALIFY fused_rank <= 5
+"""

@@ -2241,3 +2241,58 @@ JOIN isupp sa ON pairs.item_a = sa.i
 JOIN isupp sb ON pairs.item_b = sb.i
 CROSS JOIN nb
 """
+
+
+# --- time-decayed trending --------------------------------------------------
+
+
+def q_trending_decay_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item trending scores under bucketed exponential decay with a
+    1-day half-life (operators/trending.decayed_counts): each event
+    contributes ``1_000_000 >> floor(age_days)`` micro-units against
+    the corpus max timestamp, summed as exact BIGINTs — the "what's
+    hot, weighted toward now" rollup of a live feed, computed as a
+    pure function of the data (no wall clock) so any engine replays it
+    bit-for-bit. Items whose weight decayed to zero drop before the
+    shuffle; n_events counts contributing events only."""
+    from ..operators.trending import decayed_counts
+    from ..streaming.sessionize import _epoch_micros
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("props").isNotNull()
+    )
+    base = ev.select(
+        F.get_json_object("props", "$.k").cast("int").alias("item_k"), "ts"
+    )
+    out = decayed_counts(
+        base, "item_k", _epoch_micros(base, "ts"), half_life_us=86_400_000_000
+    )
+    return out.select(
+        F.col("item").alias("item_k"), "score_units", "n_events", "last_seen_us"
+    )
+
+
+ORACLE_TRENDING_DECAY_ITEMS = """
+WITH ev AS (
+  SELECT CAST(props->>'$.k' AS INT) AS item_k, epoch_us(ts) AS ts_us
+  FROM events
+  WHERE ts IS NOT NULL AND props IS NOT NULL
+),
+ref AS (SELECT max(ts_us) AS ref_us FROM ev WHERE item_k IS NOT NULL),
+w AS (
+  SELECT item_k, ts_us,
+         CASE WHEN CAST(floor((ref_us - ts_us) / 86400000000.0) AS INT) < 20
+              THEN CAST(1000000 AS BIGINT)
+                   >> CAST(floor((ref_us - ts_us) / 86400000000.0) AS INT)
+              ELSE 0 END AS wt
+  FROM ev, ref
+  WHERE item_k IS NOT NULL
+)
+SELECT item_k,
+       CAST(sum(wt) AS BIGINT) AS score_units,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ts_us) AS BIGINT) AS last_seen_us
+FROM w
+WHERE wt > 0
+GROUP BY item_k
+"""
