@@ -44,7 +44,14 @@ from pyspark.sql import types as T
 
 from ._plan import spread_small_input
 
-_CAND_SCHEMA = T.StructType([T.StructField("key", T.StringType())])
+_CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        # one key=NULL row per partition carries that partition's row
+        # count, so the global N needs no second full scan
+        T.StructField("n_part", T.LongType()),
+    ]
+)
 
 
 def _mg_partition(m: int):
@@ -58,7 +65,9 @@ def _mg_partition(m: int):
         import pandas as pd
 
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for key, w in pdf["key"].value_counts().items():
                 if key in counters:
                     counters[key] += int(w)
@@ -73,8 +82,12 @@ def _mg_partition(m: int):
                             del counters[k2]
                 if w > 0:
                     counters[key] = w
-        if counters:
-            yield pd.DataFrame({"key": list(counters)})
+        yield pd.DataFrame(
+            {
+                "key": list(counters) + [None],
+                "n_part": [None] * len(counters) + [n_part],
+            }
+        )
 
     return sketch
 
@@ -92,15 +105,28 @@ def heavy_hitters(
     m=49 finds every key above 2% of N, m=999 every key above 0.1%,
     at O(m) sketch memory per partition. The candidate set the exact
     pass recounts is <= m x partitions rows — broadcastable for any
-    sane m."""
+    sane m.
+
+    Crossover honesty: at test scale a plain groupBy().count() census
+    beats this (the Arrow transfer of every key into the Python sketch
+    costs more than shuffling a small domain). The sketch path wins
+    when |distinct| is large relative to executor memory / shuffle
+    budget — billions of URLs or n-grams — where the exact census
+    shuffles the whole domain and this shuffles <= m x partitions
+    candidates. Pick by profiling (operators/profile.skew_report gives
+    the distinct-count signal)."""
     keys = spread_small_input(
         df.select(F.col(key_col).cast("string").alias("key")).where(
             F.col(key_col).isNotNull()
         )
     )
-    candidates = keys.mapInPandas(_mg_partition(m), _CAND_SCHEMA).distinct()
-    # total N rides in as a broadcast 1-row aggregate (no driver count)
-    total = F.broadcast(keys.agg(F.count(F.lit(1)).alias("__n")))
+    # one sketch pass yields BOTH the candidates and the per-partition
+    # row counts (the key=NULL rows), so N needs no second full scan;
+    # the tiny sketch output is persisted because its two consumers
+    # would otherwise each re-run the Python MG pass
+    sketch = keys.mapInPandas(_mg_partition(m), _CAND_SCHEMA).persist()
+    candidates = sketch.where(F.col("key").isNotNull()).select("key").distinct()
+    total = F.broadcast(sketch.agg(F.sum("n_part").alias("__n")))
     return (
         keys.join(F.broadcast(candidates), "key", "left_semi")
         .groupBy("key")
