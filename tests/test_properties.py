@@ -428,3 +428,75 @@ def test_url_canonicalize_idempotent_and_invariant(spark, urls):
     c2 = canon([(c,) for c in c1])
     assert c1 == c2, "idempotence"
     assert canon(polluted) == c1, "pollution invariance"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=5),
+)
+def test_heavy_hitters_matches_exact_census(spark, keys, m, parts):
+    """heavy_hitters must equal the plain-Python exact census filtered
+    at count > N/(m+1), for ANY key distribution, counter budget, and
+    partitioning — the MG completeness bound made falsifiable."""
+    from collections import Counter
+
+    from hse_etl_ochirov_aldar_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k STRING").repartition(
+        parts
+    )
+    got = {
+        (r["key"], r["cnt"])
+        for r in heavy_hitters(df, "k", m=m).collect()
+    }
+    census = Counter(keys)
+    n = len(keys)
+    expected = {(k, c) for k, c in census.items() if c * (m + 1) > n}
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_decayed_counts_matches_python_fold(spark, rows):
+    """decayed_counts must equal the integer reference: weight =
+    1e6 >> periods (0 past 20), summed per item, over any timestamps."""
+    from hse_etl_ochirov_aldar_spark.operators.trending import decayed_counts
+
+    hl = 1000  # 1000-microsecond half-life for compact examples
+    df = spark.createDataFrame(
+        [(k, t) for k, t in rows], "item STRING, ts_us LONG"
+    )
+    ref = max(t for _, t in rows)
+    expected: dict[str, list[int]] = {}
+    for k, t in rows:
+        p = (ref - t) // hl
+        w = (1_000_000 >> p) if p < 20 else 0
+        if w > 0:
+            expected.setdefault(k, [0, 0, 0])
+            expected[k][0] += w
+            expected[k][1] += 1
+            expected[k][2] = max(expected[k][2], t)
+    got = {
+        r["item"]: [r["score_units"], r["n_events"], r["last_seen_us"]]
+        for r in decayed_counts(
+            df, "item", F.col("ts_us"), half_life_us=hl
+        ).collect()
+    }
+    assert got == expected
