@@ -473,3 +473,30 @@ def test_sql_passthrough_pushes_down_through_views(spark, sf_dir):
     # parquet scan, and the 100-row dims broadcast
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_recount_is_semi_join_not_full_census(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "heavy_hitters_tokens")
+    # the exact pass recounts ONLY sketch candidates: a broadcast
+    # LEFT SEMI prune before the aggregate, never a full-domain groupBy
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    # total N rides the tiny sketch output, not a row-scale aggregate
+    # through a shuffle of the key domain
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_legs_broadcast_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rrf_hybrid_retrieval")
+    # both legs stream the corpus against broadcast query sets; no
+    # corpus-vs-corpus cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trending_single_shuffle_and_broadcast_ref(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "trending_decay_items")
+    # the max-ts reference is a broadcast 1-row aggregate; items
+    # aggregate with map-side partials (partial_sum in the plan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_sum" in plan
