@@ -399,3 +399,52 @@ def with_gopher_signals(df, text_col: str = "text", out_col: str = "gsig"):
         .withColumn(out_col, _gopher_ratios(F.col(tmp)))
         .drop(tmp)
     )
+
+
+def word_shingle_postings(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """DISTINCT (id, tok) n-word-shingle postings, built RELATIONALLY:
+    posexplode the tokens once (a Generate barrier, so tokenization
+    runs exactly once per document) and assemble each shingle from
+    window ``lead``s over the position order.
+
+    Same shingle set as ``word_shingles`` + array_distinct + explode —
+    including the short-document rule: a document with fewer than
+    ``n`` tokens yields its whole token sequence as one shingle
+    (concat_ws skips the NULL leads past the end). The array twin
+    re-evaluates its interpreted slice-lambda's free ``toks``
+    subexpression PER ELEMENT — O(tokens^2) work per document per
+    reference (PERF finding 22) — where this form is one explode and
+    one window regardless of how many consumers read it.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(whitespace_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    wd = Window.partitionBy("id").orderBy("pos")
+    w_id = Window.partitionBy("id")
+    leads = [F.col("tok")] + [
+        F.lead("tok", i).over(wd) for i in range(1, n)
+    ]
+    return (
+        toks.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("shingle"),
+            F.count(F.lit(1)).over(w_id).alias("__k"),
+        )
+        # keep positions that start a full shingle; short docs keep
+        # position 0 (the whole-document shingle)
+        .where(
+            F.col("pos")
+            <= F.greatest(F.col("__k") - n, F.lit(0))
+        )
+        .select("id", F.col("shingle").alias("tok"))
+        .distinct()
+    )

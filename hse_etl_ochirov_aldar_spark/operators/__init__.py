@@ -20,6 +20,7 @@ from .profile import (
 from .heavy_hitters import heavy_hitters
 from .rank import global_rank
 from .retrieval import jaccard_topk, rrf_fuse
+from .setsim import prefix_filter_jaccard_pairs
 from .trending import decayed_counts
 from .graph import degree_stats, pagerank_exact
 from .cdc import cdc_apply
@@ -61,6 +62,7 @@ from .url_curation import cap_per_domain, dedup_canonical_url
 
 __all__ = [
     "heavy_hitters",
+    "prefix_filter_jaccard_pairs",
     "jaccard_topk",
     "rrf_fuse",
     "decayed_counts",

@@ -2296,3 +2296,23 @@ FROM w
 WHERE wt > 0
 GROUP BY item_k
 """
+
+
+def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD exact path to the all-pairs shingle-Jaccard >= 0.6 set
+    (operators/setsim.prefix_filter_jaccard_pairs): prefix-filtered
+    candidates (rarest shingles only, an ordinary equi-join) + exact
+    verify. Oracled by the same brute-force DuckDB twin as
+    jaccard_exact_pairs / ngram_jaccard_pairs — three independent
+    algorithms (cross join, LSH+verify, prefix filter) must agree on
+    the identical pair set; the completeness lemma is derived in the
+    operator docstring."""
+    from ..functions.text import word_shingle_postings
+    from ..operators._plan import spread_small_input
+    from ..operators.setsim import prefix_filter_jaccard_pairs_postings
+
+    corpus = spread_small_input(
+        _docs_with_near_dups(spark, sf_dir).select("doc_id", "text")
+    )
+    postings = word_shingle_postings(corpus)
+    return prefix_filter_jaccard_pairs_postings(postings, threshold=0.6)

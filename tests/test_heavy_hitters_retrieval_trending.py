@@ -129,3 +129,40 @@ def test_decayed_counts_shift_guard_past_64_periods(spark):
         ).collect()
     }
     assert out == {"now"}
+
+
+def test_word_shingle_postings_matches_array_twin(spark):
+    """The relational shingle builder must emit exactly the distinct
+    shingle set of word_shingles — including short docs (whole-doc
+    shingle), repeated shingles (deduped), and messy whitespace."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.functions.text import (
+        word_shingle_postings,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a"),            # 1 token: whole-doc shingle
+            (3, "x  y"),         # 2 tokens, messy whitespace
+            (4, "a b a b a b"),  # repeated shingles dedupe
+            (5, "  p q r  "),    # exactly n tokens
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rel = {
+        (r["id"], r["tok"])
+        for r in word_shingle_postings(docs).collect()
+    }
+    arr = {
+        (r["doc_id"], r["tok"])
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text")))
+            ).alias("tok"),
+        ).collect()
+    }
+    assert rel == arr

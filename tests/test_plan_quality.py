@@ -500,3 +500,11 @@ def test_trending_single_shuffle_and_broadcast_ref(spark, sf_dir):
     # aggregate with map-side partials (partial_sum in the plan)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "partial_sum" in plan
+
+
+def test_ppjoin_has_no_cartesian_product(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ppjoin_jaccard_pairs")
+    # candidates come from a hash equi-join on rare shingles, never a
+    # corpus x corpus cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

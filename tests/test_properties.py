@@ -500,3 +500,49 @@ def test_decayed_counts_matches_python_fold(spark, rows):
         ).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcdefghij")),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.6, 0.8]),
+)
+def test_prefix_filter_equals_brute_force(spark, sets, t):
+    """The prefix-filtered join must return EXACTLY the brute-force
+    all-pairs Jaccard >= t set for any input — the completeness lemma
+    made falsifiable on adversarial tiny universes (10 tokens, so
+    overlaps and frequency ties are everywhere)."""
+    from itertools import combinations
+
+    from hse_etl_ochirov_aldar_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(sets)],
+        "doc_id LONG, sh ARRAY<STRING>",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "sh", threshold=t
+        ).collect()
+    }
+    expected = set()
+    for (ia, sa), (ib, sb) in combinations(enumerate(sets), 2):
+        a, b = set(sa), set(sb)
+        if not a or not b:
+            continue
+        j = round(len(a & b) / len(a | b), 4)
+        if j >= t:
+            expected.add((ia, ib, j))
+    assert got == expected
