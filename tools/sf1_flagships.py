@@ -57,6 +57,9 @@ FLAGSHIPS = [
     "fuzzy_name_match",
     "near_dedup_minhash",
     "numeric_correlations",
+    # r6 additions over 1.5s at sf0.1
+    "ppjoin_jaccard_pairs",
+    "heavy_hitters_tokens",
 ]
 
 _TABLES = ("documents", "embeddings", "lineitem", "customer")
