@@ -1016,3 +1016,157 @@ def brute_force_topk_arrow(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH (the LSH-bucketed cosine variant, next to
+# the IVF family above): Charikar's SimHash for dense vectors.
+# ---------------------------------------------------------------------------
+
+_SRP_MAT_CACHE: dict[tuple[int, int, str], list[list[int]]] = {}
+
+
+def srp_sign_matrix(bits: int, dims: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic Rademacher (+-1) hyperplane matrix for SRP-LSH,
+    derived from md5 so any engine (or an auditing oracle) regenerates
+    it bit-for-bit — the dense-vector analogue of text_dedup.md5_hash32.
+    Rademacher entries are a standard SRP choice (Achlioptas-style
+    sparse/sign projections preserve the collision-probability
+    guarantee 1 - theta/pi) and make the projection EXACT over
+    micro-unit integer vectors: sum of +-1 * BIGINT components, no
+    float summation order to disagree on at the sign boundary."""
+    key = (bits, dims, seed)
+    if key not in _SRP_MAT_CACHE:
+        import hashlib
+
+        mat = []
+        for b in range(bits):
+            row = []
+            for d in range(dims):
+                h = hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()
+                row.append(1 if int(h[0], 16) >= 8 else -1)
+            mat.append(row)
+        _SRP_MAT_CACHE[key] = mat
+    return _SRP_MAT_CACHE[key]
+
+
+def srp_signature(
+    vec: Column, mat: list[list[int]], scale: int = 6
+) -> Column:
+    """array<float> -> array<int> of sign bits (1 if the exact integer
+    dot with the hyperplane is >= 0). One literal matrix node + one
+    indexed transform (the _cell_ranks lesson: never bits x dims
+    separate F.lit leaves)."""
+    mv = micro_vec(vec, scale)
+    m = F.lit([[int(s) for s in row] for row in mat])
+    return F.transform(
+        m,
+        lambda row: F.when(
+            F.aggregate(
+                F.zip_with(mv, row, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def srp_lsh_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    seed: str = "srp",
+) -> DataFrame:
+    """Cosine near-pair mining via banded SRP-LSH + exact verify.
+
+    The third blocking strategy in this module's family (brute = exact
+    baseline, IVF = data-dependent cells, SRP = data-INDEPENDENT
+    hyperplanes — no fit step, so it composes with streaming ingest
+    where a quantizer would go stale). ``bits`` sign bits are split
+    into ``bands``; two vectors are candidates iff some band's bits all
+    agree (collision prob per bit 1 - theta/pi, so a 0.95-cosine pair
+    at 4x4 bits survives with ~0.98 probability while a random pair's
+    candidate rate is ~4/2^4 per band family). Candidates are an
+    ordinary equi-join on (band_id, band_key) carrying IDS ONLY —
+    embeddings rejoin afterwards, so the banded shuffle moves 3 ints
+    per (vector, band), never the vectors themselves. Exact cosine >=
+    threshold verifies every candidate: false positives cost time, not
+    correctness; recall is the banding guarantee above.
+
+    Output: (vec_id_a, vec_id_b, cos_sim 6dp) for verified pairs.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    rpb = bits // bands
+    mat = srp_sign_matrix(bits, _vec_dims(vectors, vec_col), seed)
+    sig = vectors.select(
+        F.col(id_col).alias("vid"),
+        srp_signature(F.col(vec_col), mat, scale).alias("bits"),
+    )
+    band_rows = sig.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        sum(
+                            (
+                                F.element_at("bits", b * rpb + j + 1)
+                                * F.lit(1 << j)
+                            )
+                            for j in range(rpb)
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "bk.band_id", "bk.band_key")
+    cand = (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_id_a"), F.col("b.vid").alias("vec_id_b")
+        )
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("_ea")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("_eb")
+    )
+    return (
+        cand.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+def _vec_dims(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (embeddings are fixed-width by
+    contract; a metadata-only probe would need a schema annotation
+    parquet does not carry)."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer dims of {vec_col!r}: empty input")
+    return int(row["d"])

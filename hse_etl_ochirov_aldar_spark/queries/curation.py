@@ -2704,3 +2704,99 @@ SELECT query_id, neighbor_id, rrf_units,
          ORDER BY rrf_units DESC, neighbor_id ASC) AS INT) AS fused_rank
 FROM fused QUALIFY fused_rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH cosine near-pairs (the data-independent LSH member of the
+# blocking family: brute = exact, IVF = learned cells, SRP = fixed
+# hyperplanes).
+# ---------------------------------------------------------------------------
+
+
+def q_srp_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine >= 0.95 near-pairs via banded sign-random-projection LSH
+    (operators/similarity.srp_lsh_pairs): 16 md5-derived Rademacher
+    hyperplane bits in 4 bands block the pair space; candidates are an
+    equi-join on (band, band_key) carrying ids only, then exact cosine
+    verifies. Unlike the IVF path there is NO fit step — the
+    hyperplanes are data-independent, so the same signatures work for
+    streaming appends where a quantizer goes stale. Same 20 injected
+    scaled copies as embedding_near_dedup (cos = 1.0 against their
+    sources; natural corpus max ~0.51), so the verified pair set is
+    exactly the planted one — and sign(dot) is scale-invariant, so a
+    copy provably shares all 16 bits with its source."""
+    from ..operators.similarity import srp_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    return srp_lsh_pairs(
+        corpus, threshold=0.95, bits=16, bands=4
+    ).orderBy("vec_id_a", "vec_id_b")
+
+
+def _srp_oracle(bits: int = 16, bands: int = 4, dims: int = 64) -> str:
+    from ..operators.similarity import srp_sign_matrix
+
+    mat = srp_sign_matrix(bits, dims)
+    rpb = bits // bands
+    bit_exprs = ",\n     ".join(
+        "CASE WHEN list_sum(list_transform(range(1, {d}), "
+        "i -> v[i] * ({row})[i])) >= 0 THEN 1 ELSE 0 END".format(
+            d=dims + 1, row="[" + ",".join(str(s) for s in row) + "]"
+        )
+        for row in mat
+    )
+    key_expr = " + ".join(
+        f"({1 << j}) * bits[{rpb} * band_id + {j + 1}]" for j in range(rpb)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+  FROM embeddings WHERE vec_id < 20
+),
+qv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM corpus
+),
+sig AS (
+  SELECT vec_id, embedding,
+    [{bit_exprs}] AS bits
+  FROM qv
+),
+bandrows AS (
+  SELECT vec_id, embedding, band_id, {key_expr} AS band_key
+  FROM sig CROSS JOIN (SELECT CAST(range AS INT) AS band_id
+                       FROM range(0, {bands}))
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+)
+SELECT c.vec_id_a, c.vec_id_b,
+       round(list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                                    CAST(vb.embedding AS DOUBLE[])), 6)
+         AS cos_sim
+FROM cand c
+JOIN corpus va ON va.vec_id = c.vec_id_a
+JOIN corpus vb ON vb.vec_id = c.vec_id_b
+WHERE round(list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                                   CAST(vb.embedding AS DOUBLE[])), 6)
+      >= 0.95
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
+ORACLE_SRP_LSH_NEAR_PAIRS = _srp_oracle()

@@ -2316,3 +2316,245 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     postings = word_shingle_postings(corpus)
     return prefix_filter_jaccard_pairs_postings(postings, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend + Poisson-bootstrap CI (exact-moment statistics
+# family, next to numeric_correlations above).
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value-vs-time trend line
+    (operators/regression.grouped_ols): slope per day, intercept and
+    R^2 of each event type's value drift across the month — the "is
+    this metric trending" question every mart consumer asks next after
+    the means/modes the reference marts compute
+    (final-module-3/airflow/dags/build_analytical_marts.py:24-138
+    stops at aggregates; this is the same single-scan shape). All five
+    sufficient statistics are exact integer sums lifted to
+    DECIMAL(38,0) — one scan, map-side partials, O(groups) shuffle
+    rows, and the final doubles are single rounded expressions the
+    oracle reproduces bit-for-bit."""
+    from ..operators.regression import grouped_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    kind = F.lower(F.trim(F.col("event_type")))
+    base = ev.where(
+        kind.isin(*_EVENT_KINDS)
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("ts").isNotNull()
+    ).select(F.col("ts").cast("date").alias("day"), "value", kind.alias("event_type"))
+    x = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast("long")
+    y = F.round(F.col("value").cast("double") * 100, 0).cast("long")
+    return grouped_ols(
+        base, ["event_type"], x, y, x_scale=1.0, y_scale=0.01
+    ).orderBy("event_type")
+
+
+def _ols_oracle() -> str:
+    nd, sx, sy = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxy, sxx, syy = (
+        "CAST(sxy AS DOUBLE)",
+        "CAST(sxx AS DOUBLE)",
+        "CAST(syy AS DOUBLE)",
+    )
+    cov = f"({nd} * {sxy} - {sx} * {sy})"
+    varx = f"({nd} * {sxx} - {sx} * {sx})"
+    vary = f"({nd} * {syy} - {sy} * {sy})"
+    ys = "CAST(0.01 AS DOUBLE)"
+    return f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day, value,
+         lower(trim(event_type)) AS event_type
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+),
+u AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS ux,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS uy
+  FROM base
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(ux AS DECIMAL(38,0))) AS sx,
+         sum(CAST(uy AS DECIMAL(38,0))) AS sy,
+         sum(CAST(ux * uy AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(ux * ux AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(uy * uy AS DECIMAL(38,0))) AS syy
+  FROM u GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n >= 2 AND {varx} > 0
+            THEN round({cov} / {varx} * {ys}, 6) END AS slope,
+       CASE WHEN n >= 2 AND {varx} > 0
+            THEN round(({sy} - {cov} / {varx} * {sx}) / {nd} * {ys}, 6)
+       END AS intercept,
+       CASE WHEN n >= 2 AND {varx} > 0 AND {vary} > 0
+            THEN round({cov} * {cov} / ({varx} * {vary}), 6) END AS r2
+FROM m
+ORDER BY event_type
+"""
+
+
+ORACLE_GROUPED_OLS_TREND = _ols_oracle()
+
+
+def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~94% Poisson-bootstrap confidence interval for mean order value
+    (operators/bootstrap.poisson_bootstrap_mean): 32 replica means from
+    md5-derived Poisson(1) weights, all computed in ONE scan as 64
+    aggregate columns — no row explosion, no reshuffle per replica, so
+    the uncertainty estimate costs one pass regardless of table size.
+    Every weight is deterministic (inverse CDF on an md5-uniform), so
+    the oracle reproduces the full interval bit-for-bit — a
+    rand()-seeded bootstrap is unauditable and non-idempotent under
+    task retries."""
+    from ..operators.bootstrap import poisson_bootstrap_mean
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    y = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("long")
+    return poisson_bootstrap_mean(
+        orders, F.col("o_orderkey"), y, y_scale=0.01, replicas=32
+    )
+
+
+def _bootstrap_oracle(replicas: int = 32) -> str:
+    from ..operators.bootstrap import POISSON1_CDF
+
+    def u_sql(r: int) -> str:
+        block, j = r // 4, r % 4
+        off = 8 * j
+        return (
+            "(list_sum(list_transform(range(0,8), i -> "
+            "(strpos('0123456789abcdef', substr(md5("
+            f"CAST(o_orderkey AS VARCHAR) || ':{block}'), "
+            f"CAST(i+{off + 1} AS INT), 1)) - 1)"
+            " * (1::BIGINT << CAST(4*(7-i) AS INT)))) + 0.5) / 4294967296.0"
+        )
+
+    def w_sql(r: int) -> str:
+        branches = "".join(
+            f" WHEN u_{r} < {t!r} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+        )
+        return f"CASE{branches} ELSE {len(POISSON1_CDF)} END"
+
+    u_cols = ",\n         ".join(f"{u_sql(r)} AS u_{r}" for r in range(replicas))
+    w_cols = ",\n         ".join(
+        f"CAST({w_sql(r)} AS BIGINT) AS w_{r}" for r in range(replicas)
+    )
+    agg_cols = ",\n         ".join(
+        f"sum(CAST(w_{r} * uy AS DECIMAL(38,0))) AS ws_{r},\n"
+        f"         sum(CAST(w_{r} AS DECIMAL(38,0))) AS wn_{r}"
+        for r in range(replicas)
+    )
+    means = ", ".join(
+        f"round(CAST(ws_{r} AS DOUBLE) / CAST(wn_{r} AS DOUBLE)"
+        " * CAST(0.01 AS DOUBLE), 6)"
+        for r in range(replicas)
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS uy
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+us AS (
+  SELECT uy,
+         {u_cols}
+  FROM base
+),
+ws AS (
+  SELECT uy,
+         {w_cols}
+  FROM us
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(uy AS DECIMAL(38,0))) AS sy,
+         {agg_cols}
+  FROM ws
+)
+SELECT n,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             * CAST(0.01 AS DOUBLE), 6) AS point_mean,
+       list_sort([{means}])[2] AS ci_lo,
+       list_sort([{means}])[{replicas - 1}] AS ci_hi,
+       CAST({replicas} AS INT) AS n_replicas
+FROM agg
+"""
+
+
+ORACLE_BOOTSTRAP_CI_REVENUE = _bootstrap_oracle(32)
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill + forward-fill (time-series regularization).
+# ---------------------------------------------------------------------------
+
+
+def q_gap_fill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily mean value densified onto each user's own
+    [first, last] calendar span with forward fill
+    (operators/timeseries.gap_fill_daily): the regularization every
+    charting/diff/rolling consumer of the reference's per-user marts
+    (final-module-3/airflow/dags/build_analytical_marts.py:24-69)
+    performs before use. Users capped at id < 25 to keep the driver
+    compare bounded; the operator itself is keys x span-days, not
+    row-scale. Exact half-up averages in centi-units, so gap rows
+    repeat a bit-reproducible double."""
+    from ..operators.timeseries import gap_fill_daily
+
+    base = _events_base(spark, sf_dir).where(F.col("user_id") < 25)
+    daily = (
+        base.groupBy("user_id", "day")
+        .agg(
+            units_sum("value").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            "day",
+            avg_units_expr("s", "n", 2, 4).alias("day_avg"),
+        )
+    )
+    return gap_fill_daily(daily, ["user_id"], "day", ["day_avg"]).orderBy(
+        "user_id", "day"
+    )
+
+
+ORACLE_GAP_FILL_USER_DAILY = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE} AND user_id < 25),
+daily AS (
+  SELECT user_id, day,
+         {oracle_avg_units(oracle_units_sum('value', 2), 'count(*)', 2, 4)}
+           AS day_avg
+  FROM base GROUP BY user_id, day
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+j AS (
+  SELECT g.user_id, g.day, d.day_avg,
+         d.day_avg IS NOT NULL AS is_observed
+  FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+)
+SELECT user_id, day,
+       last_value(day_avg IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_avg,
+       is_observed
+FROM j
+ORDER BY user_id, day
+"""
