@@ -638,6 +638,75 @@ LIMIT 10
 ORACLE_PART_PAGERANK = _oracle_part_pagerank()
 
 
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation + local clustering coefficient
+    over the same co-purchase graph as part_pagerank
+    (operators/graph.triangle_counts): degree-oriented wedge counting
+    (Suri-Vassilvitskii), so no hub-part wedge explosion — the oriented
+    out-degree is O(sqrt(edges)) no matter how popular a part is. The
+    oracle counts the identical triangles with the naive a<b<c
+    three-way join: two independent algorithms, one answer."""
+    from ..operators.graph import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 60)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .select(
+            F.col("id").alias("part_id"), "degree", "triangles", "clustering_coeff"
+        )
+        .orderBy("part_id")
+    )
+
+
+ORACLE_PART_TRIANGLES = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 60
+),
+p AS (
+  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+tr AS (
+  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+  FROM p e1
+  JOIN p e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+  JOIN p e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+),
+nodes AS (
+  SELECT x AS id FROM tr
+  UNION ALL SELECT y FROM tr
+  UNION ALL SELECT z FROM tr
+),
+tcount AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM nodes GROUP BY id),
+deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b AS id FROM p)
+  GROUP BY id
+)
+SELECT deg.id AS part_id, deg.d AS degree,
+       coalesce(t.t, 0) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(CAST(2 * coalesce(t.t, 0) AS DOUBLE)
+                       / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6)
+            ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+FROM deg LEFT JOIN tcount t ON t.id = deg.id
+ORDER BY part_id
+"""
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO preference-pair assembly (operators/normalize.
     preference_pairs): per source, the longest document (token count)

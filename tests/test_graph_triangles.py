@@ -1,0 +1,75 @@
+"""Unit tests for operators/graph.triangle_counts (degree-oriented
+wedge counting)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from hse_etl_ochirov_aldar_spark.operators.graph import triangle_counts
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r["id"]: r for r in triangle_counts(df).collect()}
+
+
+def test_k4_with_pendant(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = _run(spark, k4 + [(0, 5)])
+    for n in (1, 2, 3):
+        assert out[n]["triangles"] == 3
+        assert out[n]["clustering_coeff"] == 1.0
+    assert out[0]["degree"] == 4 and out[0]["triangles"] == 3
+    assert out[0]["clustering_coeff"] == 0.5  # 2*3 / (4*3)
+    assert out[5]["triangles"] == 0 and out[5]["clustering_coeff"] == 0.0
+
+
+def test_triangle_free_graph(spark):
+    # 6-cycle: every node degree 2, zero triangles
+    out = _run(spark, [(i, (i + 1) % 6) for i in range(6)])
+    assert all(r["triangles"] == 0 for r in out.values())
+    assert all(r["clustering_coeff"] == 0.0 for r in out.values())
+
+
+def test_duplicate_reversed_and_self_edges_ignored(spark):
+    # triangle listed with duplicates, reversed orientation, self-loop
+    out = _run(spark, [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)])
+    assert all(out[n]["triangles"] == 1 for n in (0, 1, 2))
+    assert all(out[n]["degree"] == 2 for n in (0, 1, 2))
+
+
+def test_matches_bruteforce_on_pseudorandom_graph(spark):
+    # deterministic pseudo-random graph, n=24, ~25% density
+    nodes = range(24)
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if (a * 31 + b * 17) % 4 == 0
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {
+        n: sum(
+            1
+            for x, y in itertools.combinations(sorted(adj[n]), 2)
+            if y in adj[x]
+        )
+        for n in nodes
+    }
+    out = _run(spark, edges)
+    for n in nodes:
+        if adj[n]:
+            assert out[n]["triangles"] == expected[n], n
+            assert out[n]["degree"] == len(adj[n])
+
+
+def test_plan_is_equi_joins_only(spark):
+    edges = [(a, b) for a in range(8) for b in range(a + 1, 8) if (a + b) % 3]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
