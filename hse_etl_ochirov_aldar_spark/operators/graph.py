@@ -186,3 +186,47 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node has
+    degree >= k) by iterative peeling: drop all nodes with current
+    degree < k, recompute, repeat until a fixpoint.
+
+    Shape per round: one map-side-combined degree census + one
+    broadcast-friendly LEFT ANTI join per edge endpoint — O(edges)
+    shuffle rows, no driver-side graph state. The only driver values
+    are one COUNT per round (the loop condition — O(1) bytes) and
+    ``localCheckpoint`` to keep the plan from deepening linearly in
+    rounds (same lineage discipline as pagerank_exact).
+
+    Rounds are data-dependent (a path graph peels one layer per
+    round); if ``max_rounds`` is hit before the fixpoint the operator
+    RAISES rather than returning a superset that silently isn't a
+    k-core — the same honest-failure contract as text_dedup's star
+    contraction. Each peel strictly removes >= 1 node, so rounds are
+    also bounded by the node count.
+
+    Output: ``id, core_degree`` (degree inside the k-core) for every
+    member node.
+    """
+    und = _undirected(pairs)
+    alive = und
+    for _ in range(max_rounds):
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        weak = deg.where(F.col("deg") < k).select("src")
+        if weak.isEmpty():
+            return deg.select(
+                F.col("src").alias("id"), F.col("deg").cast("long").alias("core_degree")
+            )
+        alive = (
+            alive.join(weak, "src", "left_anti")
+            .join(weak.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k-core peeling did not converge within {max_rounds} rounds; "
+        "raise max_rounds (each round removes at least one node, so "
+        "node count is a safe upper bound)"
+    )

@@ -20,7 +20,7 @@ Both operators are single-pass aggregations:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -242,4 +242,77 @@ def correlation_matrix(
         wide.select(F.explode(F.array(*rows)).alias("p"))
         .select("p.*")
         .orderBy("col_x", "col_y")
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d), rounded to 9dp once
+# HERE (module constant) so the Spark screen and any SQL oracle embed
+# the SAME literals — no engine's libm log10 in the compare path.
+BENFORD_PCT = {
+    1: 0.301029996,
+    2: 0.176091259,
+    3: 0.124938737,
+    4: 0.096910013,
+    5: 0.079181246,
+    6: 0.06694679,
+    7: 0.057991947,
+    8: 0.051152522,
+    9: 0.045757491,
+}
+
+
+def benford_screen(df: DataFrame, units_col: Column) -> DataFrame:
+    """First-significant-digit census vs Benford's law — the classic
+    fabricated-numbers / broken-ingest screen for scale-spanning
+    positive quantities (amounts, populations, file sizes).
+
+    ``units_col`` must be an exact positive BIGINT (the caller's
+    integer-unit snap, e.g. centi-units of a price). The leading digit
+    comes from the INTEGER'S DECIMAL STRING — never from
+    floor(log10(v)), whose float rounding misclassifies exact powers
+    of ten (log10(1000.0) can evaluate just below 3). Rows with
+    non-positive or NULL units are excluded (Benford is undefined
+    there), reported via the n_excluded column on every row.
+
+    One scan, one 9-group aggregate: observed_pct is count_d / n (a
+    division of two exact integers — bit-identical in any engine),
+    benford_pct is the shared literal table, deviation their rounded
+    difference. Chi-square is deliberately NOT summed here: a 9-term
+    float sum has engine-dependent addend order; consumers can fold
+    the per-digit rows themselves.
+    """
+    digit = F.substring(units_col.cast("string"), 1, 1).cast("int")
+    valid = units_col.isNotNull() & (units_col > 0)
+    census = (
+        df.select(
+            F.when(valid, digit).alias("digit"),
+            valid.alias("_ok"),
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = census.agg(
+        F.sum(F.when(F.col("digit").isNotNull(), F.col("n"))).alias("n_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("digit").isNull(), F.col("n"))), F.lit(0)
+        ).alias("n_excluded"),
+    )
+    bpct = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in sorted(BENFORD_PCT.items()) for x in (d, p)]
+        ),
+        F.col("digit"),
+    )
+    obs = F.col("n").cast("double") / F.col("n_total").cast("double")
+    return (
+        census.where(F.col("digit").isNotNull())
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(obs, 6).alias("observed_pct"),
+            bpct.alias("benford_pct"),
+            F.round(obs - bpct, 6).alias("deviation"),
+            F.col("n_excluded").cast("long").alias("n_excluded"),
+        )
     )

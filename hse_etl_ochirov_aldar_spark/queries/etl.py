@@ -2558,3 +2558,59 @@ SELECT user_id, day,
 FROM j
 ORDER BY user_id, day
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (data-quality / fraud-signal profiling).
+# ---------------------------------------------------------------------------
+
+
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit census of order totals vs Benford's law
+    (operators/profile.benford_screen): the fabricated-numbers /
+    broken-ingest screen for any scale-spanning money column. Digits
+    come from the centi-unit integer's decimal string (no float
+    log10), observed shares are exact-integer divisions, and the
+    Benford expectations are one shared 9-literal table — so the whole
+    report is bit-reproducible in any engine."""
+    from ..operators.profile import benford_screen
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_screen(orders, units(F.col("o_totalprice"))).orderBy("digit")
+
+
+def _benford_oracle() -> str:
+    from ..operators.profile import BENFORD_PCT
+
+    pairs = ", ".join(f"({d}, {p!r})" for d, p in sorted(BENFORD_PCT.items()))
+    return f"""
+WITH u AS (
+  SELECT {oracle_units('o_totalprice')} AS units FROM orders
+),
+census AS (
+  SELECT CASE WHEN units IS NOT NULL AND units > 0
+              THEN CAST(substr(CAST(units AS VARCHAR), 1, 1) AS INT) END
+           AS digit,
+         count(*) AS n
+  FROM u GROUP BY 1
+),
+totals AS (
+  SELECT sum(CASE WHEN digit IS NOT NULL THEN n END) AS n_total,
+         coalesce(sum(CASE WHEN digit IS NULL THEN n END), 0) AS n_excluded
+  FROM census
+),
+bp(digit, benford_pct) AS (VALUES {pairs})
+SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+         AS observed_pct,
+       CAST(bp.benford_pct AS DOUBLE) AS benford_pct,
+       round(CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+             - CAST(bp.benford_pct AS DOUBLE), 6) AS deviation,
+       CAST(t.n_excluded AS BIGINT) AS n_excluded
+FROM census c CROSS JOIN totals t JOIN bp ON bp.digit = c.digit
+WHERE c.digit IS NOT NULL
+ORDER BY c.digit
+"""
+
+
+ORACLE_BENFORD_PRICE_DIGITS = _benford_oracle()

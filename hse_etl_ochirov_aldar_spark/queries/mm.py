@@ -670,6 +670,85 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """17-core of the strong co-purchase graph over 60 part groups
+    (operators/graph.kcore_members): nodes are ``l_partkey % 60``
+    buckets, an edge exists when a pair co-occurs in strictly more
+    orders than the average pair does (the "stronger than chance"
+    screen — the raw co-occurrence graph is complete at any scale
+    factor, so thresholding is what creates structure), and iterative
+    peeling then keeps only groups embedded in a dense community.
+    Every peel round removes at least one node and the graph has at
+    most 60 nodes (the modulo bucketing), so 60 rounds PROVABLY reach
+    the fixpoint at any scale factor: the Spark side iterates with
+    that bound and the DuckDB twin unrolls exactly 60 edge-filter
+    rounds — the unroll is a certificate, not a guess; post-fixpoint
+    rounds are no-ops. The avg-count scalar rides in via a broadcast
+    1-row aggregate (no driver collect, no nested agg)."""
+    from ..operators.graph import kcore_members
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 60).alias("pg"))
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("pg").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("pg").alias("id_b"))
+    pc = (
+        a.join(b, "o")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    avg_cnt = pc.agg(F.avg("cnt").alias("avg_cnt"))
+    edges = (
+        pc.crossJoin(F.broadcast(avg_cnt))
+        .where(F.col("cnt") > F.col("avg_cnt"))
+        .select("id_a", "id_b")
+    )
+    return (
+        kcore_members(edges, k=17, max_rounds=60)
+        .select(F.col("id").alias("part_group"), "core_degree")
+        .orderBy("part_group")
+    )
+
+
+def _oracle_part_kcore(k: int = 17, rounds: int = 60) -> str:
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (SELECT src, count(*) AS c FROM e{i - 1} GROUP BY src),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN d{i} da ON da.src = e.src AND da.c >= {k}
+  JOIN d{i} db ON db.src = e.dst AND db.c >= {k}
+)"""
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 60 AS pg FROM lineitem
+),
+pc AS (
+  SELECT a.pg AS id_a, b.pg AS id_b, count(*) AS cnt
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.pg < b.pg
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id_a, id_b FROM pc WHERE cnt > (SELECT avg(cnt) FROM pc)
+),
+e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+{joined}
+SELECT src AS part_group, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY src ORDER BY part_group
+"""
+
+
+ORACLE_PART_KCORE = _oracle_part_kcore()
+
+
 ORACLE_PART_TRIANGLES = """
 WITH li AS (
   SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 60

@@ -73,3 +73,40 @@ def test_plan_is_equi_joins_only(spark):
     plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# --- kcore_members ---------------------------------------------------------
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    from hse_etl_ochirov_aldar_spark.operators.graph import kcore_members
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4 + [(3, 10), (10, 11), (11, 12)], "id_a long, id_b long")
+    out = sorted((r["id"], r["core_degree"]) for r in kcore_members(df, 3).collect())
+    assert out == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_kcore_cascading_peel(spark):
+    from hse_etl_ochirov_aldar_spark.operators.graph import kcore_members
+
+    # path 0-1-2-3-4: 2-core is empty, but only after CASCADING rounds
+    # (endpoints peel first, exposing new degree-1 nodes each round)
+    path = [(i, i + 1) for i in range(4)]
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+    assert kcore_members(df, 2).count() == 0
+    # cycle 0..4-0: every node degree 2 -> whole cycle IS the 2-core
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    out = kcore_members(spark.createDataFrame(cyc, "id_a long, id_b long"), 2)
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_kcore_raises_on_round_exhaustion(spark):
+    import pytest as _pytest
+
+    from hse_etl_ochirov_aldar_spark.operators.graph import kcore_members
+
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore_members(df, 2, max_rounds=1)

@@ -73,3 +73,28 @@ def test_gap_fill_plan_has_no_udf_and_bounded_shuffles(spark):
     )
     assert "Python" not in plan  # pure JVM: sequence + window, no UDF
     assert "Cartesian" not in plan
+
+
+# --- benford_screen (operators/profile) -----------------------------------
+
+
+def test_benford_screen_digits_and_exclusions(spark):
+    from hse_etl_ochirov_aldar_spark.operators.profile import (
+        BENFORD_PCT,
+        benford_screen,
+    )
+
+    # 1000 and 100000 are exact powers of ten -> digit 1 (the float
+    # log10 trap); 0, -5, NULL are excluded.
+    rows = [(1000,), (100000,), (23,), (250,), (999,), (0,), (-5,), (None,)]
+    df = spark.createDataFrame(rows, "u long")
+    out = {r["digit"]: r for r in benford_screen(df, F.col("u")).collect()}
+    assert out[1]["n"] == 2
+    assert out[2]["n"] == 2
+    assert out[9]["n"] == 1
+    assert all(r["n_excluded"] == 3 for r in out.values())
+    assert out[1]["observed_pct"] == 0.4  # 2/5
+    assert out[1]["benford_pct"] == BENFORD_PCT[1]
+    assert out[1]["deviation"] == round(0.4 - BENFORD_PCT[1], 6)
+    # digits with zero observations are absent, not fabricated
+    assert 3 not in out
