@@ -18,7 +18,7 @@ efficiency).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import (
@@ -182,17 +182,17 @@ def mart_user_activity(clean: DataFrame) -> DataFrame:
     counted = tagged.groupBy("user_id", "report_month", "kind", "value").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy("user_id", "report_month", "kind").orderBy(
-        F.desc("cnt"), F.asc("value")
+    # Sort-free per-kind mode: min(struct(-cnt, value)) reproduces the
+    # window rank's cnt DESC / value ASC tie-break (struct ordering is
+    # lexicographic field-by-field) as a partial-agg'd HashAggregate —
+    # no Exchange+Sort+Window (PERF.md finding 18; same shape as
+    # mode_by_group and the catalog mart branches).
+    mode_struct = F.struct(
+        (-F.col("cnt")).alias("_neg_cnt"), F.col("value").alias("v")
     )
-    top_kv = (
-        counted.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("user_id", "report_month")
-        .agg(
-            F.max(F.when(F.col("kind") == "page", F.col("value"))).alias("top_page"),
-            F.max(F.when(F.col("kind") == "act", F.col("value"))).alias("top_action"),
-        )
+    top_kv = counted.groupBy("user_id", "report_month").agg(
+        F.min(F.when(F.col("kind") == "page", mode_struct))["v"].alias("top_page"),
+        F.min(F.when(F.col("kind") == "act", mode_struct))["v"].alias("top_action"),
     )
     return (
         stats.join(top_device, ["user_id", "report_month"], "left")
