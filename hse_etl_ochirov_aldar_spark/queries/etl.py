@@ -2614,3 +2614,63 @@ ORDER BY c.digit
 
 
 ORACLE_BENFORD_PRICE_DIGITS = _benford_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe k-fold target encoding (training-feature table).
+# ---------------------------------------------------------------------------
+
+
+def q_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-fold-out mean encoding of order priority against order
+    total (operators/encoding.kfold_target_encode): each (category,
+    fold) cell's encoding is the mean target over the OTHER folds'
+    rows of that category — md5-bucketed folds, exact integer-unit
+    sums, one map-side-combined partial re-aggregated two ways, and a
+    broadcast global prior for single-fold categories. The bounded
+    (category x fold) table a 100 TB pipeline broadcast-joins back
+    onto facts."""
+    from ..operators.encoding import kfold_target_encode
+
+    orders = load_table(spark, sf_dir, "orders")
+    return kfold_target_encode(
+        orders.select(
+            "o_orderkey", "o_orderpriority", units(F.col("o_totalprice")).alias("t")
+        ),
+        key_col="o_orderkey",
+        cat_col="o_orderpriority",
+        target_col="t",
+        k=5,
+    ).orderBy("category", "fold")
+
+
+ORACLE_TARGET_ENCODE_PRIORITY = f"""
+WITH b AS (
+  SELECT o_orderpriority AS category,
+         {_oracle_hash32("CAST(o_orderkey AS VARCHAR)")} % 5 AS fold,
+         {oracle_units('o_totalprice')} AS t
+  FROM orders
+),
+partial AS (
+  SELECT category, fold, count(*) AS n_in_fold, sum(t) AS s_in_fold
+  FROM b GROUP BY 1, 2
+),
+tot AS (
+  SELECT category, sum(n_in_fold) AS n_cat, sum(s_in_fold) AS s_cat
+  FROM partial GROUP BY 1
+),
+g AS (
+  SELECT sum(n_in_fold) AS n_all, sum(s_in_fold) AS s_all FROM partial
+)
+SELECT p.category,
+       CAST(p.fold AS INT) AS fold,
+       CAST(p.n_in_fold AS BIGINT) AS n_in_fold,
+       CAST(t.n_cat - p.n_in_fold AS BIGINT) AS n_out,
+       CASE WHEN t.n_cat - p.n_in_fold > 0
+            THEN {oracle_avg_units('(t.s_cat - p.s_in_fold)', '(t.n_cat - p.n_in_fold)', 2, 2)}
+            ELSE {oracle_avg_units('(g.s_all - p.s_in_fold)', '(g.n_all - p.n_in_fold)', 2, 2)}
+       END AS enc,
+       (t.n_cat - p.n_in_fold = 0) AS is_prior
+FROM partial p JOIN tot t ON t.category = p.category CROSS JOIN g
+ORDER BY p.category, p.fold
+"""

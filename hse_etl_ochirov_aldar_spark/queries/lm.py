@@ -1384,3 +1384,69 @@ SELECT sp.doc_id,
 FROM sp LEFT JOIN dup ON sp.s = dup.s
 GROUP BY sp.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (phrase extraction).
+# ---------------------------------------------------------------------------
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-word collocations by pointwise mutual information
+    (operators/collocations.pmi_collocations): pairs that co-occur far
+    beyond their unigram frequencies — the phrase-mining pass that
+    finds the multiword units a tokenizer should keep together. All
+    counts are exact map-side-combined censuses; the PMI ratio is one
+    fixed multiplication order through a single ln(), snapped to
+    integer micro-nats before ordering — so the top-100 cut is a
+    BIGINT comparison in both engines."""
+    from ..operators.collocations import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pmi_collocations(docs, min_count=5)
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(100)
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+uni AS (SELECT unnest(ts) AS w FROM toks),
+ucen AS (SELECT w, count(*) AS c_uni FROM uni GROUP BY w),
+bi AS (
+  SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+  FROM toks WHERE len(ts) >= 2
+),
+bcen AS (
+  SELECT w1, w2, count(*) AS pair_count FROM bi
+  GROUP BY w1, w2 HAVING count(*) >= 5
+),
+tot AS (
+  SELECT (SELECT sum(c_uni) FROM ucen) AS n_tokens,
+         (SELECT count(*) FROM bi) AS n_bigrams
+),
+scored AS (
+  SELECT b.w1, b.w2, b.pair_count,
+         CAST(round(ln(
+           (CAST(b.pair_count AS DOUBLE) * CAST(t.n_tokens AS DOUBLE)
+              * CAST(t.n_tokens AS DOUBLE))
+           / (CAST(t.n_bigrams AS DOUBLE) * CAST(ua.c_uni AS DOUBLE)
+              * CAST(ub.c_uni AS DOUBLE))
+         ) * 1000000) AS BIGINT) AS pmi_micro
+  FROM bcen b
+  JOIN ucen ua ON ua.w = b.w1
+  JOIN ucen ub ON ub.w = b.w2
+  CROSS JOIN tot t
+)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi_micro,
+       CAST(pmi_micro AS DOUBLE) / 1000000 AS pmi
+FROM scored
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT 100
+"""
