@@ -2800,3 +2800,56 @@ ORDER BY vec_id_a, vec_id_b
 
 
 ORACLE_SRP_LSH_NEAR_PAIRS = _srp_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Exact trailing rolling median (robust smoothing).
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware trailing 7-day exact median of the per-type
+    daily value sums (operators/timeseries.rolling_median_daily): the
+    robust twin of rolling_7d_avg — a RANGE frame over calendar days
+    (gap days shrink the window), values collected and sorted
+    executor-side within the bounded frame, median as the mean of two
+    middle BIGINTs. No float aggregate crosses the engine boundary:
+    the hash-compared columns are BIGINTs plus one exact /2/100
+    division."""
+    from ..operators.timeseries import rolling_median_daily
+
+    daily = (
+        _events_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(units_sum("value").alias("units"))
+    )
+    return rolling_median_daily(
+        daily, key_col="event_type", day_col="day", units_col="units", days=7
+    ).orderBy("event_type", "day")
+
+
+ORACLE_ROLLING_MEDIAN_VALUE = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+daily AS (
+  SELECT event_type, day, {oracle_units_sum('value')} AS units
+  FROM clean GROUP BY event_type, day
+),
+framed AS (
+  SELECT event_type, day,
+         list_sort(list(units) OVER w) AS vals
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY date_diff('day', DATE '1970-01-01', day)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(len(vals) AS BIGINT) AS n_in_window,
+       CAST(vals[CAST((len(vals)+1)//2 AS INT)]
+            + vals[CAST((len(vals)+2)//2 AS INT)] AS BIGINT)
+         AS median_units_x2,
+       CAST(vals[CAST((len(vals)+1)//2 AS INT)]
+            + vals[CAST((len(vals)+2)//2 AS INT)] AS DOUBLE) / 2 / 100
+         AS median_value
+FROM framed
+ORDER BY event_type, day
+"""

@@ -1450,3 +1450,74 @@ FROM scored
 ORDER BY pmi_micro DESC, w1, w2
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-judge screen agreement (Cohen's kappa).
+# ---------------------------------------------------------------------------
+
+
+def q_screen_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document quality screens
+    (operators/agreement.cohens_kappa): judge A is the structural
+    length gate (30 <= tokens <= 90), judge B the stopword-fluency
+    gate (en-stopword share >= 5%, compared as the integer cross
+    product nsw*100 >= 5*ntok — no float ratio). The chance-corrected
+    agreement a pipeline checks before swapping screens. Whole
+    statistic reduces to four exact confusion counts; kappa is one
+    BIGINT-ratio division rounded half-even to 6dp."""
+    from ..operators.agreement import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    nsw = stopword_count(F.col("text"), STOPWORDS["en"])
+    judge_a = (ntok >= 30) & (ntok <= 90)
+    judge_b = nsw * 100 >= 5 * ntok
+    return cohens_kappa(docs, judge_a, judge_b)
+
+
+ORACLE_SCREEN_AGREEMENT_KAPPA = """
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS ntok,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> lower(x) IN ('the','a','of','and','in','to','is')))
+           AS nsw
+  FROM documents
+  WHERE text IS NOT NULL
+),
+c AS (
+  SELECT
+    sum(CASE WHEN ntok BETWEEN 30 AND 90 AND nsw*100 >= 5*ntok
+             THEN 1 ELSE 0 END) AS n11,
+    sum(CASE WHEN ntok BETWEEN 30 AND 90 AND nsw*100 < 5*ntok
+             THEN 1 ELSE 0 END) AS n10,
+    sum(CASE WHEN ntok NOT BETWEEN 30 AND 90 AND nsw*100 >= 5*ntok
+             THEN 1 ELSE 0 END) AS n01,
+    sum(CASE WHEN ntok NOT BETWEEN 30 AND 90 AND nsw*100 < 5*ntok
+             THEN 1 ELSE 0 END) AS n00,
+    (SELECT count(*) FROM documents WHERE text IS NULL) AS n_unjudged
+  FROM t
+)
+SELECT CAST(n11+n10+n01+n00 AS BIGINT) AS n_items,
+       CAST(n11 AS BIGINT) AS n_both_pass,
+       CAST(n10 AS BIGINT) AS n_only_a,
+       CAST(n01 AS BIGINT) AS n_only_b,
+       CAST(n00 AS BIGINT) AS n_neither,
+       round(CAST(n11+n00 AS DOUBLE) / CAST(n11+n10+n01+n00 AS DOUBLE), 6)
+         AS p_o,
+       round(CAST((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) AS DOUBLE)
+             / CAST((n11+n10+n01+n00)*(n11+n10+n01+n00) AS DOUBLE), 6)
+         AS p_e,
+       CASE WHEN (n11+n10+n01+n00)*(n11+n10+n01+n00)
+                 - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) <> 0
+            THEN round(
+              CAST((n11+n10+n01+n00)*(n11+n00)
+                   - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+              / CAST((n11+n10+n01+n00)*(n11+n10+n01+n00)
+                   - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE),
+              6)
+       END AS kappa,
+       CAST(n_unjudged AS BIGINT) AS n_unjudged
+FROM c
+"""
