@@ -2853,3 +2853,175 @@ SELECT event_type, day,
 FROM framed
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (distributed NTILE).
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM quintile segmentation of the orders fact
+    (operators/rfm.rfm_scores): per-customer recency/frequency/monetary
+    rollup, then three exact NTILE(5) scores computed WITHOUT the
+    single-partition window trap — distributed global_rank + the ANSI
+    NTILE formula against a broadcast total count — and a named segment.
+    Mirrors the reference's per-user mart shape
+    (build_analytical_marts.py:24-69) with warehouse-standard scoring."""
+    from ..operators.rfm import rfm_scores
+
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_scores(orders).orderBy("o_custkey")
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_day,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mu
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_day, anchor_day) AS BIGINT)
+           AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency, mu
+  FROM per_cust CROSS JOIN anchor
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency,
+         CAST(mu AS DOUBLE) / 100.0 AS monetary,
+         CAST(6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT)
+           AS r_score,
+         CAST(6 - NTILE(5) OVER (ORDER BY -frequency, o_custkey) AS INT)
+           AS f_score,
+         CAST(6 - NTILE(5) OVER (ORDER BY -mu, o_custkey) AS INT)
+           AS m_score
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            WHEN r_score <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier screen.
+# ---------------------------------------------------------------------------
+
+
+def q_mad_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outliers: |value - median| >= 3.5 * 1.4826
+    * MAD (operators/robust.mad_outliers). Exact medians via the
+    value-census order-statistic trick — the shuffle carries distinct
+    (type, value) pairs, never raw rows — and a pure-BIGINT
+    cross-multiplied predicate, so the screen is bit-identical across
+    engines. The robust twin of the percentile trim
+    (HW-3/airflow/dags/iot_temperature.py:64-72)."""
+    from ..operators.robust import mad_outliers
+
+    ev = _events_base(spark, sf_dir)
+    return mad_outliers(
+        ev.select("event_type", "event_id", "user_id", "value"),
+        group_col="event_type",
+        value_col="value",
+    ).orderBy("event_type", "event_id")
+
+
+ORACLE_MAD_OUTLIER_SCREEN = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+u AS (
+  SELECT event_type, event_id, user_id, value,
+         CAST(round(value * 100) AS BIGINT) AS vu
+  FROM clean
+),
+m AS (
+  SELECT event_type, CAST(2 * median(vu) AS BIGINT) AS med2
+  FROM u GROUP BY event_type
+),
+d AS (
+  SELECT u.*, m.med2, abs(2 * u.vu - m.med2) AS dev
+  FROM u JOIN m USING (event_type)
+),
+md AS (
+  SELECT event_type, CAST(2 * median(dev) AS BIGINT) AS devmed2
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.user_id, d.value,
+       d.med2, md.devmed2,
+       round(CAST(2 * (2 * d.vu - d.med2) AS DOUBLE)
+             / (1.4826 * md.devmed2), 6) AS robust_z
+FROM d JOIN md USING (event_type)
+WHERE md.devmed2 > 0
+  AND 200000000 * d.dev >= 14826 * 35000 * md.devmed2
+ORDER BY event_type, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional ROLLUP revenue (OLAP grouping-sets operator).
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation x order-year revenue with ROLLUP subtotals and a grand
+    total — Spark's native multi-dimensional aggregate (df.rollup:
+    ONE shuffle computes all three grouping levels via partial
+    Expand+HashAggregate, not three scans). Grouped-out levels surface
+    as 'ALL' labels so the subtotal rows are unambiguous. The OLAP
+    grouping-sets shape the reference's mart layer approximates with
+    separate queries (build_analytical_marts.py:24-138)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            units("o_totalprice").alias("rev_units"),
+        )
+    )
+    rolled = base.rollup("n_name", "order_year").agg(
+        F.sum("rev_units").alias("rev_units_sum"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return rolled.select(
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias(
+            "order_year"
+        ),
+        as_value("rev_units_sum").alias("revenue"),
+        "n_orders",
+    ).orderBy("nation", "order_year")
+
+
+ORACLE_REVENUE_ROLLUP = """
+WITH base AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS rev_units
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+       CAST(sum(rev_units) AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM base
+GROUP BY ROLLUP (n_name, order_year)
+ORDER BY nation, order_year
+"""
