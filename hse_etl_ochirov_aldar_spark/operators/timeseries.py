@@ -132,3 +132,81 @@ def rolling_median_daily(
         (lo + hi).cast("long").alias("median_units_x2"),
         ((lo + hi).cast("double") / 2.0 / 100.0).alias("median_value"),
     )
+
+
+def cusum_changepoints(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    units_col: str,
+    h_mads: int = 5,
+) -> DataFrame:
+    """Two-sided tabular CUSUM over a per-key daily integer series, with
+    a robust (median/MAD) center and allowance — level-shift changepoint
+    detection for the clean-layer daily rollups (the sequel to the
+    point-anomaly screens: CUSUM accumulates small persistent drifts a
+    per-point z-test never trips on).
+
+    Spark-first: the textbook recursion ``s+_t = max(0, s+_{t-1} + y_t)``
+    looks like a Python fold, but it has a closed relational form —
+
+        s+_t = S_t - min_{j<=t} S_j      with  S_t = cumsum(y_t)
+
+    (the reflected running minimum absorbs every reset-to-zero), and
+    symmetrically ``s-_t = max_{j<=t} T_j - T_t``. Two per-key windows
+    (cumsum + running extremum) replace the sequential fold entirely —
+    whole-stage-codegen'd, no Python, no applyInPandas state.
+
+    Exactness: center = per-key median (x2), allowance = MAD
+    (devmed2/4), both BIGINT via the census order-statistic operator
+    (operators/robust._group_median2); the series is scaled x4 so
+    ``y_t = 4*(x_t - med - MAD)`` stays integral. Alarms compare
+    BIGINTs against ``h_mads * devmed2`` — bit-identical in any engine.
+
+    Output per (key, day): the x4-scaled two-sided CUSUM statistics,
+    the robust center diagnostics, and boolean alarms.
+    """
+    from .robust import _group_median2
+
+    med = _group_median2(daily, key_col, units_col, "med2")
+    dev = daily.join(F.broadcast(med), key_col).withColumn(
+        "__dev", F.abs(2 * F.col(units_col) - F.col("med2"))
+    )
+    mad = _group_median2(
+        dev.select(key_col, "__dev"), key_col, "__dev", "devmed2"
+    ).drop("n_rows")
+    base = dev.join(F.broadcast(mad), key_col)
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x4 = 4 * F.col(units_col)
+    y_pos = x4 - 2 * F.col("med2") - F.col("devmed2")
+    y_neg = x4 - 2 * F.col("med2") + F.col("devmed2")
+    stepped = base.select(
+        key_col,
+        day_col,
+        units_col,
+        "med2",
+        "devmed2",
+        F.sum(y_pos).over(w).alias("__s"),
+        F.sum(y_neg).over(w).alias("__t"),
+    )
+    # the running extremum must include the virtual empty prefix S_0 = 0
+    # (the recursion starts at zero): least/greatest against lit(0).
+    cusum_pos = F.col("__s") - F.least(F.lit(0), F.min("__s").over(w))
+    cusum_neg = F.greatest(F.lit(0), F.max("__t").over(w)) - F.col("__t")
+    thresh = F.lit(h_mads) * F.col("devmed2")
+    return stepped.select(
+        key_col,
+        day_col,
+        units_col,
+        "med2",
+        "devmed2",
+        cusum_pos.alias("cusum_pos_x4"),
+        cusum_neg.alias("cusum_neg_x4"),
+        ((F.col("devmed2") > 0) & (cusum_pos >= thresh)).alias("alarm_pos"),
+        ((F.col("devmed2") > 0) & (cusum_neg >= thresh)).alias("alarm_neg"),
+    )

@@ -3025,3 +3025,234 @@ FROM base
 GROUP BY ROLLUP (n_name, order_year)
 ORDER BY nation, order_year
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (relational closed form).
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided robust CUSUM over each event type's daily value totals
+    (operators/timeseries.cusum_changepoints): the textbook
+    max(0, s + y) recursion computed RELATIONALLY via the
+    cumsum-minus-running-minimum identity — two codegen'd windows, no
+    Python fold, no applyInPandas state. Center/allowance come from the
+    exact integer median/MAD census, so every emitted statistic and
+    alarm is BIGINT-exact across engines. The drift detector that
+    catches slow level shifts the per-point screens
+    (mad_outlier_screen, ewma_anomaly_scores) are blind to."""
+    from ..operators.timeseries import cusum_changepoints
+
+    daily = (
+        _events_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(units_sum("value").alias("units"))
+    )
+    return cusum_changepoints(
+        daily, key_col="event_type", day_col="day", units_col="units"
+    ).orderBy("event_type", "day")
+
+
+ORACLE_CUSUM_CHANGEPOINTS = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+daily AS (
+  SELECT event_type, day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS units
+  FROM clean GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type, CAST(2 * median(units) AS BIGINT) AS med2
+  FROM daily GROUP BY event_type
+),
+d AS (
+  SELECT daily.*, m.med2, abs(2 * units - m.med2) AS dev
+  FROM daily JOIN m USING (event_type)
+),
+md AS (
+  SELECT event_type, CAST(2 * median(dev) AS BIGINT) AS devmed2
+  FROM d GROUP BY event_type
+),
+b AS (
+  SELECT d.event_type, d.day, d.units, d.med2, md.devmed2
+  FROM d JOIN md USING (event_type)
+),
+s AS (
+  SELECT *,
+         sum(4 * units - 2 * med2 - devmed2) OVER w AS s_pos,
+         sum(4 * units - 2 * med2 + devmed2) OVER w AS s_neg
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+),
+c AS (
+  SELECT event_type, day, units, med2, devmed2,
+         CAST(s_pos - least(0, min(s_pos) OVER w) AS BIGINT)
+           AS cusum_pos_x4,
+         CAST(greatest(0, max(s_neg) OVER w) - s_neg AS BIGINT)
+           AS cusum_neg_x4
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, units, med2, devmed2,
+       cusum_pos_x4, cusum_neg_x4,
+       (devmed2 > 0 AND cusum_pos_x4 >= 5 * devmed2) AS alarm_pos,
+       (devmed2 > 0 AND cusum_neg_x4 >= 5 * devmed2) AS alarm_neg
+FROM c
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift screen (exact, census ECDFs).
+# ---------------------------------------------------------------------------
+
+
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: per event type, the EXACT two-sample
+    Kolmogorov-Smirnov statistic between the early and late half of the
+    observation window (operators/drift.ks_two_sample). ECDFs accumulate
+    over the value census (shuffle = distinct values, not rows) and the
+    supremum compares cross-multiplied BIGINTs — the refresh-vs-history
+    drift gate a training-data pipeline runs after every ingest."""
+    from ..operators.drift import ks_two_sample
+
+    ev = _events_base(spark, sf_dir).select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long").alias(
+            "__de"
+        ),
+        units("value").alias("__vu"),
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.floor((F.min("__de") + F.max("__de")) / 2).alias("__mid")
+    )
+    labeled = ev.join(F.broadcast(spans), "event_type")
+    return (
+        ks_two_sample(
+            labeled,
+            key_col="event_type",
+            units_col="__vu",
+            is_a=F.col("__de") <= F.col("__mid"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_KS_VALUE_DRIFT = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+u AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', day) AS de,
+         CAST(round(value * 100) AS BIGINT) AS vu
+  FROM clean
+),
+spans AS (
+  SELECT event_type, (min(de) + max(de)) // 2 AS mid
+  FROM u GROUP BY event_type
+),
+lab AS (
+  SELECT u.event_type, vu, (de <= mid) AS early
+  FROM u JOIN spans USING (event_type)
+),
+census AS (
+  SELECT event_type, vu,
+         sum(CASE WHEN early THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN early THEN 0 ELSE 1 END) AS cb
+  FROM lab GROUP BY event_type, vu
+),
+cum AS (
+  SELECT event_type, vu,
+         sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+  FROM census
+  WINDOW w AS (PARTITION BY event_type ORDER BY vu
+               ROWS UNBOUNDED PRECEDING)
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM census GROUP BY event_type
+),
+d AS (
+  SELECT c.event_type, t.n_a, t.n_b,
+         CAST(abs(cuma * n_b - cumb * n_a) AS BIGINT) AS diff, c.vu
+  FROM cum c JOIN tot t USING (event_type)
+),
+mx AS (
+  SELECT event_type, n_a, n_b, max(diff) AS d_num
+  FROM d GROUP BY event_type, n_a, n_b
+)
+SELECT mx.event_type, mx.n_a, mx.n_b, mx.d_num,
+       round(CAST(mx.d_num AS DOUBLE) / (mx.n_a * mx.n_b), 6) AS ks_stat,
+       min(d.vu) AS at_units
+FROM mx JOIN d ON d.event_type = mx.event_type AND d.diff = mx.d_num
+WHERE mx.n_a > 0 AND mx.n_b > 0
+GROUP BY mx.event_type, mx.n_a, mx.n_b, mx.d_num
+ORDER BY mx.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Common event-path mining (session behavioral motifs).
+# ---------------------------------------------------------------------------
+
+
+def q_common_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral motifs: each user-day session's first five events
+    in (ts, event_id) order, joined into a path string, counted across
+    sessions; paths seen in >= 5 sessions survive. Pure built-ins —
+    collect_list + array_sort on a (ts, event_id, type) struct (session
+    arrays are bounded, never row-scale), one Generate-free pipeline of
+    two shuffles. The journey-mining mart downstream of sessionization
+    (streaming/sessionize.py) — mirrors the reference's per-user
+    activity mart shape (build_analytical_marts.py:24-69)."""
+    ev = load_table(spark, sf_dir, "events")
+    kind = F.lower(F.trim(F.col("event_type")))
+    base = ev.where(
+        kind.isin("view", "click", "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.struct(F.col("ts"), F.col("event_id"), kind.alias("et")).alias("__s"),
+    )
+    paths = (
+        base.groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list("__s")), lambda x: x["et"]
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+    )
+    return paths.orderBy("path")
+
+
+ORACLE_COMMON_EVENT_PATHS = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+         lower(trim(event_type)) AS et
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL
+),
+sess AS (
+  SELECT user_id, day,
+         array_to_string(
+           list_slice(list(et ORDER BY ts, event_id), 1, 5), '>') AS path
+  FROM base GROUP BY user_id, day
+)
+SELECT path, count(*) AS n_sessions
+FROM sess GROUP BY path HAVING count(*) >= 5
+ORDER BY path
+"""
