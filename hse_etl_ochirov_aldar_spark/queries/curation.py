@@ -3256,3 +3256,184 @@ SELECT path, count(*) AS n_sessions
 FROM sess GROUP BY path HAVING count(*) >= 5
 ORDER BY path
 """
+
+
+# ---------------------------------------------------------------------------
+# View -> purchase conversion lag (as-of join + exact percentiles).
+# ---------------------------------------------------------------------------
+
+
+def q_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert SLA: for every purchase, the as-of (most recent
+    at-or-before) view by the same user — the custom temporal join
+    Spark lacks natively, computed by operators/asof.asof_join's
+    union+carry window (one key shuffle, no range explosion) — then
+    exact p50/p90/p99 of the lag in whole minutes per purchase day.
+    Timestamps fold through epoch-microsecond longs
+    (streaming/sessionize._epoch_micros) so both parquet timestamp
+    flavors and both engines agree bit-for-bit. Oracle uses DuckDB's
+    native ASOF JOIN — an independent second implementation."""
+    from ..operators.asof import asof_join
+    from ..streaming.sessionize import _epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    kind = F.lower(F.trim(F.col("event_type")))
+    base = ev.where(
+        kind.isin("view", "purchase") & F.col("value").isNotNull()
+    ).select("user_id", "ts", "event_id", kind.alias("et"))
+    views = (
+        base.where(F.col("et") == "view")
+        .select("user_id", "ts")
+        .withColumn("view_us", _epoch_micros(base, "ts"))
+    )
+    purchases = base.where(F.col("et") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases, views, key="user_id", probe_ts="ts", build_ts="ts",
+        attrs=["view_us"],
+    )
+    # BIGINT div (not double /): the quotient must floor exactly even
+    # when the lag lands on a whole-minute boundary.
+    lag_min = (
+        (_epoch_micros(j, "ts") - F.col("view_us"))
+        .cast("long")
+        .alias("__lag_us")
+    )
+    j = j.withColumn("__lag_us", lag_min).withColumn(
+        "lag_min", F.expr("__lag_us div 60000000")
+    )
+    return (
+        j.where(F.col("view_us").isNotNull())
+        .select(F.col("ts").cast("date").alias("day"), "lag_min")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.percentile(F.col("lag_min"), F.lit(0.5)).alias("p50_min"),
+            F.percentile(F.col("lag_min"), F.lit(0.9)).alias("p90_min"),
+            F.percentile(F.col("lag_min"), F.lit(0.99)).alias("p99_min"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_CONVERSION_LAG_PERCENTILES = """
+WITH base AS (
+  SELECT user_id, ts, event_id, lower(trim(event_type)) AS et
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'purchase')
+    AND value IS NOT NULL
+),
+v AS (SELECT user_id, ts, epoch_us(ts) AS view_us FROM base
+      WHERE et = 'view'),
+p AS (SELECT user_id, ts, event_id FROM base WHERE et = 'purchase'),
+lagged AS (
+  SELECT CAST(p.ts AS DATE) AS day,
+         (epoch_us(p.ts) - v.view_us) // 60000000 AS lag_min
+  FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT day, count(*) AS n_conversions,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_min) AS p50_min,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_min) AS p90_min,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY lag_min) AS p99_min
+FROM lagged
+GROUP BY day ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) over document tokens.
+# ---------------------------------------------------------------------------
+
+
+def q_feature_hashing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every document token maps to one of
+    1 024 feature slots via the cross-engine md5 bucket
+    (operators/sampling.hash_bucket — no vocabulary fit, no dictionary
+    broadcast, the bounded-width sparse featurizer linear models train
+    on at corpus scale). Output: per-slot corpus statistics (token
+    occurrences, distinct tokens, documents touched) for the collision
+    audit that picks the hash width. One explode + one groupBy; the
+    shuffle carries (slot, token) partials, map-side combined."""
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    slotted = toks.withColumn("slot", hash_bucket("token", 1024))
+    return (
+        slotted.groupBy("slot")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("token").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("slot")
+    )
+
+
+ORACLE_FEATURE_HASHING_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+  ) AS token
+  FROM documents
+),
+slotted AS (
+  SELECT doc_id, token,
+         CAST({_oracle_hash32("token")} % 1024 AS BIGINT) AS slot
+  FROM toks
+)
+SELECT slot,
+       count(*) AS n_occurrences,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM slotted
+GROUP BY slot ORDER BY slot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily per-type value envelope (p10/p50/p90 bands).
+# ---------------------------------------------------------------------------
+
+
+def q_daily_value_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operations-dashboard envelope: per (event_type, day), the exact
+    p10/p50/p90 of event values plus the trimmed spread — the banded
+    chart behind every anomaly triage. Grouped exact percentile
+    aggregates (map-side partial value digests, one shuffle); values
+    enter as exact cent units so the interpolated percentiles are
+    engine-identical doubles."""
+    ev = _events_base(spark, sf_dir).withColumn("__vu", units("value"))
+    return (
+        ev.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile(F.col("__vu"), F.lit(0.1)).alias("p10_units"),
+            F.percentile(F.col("__vu"), F.lit(0.5)).alias("p50_units"),
+            F.percentile(F.col("__vu"), F.lit(0.9)).alias("p90_units"),
+        )
+        .withColumn("band_units", F.col("p90_units") - F.col("p10_units"))
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_DAILY_VALUE_ENVELOPE = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+u AS (
+  SELECT event_type, day, CAST(round(value * 100) AS BIGINT) AS vu
+  FROM clean
+)
+SELECT event_type, day, count(*) AS n_events,
+       percentile_cont(0.1) WITHIN GROUP (ORDER BY vu) AS p10_units,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY vu) AS p50_units,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY vu) AS p90_units,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY vu)
+         - percentile_cont(0.1) WITHIN GROUP (ORDER BY vu) AS band_units
+FROM u
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
