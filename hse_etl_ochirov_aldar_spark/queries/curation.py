@@ -3437,3 +3437,212 @@ FROM u
 GROUP BY event_type, day
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# Daily OHLC candlesticks (sort-free first/last aggregates).
+# ---------------------------------------------------------------------------
+
+
+def q_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) open/high/low/close of event values — the
+    candlestick rollup, computed with ZERO window functions: open and
+    close are min/max over a (epoch_us, event_id, value) struct (the
+    sort-free extremum idiom, PERF.md finding 18 — one map-side-combined
+    HashAggregate, no Exchange+Sort+Window), high/low are plain min/max.
+    Timestamps enter as epoch-microsecond longs so both parquet flavors
+    and both engines order identically."""
+    from ..streaming.sessionize import _epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    kind = F.lower(F.trim(F.col("event_type")))
+    base = ev.where(
+        kind.isin(*_EVENT_KINDS) & F.col("value").isNotNull()
+    ).select(
+        kind.alias("event_type"),
+        F.col("ts").cast("date").alias("day"),
+        _epoch_micros(ev, "ts").alias("__us"),
+        "event_id",
+        units("value").alias("__vu"),
+    )
+    s = F.struct(F.col("__us"), F.col("event_id"), F.col("__vu"))
+    return (
+        base.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(s).getField("__vu").alias("open_units"),
+            F.max(s).getField("__vu").alias("close_units"),
+            F.max("__vu").alias("high_units"),
+            F.min("__vu").alias("low_units"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_DAILY_OHLC = """
+WITH base AS (
+  SELECT lower(trim(event_type)) AS event_type,
+         CAST(ts AS DATE) AS day,
+         epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vu
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL
+)
+SELECT event_type, day, count(*) AS n_events,
+       (min(struct_pack(us := us, event_id := event_id, vu := vu))).vu
+         AS open_units,
+       (max(struct_pack(us := us, event_id := event_id, vu := vu))).vu
+         AS close_units,
+       max(vu) AS high_units,
+       min(vu) AS low_units
+FROM base
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal debounce screen (near-in-time duplicate events).
+# ---------------------------------------------------------------------------
+
+
+def q_debounce_duplicate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-quality screen for retry storms / double-fires: an event
+    is "debounced" when the SAME user emitted the SAME event type with
+    the SAME value within the previous 5 minutes. One lag window per
+    (user_id, event_type) over epoch-microsecond order (total order via
+    event_id tie-break), pure integer comparisons — the temporal
+    cousin of the content dedups (operators/dedup.py), catching
+    duplicates that differ in event_id but not in substance."""
+    from ..streaming.sessionize import _epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    kind = F.lower(F.trim(F.col("event_type")))
+    base = ev.where(
+        kind.isin(*_EVENT_KINDS) & F.col("value").isNotNull()
+    ).select(
+        kind.alias("event_type"),
+        "user_id",
+        _epoch_micros(ev, "ts").alias("__us"),
+        "event_id",
+        units("value").alias("__vu"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("__us", "event_id")
+    flagged = base.select(
+        "event_type",
+        (
+            F.lag("__us").over(w).isNotNull()
+            & (F.col("__us") - F.lag("__us").over(w) <= F.lit(300_000_000))
+            & (F.lag("__vu").over(w) == F.col("__vu"))
+        ).alias("__deb"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("__deb"), 1).otherwise(0)).alias("n_debounced"),
+        )
+        .withColumn(
+            "debounce_share",
+            F.round(
+                F.col("n_debounced").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DEBOUNCE_DUPLICATE_EVENTS = """
+WITH base AS (
+  SELECT lower(trim(event_type)) AS event_type, user_id,
+         epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vu
+  FROM events
+  WHERE lower(trim(event_type)) IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL
+),
+flagged AS (
+  SELECT event_type,
+         (lag(us) OVER w IS NOT NULL
+          AND us - lag(us) OVER w <= 300000000
+          AND lag(vu) OVER w = vu) AS deb
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN deb THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+       round(CAST(sum(CASE WHEN deb THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS debounce_share
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Revenue Gini concentration by market segment.
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is customer spend inside each market segment:
+    the exact Gini coefficient of per-customer revenue
+    (operators/profile.gini_coefficient — census rank block-sums, no
+    per-group sort, float only in the one final division). The scalar
+    inequality readout next to revenue_concentration's top-k share."""
+    from ..operators.profile import gini_coefficient
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(units_sum("o_totalprice").alias("rev_units"))
+    )
+    return gini_coefficient(
+        per_cust, group_col="c_mktsegment", units_col="rev_units"
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_REVENUE_GINI_BY_SEGMENT = """
+WITH per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_units
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+),
+census AS (
+  SELECT c_mktsegment, rev_units, count(*) AS cnt
+  FROM per_cust GROUP BY c_mktsegment, rev_units
+),
+cum AS (
+  SELECT c_mktsegment, rev_units, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY rev_units
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r
+  FROM census
+),
+blocks AS (
+  SELECT c_mktsegment, cnt, rev_units * cnt AS tot_blk,
+         rev_units * (r * (r + 1) - (r - cnt) * (r - cnt + 1)) // 2
+           AS blk2
+  FROM cum
+),
+agg AS (
+  SELECT c_mktsegment,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(tot_blk) AS BIGINT) AS total_units,
+         CAST(sum(blk2) AS BIGINT) AS s
+  FROM blocks GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n, total_units,
+       round(CAST(2 * s - (n + 1) * total_units AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(total_units AS DOUBLE)), 6)
+         AS gini
+FROM agg
+WHERE total_units > 0
+ORDER BY c_mktsegment
+"""

@@ -83,3 +83,18 @@ def test_mad_outliers_plants_and_degenerates(spark):
     assert [r["id"] for r in out] == [6]
     assert out[0]["robust_z"] > 1000  # (500-10)/(1.4826*0.15) ~ 2200
     assert all(r["g"] == "x" for r in out)
+
+
+def test_gini_coefficient_known_values(spark):
+    from hse_etl_ochirov_aldar_spark.operators.profile import gini_coefficient
+
+    rows = (
+        [("eq", 5), ("eq", 5), ("eq", 5)]          # perfect equality -> 0
+        + [("conc", 0), ("conc", 0), ("conc", 10)]  # one holder -> 2/3
+        + [("zero", 0), ("zero", 0)]                # total 0 -> filtered out
+    )
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {r["g"]: r["gini"] for r in gini_coefficient(df, "g", "u").collect()}
+    assert out["eq"] == 0.0
+    assert abs(out["conc"] - 2 / 3) < 1e-6
+    assert "zero" not in out
