@@ -2921,13 +2921,15 @@ ORDER BY o_custkey
 # ---------------------------------------------------------------------------
 
 
-def q_mad_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type robust outliers: |value - median| >= 3.5 * 1.4826
-    * MAD (operators/robust.mad_outliers). Exact medians via the
-    value-census order-statistic trick — the shuffle carries distinct
-    (type, value) pairs, never raw rows — and a pure-BIGINT
-    cross-multiplied predicate, so the screen is bit-identical across
-    engines. The robust twin of the percentile trim
+def q_mad_outlier_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier ROWS: |value - median| >= 3.5 *
+    1.4826 * MAD (operators/robust.mad_outliers) — the row-level
+    drill-down next to mad_outlier_screen's per-type summary. Exact
+    medians via the value-census order-statistic trick — the shuffle
+    carries distinct (type, value) pairs, never raw rows (the census
+    alternative to the screen's percentile digests) — and a pure-BIGINT
+    cross-multiplied predicate, so the emitted set is bit-identical
+    across engines. Robust twin of the percentile trim
     (HW-3/airflow/dags/iot_temperature.py:64-72)."""
     from ..operators.robust import mad_outliers
 
@@ -2939,7 +2941,7 @@ def q_mad_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "event_id")
 
 
-ORACLE_MAD_OUTLIER_SCREEN = f"""
+ORACLE_MAD_OUTLIER_ROWS = f"""
 WITH clean AS ({_ORACLE_EVENTS_BASE}),
 u AS (
   SELECT event_type, event_id, user_id, value,

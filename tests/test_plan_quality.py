@@ -508,3 +508,61 @@ def test_ppjoin_has_no_cartesian_product(spark, sf_dir):
     # corpus x corpus cross join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_daily_ohlc_is_sort_free(spark, sf_dir):
+    """Open/close come from min/max over (us, event_id, value) structs:
+    one map-side-combined HashAggregate, zero Window/Sort operators."""
+    plan = _plan(spark, sf_dir, "daily_ohlc")
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_revenue_rollup_single_expand_aggregate(spark, sf_dir):
+    """df.rollup computes all three grouping levels in ONE Expand +
+    aggregate pipeline (not three scans); the nation dim broadcasts."""
+    plan = _plan(spark, sf_dir, "revenue_rollup")
+    assert "Expand" in plan
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_ranks_are_range_partitioned(spark, sf_dir):
+    """The three NTILE scores ride distributed global_rank: range
+    repartitions + partition-local windows, never a single-partition
+    ORDER BY window over the customer rollup."""
+    plan = _plan(spark, sf_dir, "rfm_segments")
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_cusum_is_pure_window_no_python(spark, sf_dir):
+    """The CUSUM recursion's closed form runs entirely in codegen'd
+    windows — no Arrow/pandas stage anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "cusum_changepoints")
+    assert "Window" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_ks_drift_no_cartesian_census_shuffle(spark, sf_dir):
+    """ECDFs accumulate over the value census; totals ride broadcasts;
+    no cross product anywhere."""
+    plan = _plan(spark, sf_dir, "ks_value_drift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_conversion_lag_asof_is_union_carry_not_range_join(spark, sf_dir):
+    """The as-of join is the union+last-carry window — no inequality
+    join blowup (BroadcastNestedLoop/Cartesian) in the plan."""
+    plan = _plan(spark, sf_dir, "conversion_lag_percentiles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_debounce_single_window_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "debounce_duplicate_events")
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 1
