@@ -3648,3 +3648,295 @@ FROM agg
 WHERE total_units > 0
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# ML feature scaling (min-max + z-score + percent rank, per segment).
+# ---------------------------------------------------------------------------
+
+
+def q_acctbal_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment feature preparation for customer balance:
+    min-max scaling, z-score, and percent rank — the three standard
+    normalizations an ML feature store materializes. Percent rank uses
+    the value CENSUS (rank-with-ties via cumulative census counts
+    joined back on the value), never a row-scale ORDER BY window;
+    min/max/moment frames are per-segment broadcasts. All numerators/
+    denominators are exact integers; floats appear only in the final
+    divisions (identical expression shape in the oracle).
+
+    Moment bound: z-scores form n*sumsq in DOUBLE from exact BIGINTs —
+    deterministic (same integer -> same IEEE double in any engine), with
+    mild cancellation because sums are segment-local; beyond ~1e6 rows
+    per segment at 2 dp units, rescale units (same contract as
+    correlation_matrix)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        units("c_acctbal").alias("__vu"),
+        "c_acctbal",
+    )
+    moments = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__vu").alias("__mn"),
+        F.max("__vu").alias("__mx"),
+        F.sum("__vu").alias("__sum"),
+        F.sum(F.col("__vu") * F.col("__vu")).alias("__sumsq"),
+    )
+    census = cust.groupBy("c_mktsegment", "__vu").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("__vu")
+    ranks = census.select(
+        "c_mktsegment",
+        "__vu",
+        (F.sum("__cnt").over(w) - F.col("__cnt") + 1).alias("__rank_min"),
+    )
+    j = cust.join(F.broadcast(moments), "c_mktsegment").join(
+        ranks, ["c_mktsegment", "__vu"]
+    )
+    minmax = F.when(
+        F.col("__mx") > F.col("__mn"),
+        F.round(
+            (F.col("__vu") - F.col("__mn")).cast("double")
+            / (F.col("__mx") - F.col("__mn")).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    var_num = (
+        F.col("__n").cast("double") * F.col("__sumsq").cast("double")
+        - F.col("__sum").cast("double") * F.col("__sum").cast("double")
+    )
+    z = F.round(
+        (F.col("__n") * F.col("__vu") - F.col("__sum")).cast("double")
+        / F.sqrt(var_num * F.col("__n").cast("double") / (F.col("__n") - F.lit(1.0))),
+        6,
+    )
+    pr = F.when(
+        F.col("__n") > 1,
+        F.round(
+            (F.col("__rank_min") - 1).cast("double")
+            / (F.col("__n") - 1).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        minmax.alias("minmax_scaled"),
+        z.alias("z_score"),
+        pr.alias("pct_rank"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_ACCTBAL_FEATURE_SCALING = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS vu
+  FROM customer
+),
+m AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         min(vu) AS mn, max(vu) AS mx,
+         CAST(sum(vu) AS BIGINT) AS s,
+         CAST(sum(vu * vu) AS BIGINT) AS ssq
+  FROM cust GROUP BY c_mktsegment
+),
+census AS (
+  SELECT c_mktsegment, vu, count(*) AS cnt
+  FROM cust GROUP BY c_mktsegment, vu
+),
+ranks AS (
+  SELECT c_mktsegment, vu,
+         CAST(sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY vu
+                             ROWS UNBOUNDED PRECEDING)
+              - cnt + 1 AS BIGINT) AS rank_min
+  FROM census
+)
+SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+       CASE WHEN m.mx > m.mn
+            THEN round(CAST(c.vu - m.mn AS DOUBLE)
+                       / CAST(m.mx - m.mn AS DOUBLE), 6)
+            ELSE 0.0 END AS minmax_scaled,
+       round(CAST(m.n * c.vu - m.s AS DOUBLE)
+             / sqrt((CAST(m.n AS DOUBLE) * CAST(m.ssq AS DOUBLE)
+                     - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                    * CAST(m.n AS DOUBLE) / (m.n - 1.0)), 6) AS z_score,
+       CASE WHEN m.n > 1
+            THEN round(CAST(r.rank_min - 1 AS DOUBLE)
+                       / CAST(m.n - 1 AS DOUBLE), 6)
+            ELSE 0.0 END AS pct_rank
+FROM cust c
+JOIN m USING (c_mktsegment)
+JOIN ranks r ON r.c_mktsegment = c.c_mktsegment AND r.vu = c.vu
+ORDER BY c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (cumulative revenue per acquisition cohort).
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curves: customers cohorted by first-order month;
+    for each (cohort, months-since-acquisition), the cohort's
+    cumulative revenue and exact per-customer LTV. Month arithmetic is
+    pure integers (year*12 + month), the cumulation is one window over
+    the (cohort, month) rollup — O(cohorts x months) rows, not
+    row-scale — and the per-customer division uses the half-up integer
+    average (functions/exact.avg_units_expr). The acquisition-cohort
+    twin of retention_cohorts."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("__m"),
+        units("o_totalprice").alias("__rev"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("__m").alias("__cohort_m"))
+    cohort_sizes = firsts.groupBy("__cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    fact = orders.join(firsts, "o_custkey").select(
+        "__cohort_m",
+        (F.col("__m") - F.col("__cohort_m")).alias("months_since"),
+        "__rev",
+    )
+    monthly = fact.groupBy("__cohort_m", "months_since").agg(
+        F.sum("__rev").alias("__mrev")
+    )
+    w = (
+        Window.partitionBy("__cohort_m")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = monthly.withColumn("cum_rev_units", F.sum("__mrev").over(w))
+    out = cum.join(F.broadcast(cohort_sizes), "__cohort_m").select(
+        F.concat_ws(
+            "-",
+            F.format_string("%04d", (F.col("__cohort_m") / 12).cast("int")),
+            F.format_string("%02d", (F.col("__cohort_m") % 12 + 1).cast("int")),
+        ).alias("cohort_month"),
+        "months_since",
+        "n_customers",
+        "cum_rev_units",
+        avg_units_expr("cum_rev_units", "n_customers", 2, 2).alias(
+            "ltv_per_customer"
+        ),
+    )
+    return out.orderBy("cohort_month", "months_since")
+
+
+ORACLE_COHORT_LTV_CURVES = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_customers
+  FROM firsts GROUP BY cohort_m
+),
+fact AS (
+  SELECT f.cohort_m, o.m - f.cohort_m AS months_since, o.rev
+  FROM o JOIN firsts f USING (o_custkey)
+),
+monthly AS (
+  SELECT cohort_m, months_since, CAST(sum(rev) AS BIGINT) AS mrev
+  FROM fact GROUP BY cohort_m, months_since
+),
+cum AS (
+  SELECT cohort_m, months_since,
+         CAST(sum(mrev) OVER (PARTITION BY cohort_m ORDER BY months_since
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rev_units
+  FROM monthly
+)
+SELECT printf('%04d-%02d', CAST(c.cohort_m // 12 AS INT),
+              CAST(c.cohort_m % 12 + 1 AS INT)) AS cohort_month,
+       c.months_since, s.n_customers, c.cum_rev_units,
+       {oracle_avg_units("c.cum_rev_units", "s.n_customers", 2, 2)}
+         AS ltv_per_customer
+FROM cum c JOIN sizes s USING (cohort_m)
+ORDER BY cohort_month, months_since
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 scalar quantization audit.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-vector min-max) int8 quantization of the embedding
+    column — the 4x storage cut before ANN indexing — audited by
+    integer checksums: per vector, the quantized-code sum / min / max
+    plus the dequantization scale. Quantization is pure array
+    expressions (transform + aggregate, whole-stage codegen, zero
+    Python); float->double widening and the scale division are
+    bit-identical IEEE ops in both engines, and floor() makes the
+    emitted codes integers, so the audit hash-matches exactly.
+    Constant vectors (mx = mn) quantize to all-zero codes by contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    q = F.when(
+        mx > mn,
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                (x.cast("double") - mn) * F.lit(255.0) / (mx - mn)
+            ).cast("long"),
+        ),
+    ).otherwise(
+        F.transform("embedding", lambda x: F.lit(0).cast("long"))
+    )
+    base = emb.select("vec_id", q.alias("__q"), mn.alias("__mn"), mx.alias("__mx"))
+    return base.select(
+        "vec_id",
+        F.size("__q").cast("long").alias("n_dims"),
+        F.aggregate(
+            "__q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("__q").alias("q_min"),
+        F.array_max("__q").alias("q_max"),
+        F.round((F.col("__mx") - F.col("__mn")) / F.lit(255.0), 9).alias(
+            "scale"
+        ),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMBEDDING_INT8_QUANTIZE = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, mn, mx,
+         CASE WHEN mx > mn
+              THEN list_transform(embedding,
+                     x -> CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0
+                                     / (mx - mn)) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+         END AS q
+  FROM base
+)
+SELECT vec_id,
+       CAST(len(q) AS BIGINT) AS n_dims,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max,
+       round((mx - mn) / 255.0, 9) AS scale
+FROM quant
+ORDER BY vec_id
+"""
