@@ -230,3 +230,46 @@ def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         "raise max_rounds (each round removes at least one node, so "
         "node count is a safe upper bound)"
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iters: int = 4,
+) -> DataFrame:
+    """(id, community) after ``iters`` SYNCHRONOUS label-propagation
+    rounds on the undirected graph: every node starts as its own label;
+    each round every node adopts its neighbors' MODE label, ties broken
+    to the SMALLEST label. Synchronous updates + deterministic
+    tie-break = bit-identical in any engine (asynchronous LPA's
+    order-dependence is exactly what an oracle cannot reproduce).
+
+    Per round: one (neighbor-label) equi-join, one (node, label)
+    census, one min(struct(-count, label)) extremum — all
+    map-side-combinable, O(edges) shuffle, no windows
+    (PERF.md finding 18's sort-free mode). Fixed rounds keep the plan
+    finite; localCheckpoint flattens lineage between rounds, same as
+    pagerank_exact. Convergence is NOT guaranteed in ``iters`` rounds
+    (bipartite structures can oscillate) — the operator reports the
+    round-``iters`` labeling, which the unrolled oracle reproduces
+    exactly; callers wanting a fixpoint should compare successive
+    rounds."""
+    edges = _undirected(pairs).localCheckpoint()
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(iters):
+        counted = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        labels = (
+            counted.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__cnt")).alias("nc"), F.col("label").alias("lab"))
+                ).getField("lab").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("id", F.col("label").alias("community"))

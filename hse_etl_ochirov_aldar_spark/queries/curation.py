@@ -3940,3 +3940,82 @@ SELECT vec_id,
 FROM quant
 ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes).
+# ---------------------------------------------------------------------------
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily trend per event type: the Theil-Sen estimator —
+    median over ALL pairwise slopes of the (day, daily-total) series —
+    which tolerates up to ~29% corrupted days where OLS breaks on one
+    (the robust sibling of ols_by_group). The pair self-join is bounded
+    by the CALENDAR, never row counts: the daily rollup is O(types x
+    days), its pair census O(types x days^2) — at a 10-year span that
+    is 6.7M slope rows per type, a trivial shuffle. Slopes are single
+    exact-integer divisions evaluated identically in both engines; the
+    median is the exact interpolated percentile."""
+    daily = (
+        _events_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(units_sum("value").alias("u"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            "u",
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("u").alias("u1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("u").alias("u2")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            (
+                (F.col("u2") - F.col("u1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile(F.col("slope"), F.lit(0.5)), 6).alias(
+                "slope_units_per_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_THEIL_SEN_TREND = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', day) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS u
+  FROM clean GROUP BY event_type, day
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.u - a.u AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type, count(*) AS n_pairs,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 6)
+         AS slope_units_per_day
+FROM slopes
+GROUP BY event_type
+ORDER BY event_type
+"""

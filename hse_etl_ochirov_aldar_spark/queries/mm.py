@@ -878,3 +878,78 @@ FROM pairs GROUP BY p
 ORDER BY n_occurrences DESC, pair ASC
 LIMIT 20
 """
+
+
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph via
+    deterministic SYNCHRONOUS label propagation
+    (operators/graph.label_propagation): 4 rounds, neighbor-label mode
+    with smallest-label tie-break — the co-viewed/co-bought clustering
+    a recommender mart feeds on. Output: one row per community with
+    its size and smallest member. The DuckDB twin unrolls the same 4
+    rounds (AS MATERIALIZED, the kcore lesson) — bit-identical because
+    sync+min-tie-break removes every source of order dependence."""
+    from ..operators.graph import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 60)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    labels = label_propagation(edges, iters=4)
+    return (
+        labels.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("min_member"),
+        )
+        .orderBy("community")
+    )
+
+
+def _oracle_part_communities(iters: int = 4) -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS id, l.label, count(*) AS cnt
+  FROM e JOIN {prev} l ON e.src = l.id
+  GROUP BY e.dst, l.label
+),
+l{i} AS MATERIALIZED (
+  SELECT id,
+         (min(struct_pack(nc := -cnt, lab := label))).lab AS label
+  FROM c{i} GROUP BY id
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 60
+),
+p AS (
+  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+{",".join(rounds)}
+SELECT label AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(id) AS min_member
+FROM {prev}
+GROUP BY label
+ORDER BY community
+"""
+
+
+ORACLE_PART_COMMUNITIES = _oracle_part_communities()

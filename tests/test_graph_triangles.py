@@ -110,3 +110,17 @@ def test_kcore_raises_on_round_exhaustion(spark):
     df = spark.createDataFrame(path, "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         kcore_members(df, 2, max_rounds=1)
+
+
+def test_label_propagation_two_clusters(spark):
+    from hse_etl_ochirov_aldar_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge (3-10): sync LPA with
+    # min tie-break settles to communities {1,2,3}->1 and {10,11,12}->3
+    # (hand-traced through 4 synchronous rounds).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["community"] for r in label_propagation(edges, iters=4).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
