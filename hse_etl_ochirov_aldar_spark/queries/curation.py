@@ -4019,3 +4019,198 @@ FROM slopes
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Quantity-weighted median price (weighted order statistics).
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return-flag quantity-WEIGHTED median of line price — "the
+    price at which half the physical volume trades", which an
+    unweighted median misstates whenever cheap lines carry big
+    quantities. Weighted order statistic over the value census: one
+    (flag, price) groupBy summing integer quantity weights, one window
+    cumsum over distinct prices, the lower weighted median = smallest
+    price whose cumulative weight reaches half the total
+    (2*cum >= total in pure BIGINTs). Shuffle = distinct prices, never
+    line rows; no engine has this builtin, so both sides state the
+    same census formula."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        units("l_extendedprice").alias("__pu"),
+        units("l_quantity", 0).alias("__qty"),
+    )
+    census = li.groupBy("l_returnflag", "__pu").agg(
+        F.sum("__qty").alias("__w")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("__pu")
+    cum = census.withColumn("__cw", F.sum("__w").over(w))
+    totals = census.groupBy("l_returnflag").agg(
+        F.sum("__w").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_prices"),
+    )
+    j = cum.join(F.broadcast(totals), "l_returnflag")
+    return (
+        j.where(2 * F.col("__cw") >= F.col("total_qty"))
+        .groupBy("l_returnflag", "total_qty", "n_prices")
+        .agg(F.min("__pu").alias("wmedian_units"))
+        .select(
+            "l_returnflag",
+            "total_qty",
+            "n_prices",
+            "wmedian_units",
+            as_value("wmedian_units").alias("wmedian_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN_PRICE = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pu,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+),
+census AS (
+  SELECT l_returnflag, pu, CAST(sum(qty) AS BIGINT) AS w
+  FROM li GROUP BY l_returnflag, pu
+),
+cum AS (
+  SELECT l_returnflag, pu, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY pu
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+  FROM census
+),
+tot AS (
+  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_qty,
+         CAST(count(*) AS BIGINT) AS n_prices
+  FROM census GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, t.total_qty, t.n_prices,
+       min(c.pu) AS wmedian_units,
+       CAST(min(c.pu) AS DOUBLE) / 100.0 AS wmedian_price
+FROM cum c JOIN tot t USING (l_returnflag)
+WHERE 2 * c.cw >= t.total_qty
+GROUP BY c.l_returnflag, t.total_qty, t.n_prices
+ORDER BY c.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U location-shift test (exact midranks).
+# ---------------------------------------------------------------------------
+
+
+def q_mann_whitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did values SHIFT between the early and late half of the window?
+    The Mann-Whitney U / rank-sum test per event type — the
+    location-sensitive companion to ks_value_drift's shape test.
+    Midranks (tie-corrected) come off the combined value census:
+    2*midrank = 2*cum - cnt + 1 stays integral, so 2*U is an exact
+    BIGINT and the common-language effect size (P(late > early), the
+    AUC) is one final division. Shuffle = distinct values per type."""
+    ev = _events_base(spark, sf_dir).select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("__de"),
+        units("value").alias("__vu"),
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.floor((F.min("__de") + F.max("__de")) / 2).alias("__mid")
+    )
+    lab = ev.join(F.broadcast(spans), "event_type").select(
+        "event_type", "__vu", (F.col("__de") <= F.col("__mid")).alias("__early")
+    )
+    census = lab.groupBy("event_type", "__vu").agg(
+        F.sum(F.when(F.col("__early"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__early"), 0).otherwise(1)).alias("__cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("__vu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = census.select(
+        "event_type",
+        "__ca",
+        "__cb",
+        (F.sum(F.col("__ca") + F.col("__cb")).over(w)).alias("__cum"),
+    ).withColumn("__cnt", F.col("__ca") + F.col("__cb"))
+    # 2*R_a = sum over values of ca * (2*cum - cnt + 1)
+    agg = cum.groupBy("event_type").agg(
+        F.sum("__ca").alias("n_early"),
+        F.sum("__cb").alias("n_late"),
+        F.sum(
+            F.col("__ca") * (2 * F.col("__cum") - F.col("__cnt") + 1)
+        ).alias("__r2a"),
+    )
+    u2 = F.col("__r2a") - F.col("n_early") * (F.col("n_early") + 1)
+    return (
+        agg.where((F.col("n_early") > 0) & (F.col("n_late") > 0))
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            u2.alias("u2_early"),
+            F.round(
+                u2.cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_early").cast("double")
+                    * F.col("n_late").cast("double")
+                ),
+                6,
+            ).alias("auc_early_gt_late"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MANN_WHITNEY_SHIFT = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+u AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', day) AS de,
+         CAST(round(value * 100) AS BIGINT) AS vu
+  FROM clean
+),
+spans AS (
+  SELECT event_type, (min(de) + max(de)) // 2 AS mid
+  FROM u GROUP BY event_type
+),
+lab AS (
+  SELECT u.event_type, vu, (de <= mid) AS early
+  FROM u JOIN spans USING (event_type)
+),
+census AS (
+  SELECT event_type, vu,
+         sum(CASE WHEN early THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN early THEN 0 ELSE 1 END) AS cb
+  FROM lab GROUP BY event_type, vu
+),
+cum AS (
+  SELECT event_type, ca, cb, ca + cb AS cnt,
+         sum(ca + cb) OVER (PARTITION BY event_type ORDER BY vu
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM census
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(ca) AS BIGINT) AS n_early,
+         CAST(sum(cb) AS BIGINT) AS n_late,
+         CAST(sum(ca * (2 * cum - cnt + 1)) AS BIGINT) AS r2a
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n_early, n_late,
+       CAST(r2a - n_early * (n_early + 1) AS BIGINT) AS u2_early,
+       round(CAST(r2a - n_early * (n_early + 1) AS DOUBLE)
+             / (2.0 * CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE)), 6)
+         AS auc_early_gt_late
+FROM agg
+WHERE n_early > 0 AND n_late > 0
+ORDER BY event_type
+"""
