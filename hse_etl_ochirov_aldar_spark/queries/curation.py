@@ -4214,3 +4214,149 @@ FROM agg
 WHERE n_early > 0 AND n_late > 0
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift screen (document-frequency rate shift).
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-refresh vocabulary drift: split the corpus into two
+    halves (doc_id parity — the deterministic stand-in for
+    snapshot-old vs snapshot-new), compute each token's DOCUMENT
+    frequency rate in both, and surface the 20 tokens whose rate moved
+    most. The comparison |df_a * n_b - df_b * n_a| stays in BIGINTs
+    (cross-multiplied rate difference — no float rates until the
+    report), top-20 via TakeOrdered with token tie-break. The
+    vocabulary-level companion to ks_value_drift: catches topic/source
+    composition shifts numeric drift screens cannot see."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("__in_a"),
+        F.explode(
+            F.array_distinct(whitespace_tokens(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    halves = docs.agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 0).otherwise(1)).alias("n_b"),
+    )
+    df = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__in_a"), 1).otherwise(0)).alias("df_a"),
+        F.sum(F.when(F.col("__in_a"), 0).otherwise(1)).alias("df_b"),
+    )
+    j = df.crossJoin(F.broadcast(halves))
+    drift = F.abs(
+        F.col("df_a") * F.col("n_b") - F.col("df_b") * F.col("n_a")
+    )
+    return (
+        j.select(
+            "token",
+            "df_a",
+            "df_b",
+            drift.alias("drift_num"),
+            F.round(
+                drift.cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("rate_shift"),
+        )
+        .orderBy(F.desc("drift_num"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_VOCAB_DRIFT_SCREEN = """
+WITH toks AS (
+  SELECT doc_id, (doc_id % 2 = 0) AS in_a, unnest(
+    list_distinct(
+      list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+  ) AS token
+  FROM documents
+),
+halves AS (
+  SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_b
+  FROM documents
+),
+df AS (
+  SELECT token,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS df_b
+  FROM toks GROUP BY token
+)
+SELECT token, df_a, df_b,
+       CAST(abs(df_a * n_b - df_b * n_a) AS BIGINT) AS drift_num,
+       round(CAST(abs(df_a * n_b - df_b * n_a) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+         AS rate_shift
+FROM df CROSS JOIN halves
+ORDER BY drift_num DESC, token
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Order inter-arrival cadence by market segment.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase cadence: per-customer gaps between CONSECUTIVE orders
+    (one lag window per customer, day-grain integers, orderkey
+    tie-break for same-day orders), summarized per market segment with
+    exact p50/p90 percentiles — the reorder-cycle readout a
+    replenishment model calibrates on."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("__de"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("__de", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        (F.col("__de") - F.lag("__de").over(w)).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.percentile(F.col("gap_days"), F.lit(0.5)).alias("p50_gap_days"),
+            F.percentile(F.col("gap_days"), F.lit(0.9)).alias("p90_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_ORDERS_INTERARRIVAL_GAPS = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS de
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         de - lag(de) OVER (PARTITION BY o_custkey
+                            ORDER BY de, o_orderkey) AS gap_days
+  FROM o
+)
+SELECT c.c_mktsegment, count(*) AS n_gaps,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY g.gap_days)
+         AS p50_gap_days,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY g.gap_days)
+         AS p90_gap_days
+FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+WHERE g.gap_days IS NOT NULL
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
