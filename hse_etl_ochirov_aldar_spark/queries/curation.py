@@ -4360,3 +4360,181 @@ WHERE g.gap_days IS NOT NULL
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily totals (exact integer moments).
+# ---------------------------------------------------------------------------
+
+
+def q_events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day persistence per event type: the lag-1 Pearson
+    autocorrelation of daily value totals — the "is today predictive
+    of tomorrow" statistic that decides whether a forecaster beats the
+    naive baseline. Consecutive days pair via one equi-join on day+1
+    (no window state), all five moments accumulate as exact BIGINTs,
+    and both engines evaluate the identical closed-form r before one
+    6 dp round. Moment bound: sums of squared daily units — rescale
+    units past ~1e13 daily totals (same contract as
+    numeric_correlations)."""
+    daily = (
+        _events_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(units_sum("value").alias("u"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            "u",
+        )
+    )
+    a = daily.select("event_type", "d", F.col("u").alias("x"))
+    b = daily.select(
+        "event_type", (F.col("d") - 1).alias("d"), F.col("u").alias("y")
+    )
+    pairs = a.join(b, ["event_type", "d"])
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("__syy"),
+    )
+    num = (
+        F.col("n_pairs") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n_pairs") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+            "double"
+        )
+        * (
+            F.col("n_pairs") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+        ).cast("double")
+    )
+    return (
+        m.where(
+            (F.col("n_pairs") > 1)
+            & (
+                F.col("n_pairs") * F.col("__sxx")
+                > F.col("__sx") * F.col("__sx")
+            )
+            & (
+                F.col("n_pairs") * F.col("__syy")
+                > F.col("__sy") * F.col("__sy")
+            )
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            F.round(num / den, 6).alias("autocorr_lag1"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_AUTOCORR_LAG1 = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', day) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS u
+  FROM clean GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type, a.u AS x, b.u AS y
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d + 1
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n_pairs,
+       round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+         AS autocorr_lag1
+FROM m
+WHERE n_pairs > 1 AND n_pairs * sxx > sx * sx AND n_pairs * syy > sy * sy
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy (fixed-order log terms).
+# ---------------------------------------------------------------------------
+
+
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy (nats) of the
+    view/click/purchase mix — the focus-vs-explorer feature a churn or
+    recommendation model consumes. Counts pivot into FIXED columns via
+    conditional aggregation so the three c*ln(c) terms sum in an
+    EXPLICIT left-to-right order — float sums of logs are
+    order-sensitive in the last ulp, and hash-aggregate order differs
+    between engines, so the fixed-order expression is what makes the
+    6 dp round hash-identical (same discipline as pmi_collocations'
+    single-log micro-units)."""
+    ev = _events_base(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("__cv"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("__cc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "__cp"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+    def term(c):
+        return F.when(
+            F.col(c) > 0, F.col(c).cast("double") * F.log(F.col(c).cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    h = F.round(
+        F.log(F.col("n_events").cast("double"))
+        - (term("__cv") + term("__cc") + term("__cp"))
+        / F.col("n_events").cast("double"),
+        6,
+    )
+    return counts.select(
+        "user_id", "n_events", "n_types", h.alias("entropy_nats")
+    ).orderBy("user_id")
+
+
+ORACLE_USER_EVENT_ENTROPY = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+counts AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cv,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cc,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cp,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM clean GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       round(ln(CAST(n_events AS DOUBLE))
+             - (CASE WHEN cv > 0
+                     THEN CAST(cv AS DOUBLE) * ln(CAST(cv AS DOUBLE))
+                     ELSE 0.0 END
+                + CASE WHEN cc > 0
+                       THEN CAST(cc AS DOUBLE) * ln(CAST(cc AS DOUBLE))
+                       ELSE 0.0 END
+                + CASE WHEN cp > 0
+                       THEN CAST(cp AS DOUBLE) * ln(CAST(cp AS DOUBLE))
+                       ELSE 0.0 END)
+               / CAST(n_events AS DOUBLE), 6) AS entropy_nats
+FROM counts
+ORDER BY user_id
+"""
