@@ -4538,3 +4538,203 @@ SELECT user_id, n_events, n_types,
 FROM counts
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the token frequency distribution.
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary power-law audit: the log-log OLS slope over the
+    top-100 token frequencies — natural corpora sit near -1; a slope
+    far off flags boilerplate floods or template spam before they
+    poison a tokenizer fit. Token census -> TakeOrdered top-100
+    (count desc, token tie-break) -> each log TERM is rounded to
+    integer micro-units BEFORE summing (the pmi_collocations
+    discipline: float sums are order-sensitive, integer sums are not),
+    so the regression moments are exact BIGINTs in both engines. The
+    100-row rank window is bounded by k, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).cast("long").alias("rank")
+    )
+    terms = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+    )
+    slope = (
+        (F.col("n_tokens") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+            "double"
+        )
+        / (
+            F.col("n_tokens") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        ).cast("double")
+    )
+    return m.select(
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("__sy").cast("double")
+                - slope * F.col("__sx").cast("double")
+            )
+            / F.col("n_tokens").cast("double")
+            / 1_000_000.0,
+            6,
+        ).alias("intercept_ln"),
+    )
+
+
+ORACLE_ZIPF_SLOPE_VOCAB = """
+WITH toks AS (
+  SELECT unnest(
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+  ) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS cnt
+  FROM toks GROUP BY token
+  ORDER BY cnt DESC, token
+  LIMIT 100
+),
+ranked AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+           AS rank
+  FROM counts
+),
+terms AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM terms
+)
+SELECT n_tokens,
+       round(CAST(n_tokens * sxy - sx * sy AS DOUBLE)
+             / CAST(n_tokens * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n_tokens * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_tokens * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n_tokens AS DOUBLE) / 1000000.0, 6) AS intercept_ln
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dominant-value (near-zero-variance) feature screen.
+# ---------------------------------------------------------------------------
+
+
+def q_dominant_value_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store hygiene: for each candidate categorical column,
+    the dominant value and its share — near-constant columns (share >=
+    0.9) carry no signal and silently break downstream encoders.
+    Columns unpivot into one (table, column, value) relation (single
+    scan per table), the per-column mode comes from the sort-free
+    min(struct(-count, value)) extremum, and the share is one division
+    of exact counts."""
+
+    def unpivot(df: DataFrame, tbl: str, cols: list[str]) -> DataFrame:
+        parts = [
+            df.select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(c).alias("col"),
+                F.col(c).cast("string").alias("val"),
+            )
+            for c in cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    longf = unpivot(cust, "customer", ["c_mktsegment", "c_nationkey"]).unionByName(
+        unpivot(orders, "orders", ["o_orderstatus", "o_orderpriority"])
+    )
+    census = longf.groupBy("tbl", "col", "val").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    top = census.groupBy("tbl", "col").agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.min(
+            F.struct((-F.col("__cnt")).alias("nc"), F.col("val").alias("v"))
+        ).alias("__m"),
+    )
+    return top.select(
+        "tbl",
+        "col",
+        "n_rows",
+        F.col("__m.v").alias("top_value"),
+        (-F.col("__m.nc")).alias("top_count"),
+        F.round(
+            (-F.col("__m.nc")).cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("top_share"),
+        ((-F.col("__m.nc")) * 10 >= F.col("n_rows") * 9).alias("near_constant"),
+    ).orderBy("tbl", "col")
+
+
+ORACLE_DOMINANT_VALUE_SCREEN = """
+WITH longf AS (
+  SELECT 'customer' AS tbl, 'c_mktsegment' AS col,
+         CAST(c_mktsegment AS VARCHAR) AS val FROM customer
+  UNION ALL
+  SELECT 'customer', 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'orders', 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+  FROM orders
+),
+census AS (
+  SELECT tbl, col, val, count(*) AS cnt
+  FROM longf GROUP BY tbl, col, val
+),
+top AS (
+  SELECT tbl, col,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         min(struct_pack(nc := -cnt, v := val)) AS m
+  FROM census GROUP BY tbl, col
+)
+SELECT tbl, col, n_rows,
+       m.v AS top_value,
+       CAST(-(m.nc) AS BIGINT) AS top_count,
+       round(CAST(-(m.nc) AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS top_share,
+       (-(m.nc) * 10 >= n_rows * 9) AS near_constant
+FROM top
+ORDER BY tbl, col
+"""
