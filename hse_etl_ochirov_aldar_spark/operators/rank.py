@@ -66,3 +66,59 @@ def global_rank(
         )
         .drop("__pid")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "global_cumsum",
+) -> DataFrame:
+    """``df`` + BIGINT ``out_col`` = the running sum of ``value_col``
+    under the TOTAL order ``order_cols`` — the distributed prefix sum.
+
+    Same shape as :func:`global_rank`: range-partition by the ordering,
+    per-partition window cumsum, then add each partition's offset (the
+    sum of all earlier partitions, from one census collect bounded by
+    the partition count). A bare ``sum() OVER (ORDER BY ...)`` drags
+    the relation through ONE task; this pays one range shuffle and
+    scales exactly as far as a sort does. The ordering must be total
+    or ranks inside ties straddle nondeterministic range boundaries.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = sorted(
+        (r["__pid"], r["s"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    run = 0
+    for pid, s in sizes:
+        offsets[pid] = run
+        run += s or 0
+    omap = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(
+            out_col,
+            (
+                F.coalesce(omap[F.col("__pid")], F.lit(0))
+                + F.sum(value_col).over(w)
+            ).cast("long"),
+        )
+        .drop("__pid")
+    )

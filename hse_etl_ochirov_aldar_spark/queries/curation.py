@@ -4738,3 +4738,153 @@ SELECT tbl, col, n_rows,
 FROM top
 ORDER BY tbl, col
 """
+
+
+# ---------------------------------------------------------------------------
+# Churn hazard table (discrete survival analysis).
+# ---------------------------------------------------------------------------
+
+
+def q_churn_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard: treating each user's LAST event day
+    as churn, for every lifetime t (days between first and last
+    activity) the number still at risk, the number churning, and the
+    hazard d/n — the life-table a retention model calibrates against.
+    Lifetimes reduce to a census (one row per distinct lifetime), the
+    at-risk counts come from ONE suffix sum over that census (window
+    over distinct lifetimes, not users), and the hazard is a single
+    exact division. Everything before the final round is BIGINT."""
+    ev = _events_base(spark, sf_dir)
+    lifetimes = ev.groupBy("user_id").agg(
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("lifetime")
+    )
+    census = lifetimes.groupBy("lifetime").agg(
+        F.count(F.lit(1)).alias("d_churned")
+    )
+    # at-risk(t) = users with lifetime >= t: suffix sum over the census
+    w = (
+        Window.orderBy(F.desc("lifetime"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the census is O(distinct lifetimes) = O(calendar days): a single
+    # window over it is bounded, not row-scale
+    tab = census.withColumn("n_at_risk", F.sum("d_churned").over(w))
+    return tab.select(
+        "lifetime",
+        "n_at_risk",
+        "d_churned",
+        F.round(
+            F.col("d_churned").cast("double") / F.col("n_at_risk").cast("double"),
+            6,
+        ).alias("hazard"),
+    ).orderBy("lifetime")
+
+
+ORACLE_CHURN_HAZARD_TABLE = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+lifetimes AS (
+  SELECT user_id,
+         date_diff('day', min(day), max(day)) AS lifetime
+  FROM clean GROUP BY user_id
+),
+census AS (
+  SELECT lifetime, count(*) AS d_churned
+  FROM lifetimes GROUP BY lifetime
+)
+SELECT lifetime,
+       CAST(sum(d_churned) OVER (ORDER BY lifetime DESC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_at_risk,
+       CAST(d_churned AS BIGINT) AS d_churned,
+       round(CAST(d_churned AS DOUBLE)
+             / CAST(sum(d_churned) OVER (ORDER BY lifetime DESC
+                                         ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE), 6) AS hazard
+FROM census
+ORDER BY lifetime
+"""
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (distributed prefix sums).
+# ---------------------------------------------------------------------------
+
+
+def q_abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC analysis: parts ranked by revenue, class A = parts covering
+    the first 80% of cumulative revenue, B the next 15%, C the tail —
+    the warehouse stocking policy classic. The cumulative share uses
+    operators/rank.global_cumsum, the distributed prefix sum (range
+    shuffle + per-partition window + offset census) — never a
+    single-partition ORDER BY window over the part dimension. Class
+    boundaries compare cross-multiplied BIGINTs (no float shares until
+    the report)."""
+    from ..operators.rank import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", units("l_extendedprice").alias("__rev")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("__rev").alias("rev_units"))
+    per_part = per_part.withColumn("__neg", -F.col("rev_units"))
+    cum = global_cumsum(
+        per_part, ["__neg", "l_partkey"], "rev_units", "cum_units"
+    )
+    total = per_part.agg(F.sum("rev_units").alias("__total"))
+    classed = cum.crossJoin(F.broadcast(total)).withColumn(
+        "abc_class",
+        F.when(100 * F.col("cum_units") <= 80 * F.col("__total"), "A")
+        .when(100 * F.col("cum_units") <= 95 * F.col("__total"), "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_units").alias("class_rev_units"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_rev_units",
+            F.round(
+                F.col("class_rev_units").cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE_ABC_PART_CLASSIFICATION = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_units
+  FROM lineitem GROUP BY l_partkey
+),
+cum AS (
+  SELECT l_partkey, rev_units,
+         CAST(sum(rev_units) OVER (ORDER BY rev_units DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_units
+  FROM per_part
+),
+tot AS (SELECT CAST(sum(rev_units) AS BIGINT) AS total FROM per_part),
+classed AS (
+  SELECT c.*,
+         CASE WHEN 100 * c.cum_units <= 80 * t.total THEN 'A'
+              WHEN 100 * c.cum_units <= 95 * t.total THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum c CROSS JOIN tot t
+)
+SELECT abc_class,
+       count(*) AS n_parts,
+       CAST(sum(rev_units) AS BIGINT) AS class_rev_units,
+       round(CAST(sum(rev_units) AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         AS rev_share
+FROM classed CROSS JOIN tot t
+GROUP BY abc_class, t.total
+ORDER BY abc_class
+"""
