@@ -4888,3 +4888,192 @@ FROM classed CROSS JOIN tot t
 GROUP BY abc_class, t.total
 ORDER BY abc_class
 """
+
+
+# ---------------------------------------------------------------------------
+# Categorical mix drift: chi-square over fixed-order cells.
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def q_priority_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the CATEGORY mix shift between the early and late half of
+    the order window? Pearson chi-square over the 2x5 priority
+    contingency table — the categorical member of the drift trio
+    (ks_value_drift: shape, mann_whitney_shift: location, this: mix).
+    The table pivots into ONE row of fixed columns (conditional
+    aggregation, one scan), so the ten (obs-exp)^2/exp terms sum in an
+    EXPLICIT written order — the same fixed-order-float discipline as
+    user_event_entropy — and every obs/total is an exact BIGINT."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("__de"),
+    )
+    span = orders.agg(
+        F.floor((F.min("__de") + F.max("__de")) / 2).alias("__mid")
+    )
+    lab = orders.crossJoin(F.broadcast(span)).select(
+        "o_orderpriority", (F.col("__de") <= F.col("__mid")).alias("__early")
+    )
+    aggs = []
+    for i, p in enumerate(_PRIORITIES):
+        aggs.append(
+            F.sum(
+                F.when((F.col("o_orderpriority") == p) & F.col("__early"), 1)
+                .otherwise(0)
+            ).alias(f"__a{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("o_orderpriority") == p) & ~F.col("__early"), 1)
+                .otherwise(0)
+            ).alias(f"__b{i}")
+        )
+    row = lab.agg(*aggs)
+    n_a = sum((F.col(f"__a{i}") for i in range(5)), F.lit(0))
+    n_b = sum((F.col(f"__b{i}") for i in range(5)), F.lit(0))
+    row = row.withColumn("n_early", n_a.cast("long")).withColumn(
+        "n_late", n_b.cast("long")
+    )
+    n = F.col("n_early") + F.col("n_late")
+
+    def term(obs, row_tot, col_i):
+        cat_tot = F.col(f"__a{col_i}") + F.col(f"__b{col_i}")
+        exp = (
+            row_tot.cast("double")
+            * cat_tot.cast("double")
+            / n.cast("double")
+        )
+        o = obs.cast("double")
+        return F.when(cat_tot > 0, (o - exp) * (o - exp) / exp).otherwise(
+            F.lit(0.0)
+        )
+
+    chi2 = sum(
+        (
+            term(F.col(f"__a{i}"), F.col("n_early"), i)
+            + term(F.col(f"__b{i}"), F.col("n_late"), i)
+            for i in range(5)
+        ),
+        F.lit(0.0),
+    )
+    return row.select(
+        "n_early",
+        "n_late",
+        F.lit(4).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def _oracle_priority_chi2() -> str:
+    cells_a = ",\n         ".join(
+        "CAST(sum(CASE WHEN o_orderpriority = '{p}' AND early THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS a{i}".format(p=p, i=i)
+        for i, p in enumerate(_PRIORITIES)
+    )
+    cells_b = ",\n         ".join(
+        "CAST(sum(CASE WHEN o_orderpriority = '{p}' AND NOT early THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS b{i}".format(p=p, i=i)
+        for i, p in enumerate(_PRIORITIES)
+    )
+    terms = []
+    for r in ("a", "b"):
+        row_tot = "n_early" if r == "a" else "n_late"
+        for i in range(5):
+            terms.append(
+                "(CASE WHEN a{i} + b{i} > 0 THEN "
+                "(CAST({r}{i} AS DOUBLE) - CAST({rt} AS DOUBLE) "
+                "* CAST(a{i} + b{i} AS DOUBLE) / CAST(n_early + n_late AS DOUBLE)) "
+                "* (CAST({r}{i} AS DOUBLE) - CAST({rt} AS DOUBLE) "
+                "* CAST(a{i} + b{i} AS DOUBLE) / CAST(n_early + n_late AS DOUBLE)) "
+                "/ (CAST({rt} AS DOUBLE) * CAST(a{i} + b{i} AS DOUBLE) "
+                "/ CAST(n_early + n_late AS DOUBLE)) ELSE 0.0 END)".format(
+                    i=i, r=r, rt=row_tot
+                )
+            )
+    # Spark sums a0-term + b0-term per category THEN advances: mirror
+    # (a_i + b_i) pair order exactly
+    paired = []
+    for i in range(5):
+        paired.append(f"({terms[i]} + {terms[5 + i]})")
+    chi_expr = " + ".join(paired)
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS de
+  FROM orders
+),
+span AS (SELECT (min(de) + max(de)) // 2 AS mid FROM o),
+lab AS (
+  SELECT o_orderpriority, (de <= mid) AS early
+  FROM o CROSS JOIN span
+),
+row1 AS (
+  SELECT {cells_a},
+         {cells_b}
+  FROM lab
+),
+tot AS (
+  SELECT *, a0+a1+a2+a3+a4 AS n_early, b0+b1+b2+b3+b4 AS n_late
+  FROM row1
+)
+SELECT CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       CAST(4 AS BIGINT) AS dof,
+       round({chi_expr}, 6) AS chi2
+FROM tot
+"""
+
+
+ORACLE_PRIORITY_MIX_CHI2 = _oracle_priority_chi2()
+
+
+# ---------------------------------------------------------------------------
+# Monthly return-rate timeline.
+# ---------------------------------------------------------------------------
+
+
+def q_return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-line share per ship month: the quality-of-service
+    timeline behind returned_items_report — one conditional aggregate
+    per month, exact integer counts, one final division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias(
+            "ship_month"
+        ),
+        (F.col("l_returnflag") == "R").alias("__ret"),
+    )
+    return (
+        li.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__ret"), 1).otherwise(0)).alias("n_returned"),
+        )
+        .withColumn(
+            "return_rate",
+            F.round(
+                F.col("n_returned").cast("double")
+                / F.col("n_lines").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("ship_month")
+    )
+
+
+ORACLE_RETURN_RATE_MONTHLY = """
+SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+         AS ship_month,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS return_rate
+FROM lineitem
+GROUP BY date_trunc('month', CAST(l_shipdate AS DATE))
+ORDER BY ship_month
+"""
