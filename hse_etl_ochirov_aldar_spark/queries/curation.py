@@ -5077,3 +5077,166 @@ FROM lineitem
 GROUP BY date_trunc('month', CAST(l_shipdate AS DATE))
 ORDER BY ship_month
 """
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day.
+# ---------------------------------------------------------------------------
+
+
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting split: per day, users seen for the FIRST time
+    ever vs returning users — the acquisition/retention decomposition
+    of the DAU curve. One min(day) per user (map-side-combined), one
+    equi-join back on (user, day is-first), one daily rollup; all
+    exact counts."""
+    ev = _events_base(spark, sf_dir).select("user_id", "day").distinct()
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("__first_day"))
+    j = ev.join(F.broadcast(firsts), "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("__first_day"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("day") != F.col("__first_day"), 1).otherwise(0)
+            ).alias("n_returning"),
+        )
+        .withColumn(
+            "new_share",
+            F.round(
+                F.col("n_new").cast("double")
+                / (F.col("n_new") + F.col("n_returning")).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_NEW_VS_RETURNING_DAILY = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+ev AS (SELECT DISTINCT user_id, day FROM clean),
+firsts AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id)
+SELECT e.day,
+       CAST(sum(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN e.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning,
+       round(CAST(sum(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS new_share
+FROM ev e JOIN firsts f USING (user_id)
+GROUP BY e.day
+ORDER BY e.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Order size (lines per order) histogram.
+# ---------------------------------------------------------------------------
+
+
+def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: lines per order censused twice (order
+    rollup, then size census) — the shape parameter behind the basket
+    operators' cost models (basket_lift_pairs' quadratic term) and the
+    shuffle-sizing estimate for per-order aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    total = sizes.agg(F.count(F.lit(1)).alias("__n_orders"))
+    return (
+        sizes.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("__n_orders").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+ORACLE_ORDER_SIZE_HISTOGRAM = """
+WITH sizes AS (
+  SELECT l_orderkey, count(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_orders_total FROM sizes)
+SELECT n_lines, count(*) AS n_orders,
+       round(CAST(count(*) AS DOUBLE) / CAST(t.n_orders_total AS DOUBLE), 6)
+         AS share
+FROM sizes CROSS JOIN tot t
+GROUP BY n_lines, t.n_orders_total
+ORDER BY n_lines
+"""
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration per part (Herfindahl index).
+# ---------------------------------------------------------------------------
+
+
+def q_part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain risk: the Herfindahl-Hirschman concentration of
+    supplier quantity share per part, top-20 single-sourced-most parts.
+    HHI = sum(share^2) stays exact as the integer ratio
+    sum(q_i^2) / (sum q_i)^2 — two censuses and ONE division into
+    basis points; no float shares accumulate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", units("l_quantity", 0).alias("__q")
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("__q").alias("__sq")
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("__sq").alias("__tot"),
+        F.sum(F.col("__sq") * F.col("__sq")).alias("__sumsq"),
+    )
+    return (
+        per_part.where(F.col("__tot") > 0)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            F.round(
+                F.lit(10_000.0)
+                * F.col("__sumsq").cast("double")
+                / (F.col("__tot") * F.col("__tot")).cast("double"),
+                6,
+            ).alias("hhi_bp"),
+        )
+        .orderBy(F.desc("hhi_bp"), F.desc("n_suppliers"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+ORACLE_PART_SUPPLIER_HHI = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+),
+per_supp AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS sq
+  FROM li GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(sq) AS BIGINT) AS tot,
+         CAST(sum(sq * sq) AS BIGINT) AS sumsq
+  FROM per_supp GROUP BY l_partkey
+)
+SELECT l_partkey, n_suppliers,
+       round(10000.0 * CAST(sumsq AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6)
+         AS hhi_bp
+FROM per_part
+WHERE tot > 0
+ORDER BY hhi_bp DESC, n_suppliers DESC, l_partkey
+LIMIT 20
+"""
