@@ -5240,3 +5240,69 @@ WHERE tot > 0
 ORDER BY hhi_bp DESC, n_suppliers DESC, l_partkey
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue pivot (wide mart via df.pivot).
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def q_monthly_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide reporting mart: order-month rows x market-segment
+    columns of exact revenue — Spark's native ``groupBy().pivot()``
+    with the segment domain DECLARED (skipping the extra
+    distinct-values scan pivot otherwise runs; one Expand-free
+    aggregate). Integer units keep every cell engine-exact; the oracle
+    states the same table as conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "order_month"
+        ),
+        "c_mktsegment",
+        units("o_totalprice").alias("__rev"),
+    )
+    wide = (
+        base.groupBy("order_month")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(F.sum("__rev"))
+    )
+    out = wide.select(
+        "order_month",
+        *[
+            as_value(F.coalesce(F.col(s), F.lit(0))).alias(f"rev_{s.lower()}")
+            for s in _SEGMENTS
+        ],
+    )
+    return out.orderBy("order_month")
+
+
+ORACLE_MONTHLY_REVENUE_PIVOT = """
+SELECT CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE)
+         AS order_month,
+       CAST(sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 100.0 AS rev_automobile,
+       CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 100.0 AS rev_building,
+       CAST(sum(CASE WHEN c.c_mktsegment = 'FURNITURE'
+                THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 100.0 AS rev_furniture,
+       CAST(sum(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'
+                THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 100.0 AS rev_household,
+       CAST(sum(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 100.0 AS rev_machinery
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY date_trunc('month', CAST(o.o_orderdate AS DATE))
+ORDER BY order_month
+"""

@@ -98,3 +98,30 @@ def test_gini_coefficient_known_values(spark):
     assert out["eq"] == 0.0
     assert abs(out["conc"] - 2 / 3) < 1e-6
     assert "zero" not in out
+
+
+def test_global_cumsum_matches_single_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.rank import global_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-50, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(df, ["k"], "v", "cs").collect()
+    }
+    ref = {
+        r["k"]: r["cs"]
+        for r in df.withColumn(
+            "cs",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == ref
