@@ -5306,3 +5306,136 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY date_trunc('month', CAST(o.o_orderdate AS DATE))
 ORDER BY order_month
 """
+
+
+# ---------------------------------------------------------------------------
+# Longest activity streaks (gaps-and-islands).
+# ---------------------------------------------------------------------------
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement streaks: each user's longest run of CONSECUTIVE
+    active days, censused into a distribution — the classic
+    gaps-and-islands pattern (island key = day_epoch - row_number per
+    user; consecutive days share it). One per-user window over
+    distinct active days, two rollups; everything integer."""
+    ev = _events_base(spark, sf_dir).select("user_id", "day").distinct()
+    days = ev.select(
+        "user_id",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("__de"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__de")
+    islands = days.select(
+        "user_id",
+        (F.col("__de") - F.row_number().over(w)).alias("__island"),
+    )
+    streaks = islands.groupBy("user_id", "__island").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("__len").alias("max_streak"))
+    return (
+        best.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("max_streak")
+    )
+
+
+ORACLE_ACTIVITY_STREAKS = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+ev AS (SELECT DISTINCT user_id, day FROM clean),
+days AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', day) AS de
+  FROM ev
+),
+islands AS (
+  SELECT user_id,
+         de - row_number() OVER (PARTITION BY user_id ORDER BY de)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS len
+  FROM islands GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+  FROM streaks GROUP BY user_id
+)
+SELECT max_streak, count(*) AS n_users
+FROM best GROUP BY max_streak
+ORDER BY max_streak
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile.
+# ---------------------------------------------------------------------------
+
+
+def q_dow_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality per event type: exact half-up average value
+    per ISO day-of-week (Monday=1 — Spark and DuckDB disagree on
+    dayofweek origin, so both sides rebase explicitly), plus each
+    type's PEAK weekday via the sort-free min-struct extremum over the
+    7-row profile."""
+    ev = _events_base(spark, sf_dir).select(
+        "event_type",
+        # Spark dayofweek: Sunday=1 ... rebase to ISO Monday=1
+        (((F.dayofweek("day") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+        units("value").alias("__vu"),
+    )
+    prof = ev.groupBy("event_type", "iso_dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__vu").alias("__su"),
+    )
+    peak = prof.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-(F.lit(100) * F.col("__su"))
+                 .cast("double") / F.col("n_events").cast("double")).alias("na"),
+                F.col("iso_dow").alias("d"),
+            )
+        ).getField("d").alias("peak_dow")
+    )
+    return (
+        prof.join(F.broadcast(peak), "event_type")
+        .select(
+            "event_type",
+            "iso_dow",
+            "n_events",
+            avg_units_expr("__su", "n_events", 2, 2).alias("avg_value"),
+            "peak_dow",
+        )
+        .orderBy("event_type", "iso_dow")
+    )
+
+
+ORACLE_DOW_VALUE_PROFILE = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+u AS (
+  SELECT event_type, isodow(day) AS iso_dow,
+         CAST(round(value * 100) AS BIGINT) AS vu
+  FROM clean
+),
+prof AS (
+  SELECT event_type, CAST(iso_dow AS BIGINT) AS iso_dow,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(vu) AS BIGINT) AS su
+  FROM u GROUP BY event_type, iso_dow
+),
+peak AS (
+  SELECT event_type,
+         (min(struct_pack(
+             na := -(100.0 * CAST(su AS DOUBLE)) / CAST(n_events AS DOUBLE),
+             d := iso_dow))).d AS peak_dow
+  FROM prof GROUP BY event_type
+)
+SELECT p.event_type, p.iso_dow, p.n_events,
+       {oracle_avg_units("p.su", "p.n_events", 2, 2)} AS avg_value,
+       k.peak_dow
+FROM prof p JOIN peak k USING (event_type)
+ORDER BY p.event_type, p.iso_dow
+"""
