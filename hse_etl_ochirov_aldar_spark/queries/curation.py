@@ -5439,3 +5439,185 @@ SELECT p.event_type, p.iso_dow, p.n_events,
 FROM prof p JOIN peak k USING (event_type)
 ORDER BY p.event_type, p.iso_dow
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-supplier winner margin per nation (sort-free top-2 gap).
+# ---------------------------------------------------------------------------
+
+
+def q_nation_top_supplier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competitive gap: per supplier nation, the revenue lead of the
+    top supplier over the runner-up — two sort-free extremum aggregates
+    (max struct for the winner, conditional max for the best
+    strictly-below-winner revenue) instead of a rank window. Nations
+    with a single revenue level report a zero margin against
+    themselves-excluded NULL -> filtered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", units("l_extendedprice").alias("__rev")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_supp = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum("__rev").alias("rev_units"))
+    )
+    win = per_supp.groupBy("n_name").agg(
+        F.max(
+            F.struct(F.col("rev_units").alias("r"), (-F.col("s_suppkey")).alias("ns"))
+        ).alias("__w")
+    ).select(
+        "n_name",
+        F.col("__w.r").alias("top_rev_units"),
+        (-F.col("__w.ns")).alias("top_suppkey"),
+    )
+    second = (
+        per_supp.join(F.broadcast(win), "n_name")
+        .where(F.col("rev_units") < F.col("top_rev_units"))
+        .groupBy("n_name")
+        .agg(F.max("rev_units").alias("runnerup_rev_units"))
+    )
+    return (
+        win.join(second, "n_name")
+        .select(
+            "n_name",
+            "top_suppkey",
+            "top_rev_units",
+            "runnerup_rev_units",
+            (F.col("top_rev_units") - F.col("runnerup_rev_units")).alias(
+                "margin_units"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_NATION_TOP_SUPPLIER_MARGIN = """
+WITH per_supp AS (
+  SELECT n.n_name, s.s_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_units
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_suppkey
+),
+win AS (
+  SELECT n_name,
+         (max(struct_pack(r := rev_units, ns := -s_suppkey))).r
+           AS top_rev_units,
+         -(max(struct_pack(r := rev_units, ns := -s_suppkey))).ns
+           AS top_suppkey
+  FROM per_supp GROUP BY n_name
+),
+second AS (
+  SELECT p.n_name, CAST(max(p.rev_units) AS BIGINT) AS runnerup_rev_units
+  FROM per_supp p JOIN win w USING (n_name)
+  WHERE p.rev_units < w.top_rev_units
+  GROUP BY p.n_name
+)
+SELECT w.n_name, CAST(w.top_suppkey AS BIGINT) AS top_suppkey,
+       w.top_rev_units, s.runnerup_rev_units,
+       w.top_rev_units - s.runnerup_rev_units AS margin_units
+FROM win w JOIN second s USING (n_name)
+ORDER BY w.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate cluster size histogram.
+# ---------------------------------------------------------------------------
+
+
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication structure, not just rate: the histogram of
+    exact-duplicate cluster sizes over the copy-injected corpus
+    (how many texts appear once, twice, k times) — the shape that
+    picks between keep-first dedup and frequency-weighted sampling.
+    Two censuses over 16-byte digests; text never shuffles."""
+    docs = _docs_with_near_dups(spark, sf_dir, n_dups=20)
+    sizes = docs.groupBy(F.md5(F.col("text")).alias("__d")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_DUP_CLUSTER_HISTOGRAM = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' nearduplicate tail'
+  FROM documents WHERE doc_id < 20
+),
+sizes AS (
+  SELECT md5(text) AS d, count(*) AS cluster_size
+  FROM corpus GROUP BY md5(text)
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Median order value by market segment (census median reuse).
+# ---------------------------------------------------------------------------
+
+
+def q_median_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typical-ticket mart: the exact median order value per market
+    segment — reusing the value-census order-statistic operator
+    (operators/robust._group_median2, the same machinery behind the
+    MAD screen and CUSUM center): the shuffle carries distinct
+    (segment, price) pairs, med2 = the two middle order statistics
+    summed, still BIGINT; value = med2 / 2 / 100 in one exact-input
+    division."""
+    from ..operators.robust import _group_median2
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", units("o_totalprice").alias("__pu")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    med = _group_median2(
+        j.select("c_mktsegment", "__pu"), "c_mktsegment", "__pu", "med2"
+    )
+    return med.select(
+        "c_mktsegment",
+        F.col("n_rows").alias("n_orders"),
+        "med2",
+        (F.col("med2").cast("double") / 2.0 / 100.0).alias("median_order_value"),
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_MEDIAN_ORDER_VALUE_BY_SEGMENT = """
+WITH j AS (
+  SELECT c.c_mktsegment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS pu
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(2 * median(pu) AS BIGINT) AS med2,
+       CAST(CAST(2 * median(pu) AS BIGINT) AS DOUBLE) / 2.0 / 100.0
+         AS median_order_value
+FROM j
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
