@@ -5540,8 +5540,15 @@ def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-duplicate cluster sizes over the copy-injected corpus
     (how many texts appear once, twice, k times) — the shape that
     picks between keep-first dedup and frequency-weighted sampling.
-    Two censuses over 16-byte digests; text never shuffles."""
-    docs = _docs_with_near_dups(spark, sf_dir, n_dups=20)
+    The probe corpus injects VERBATIM copies (first 20 docs twice, so
+    the histogram provably shows a size-2 band; the near-dup fixture
+    would md5 apart). Two censuses over 16-byte digests; text never
+    shuffles."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies)
     sizes = docs.groupBy(F.md5(F.col("text")).alias("__d")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -5559,7 +5566,7 @@ ORACLE_DUP_CLUSTER_HISTOGRAM = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text || ' nearduplicate tail'
+  SELECT doc_id + 2000000, text
   FROM documents WHERE doc_id < 20
 ),
 sizes AS (
