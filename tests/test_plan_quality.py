@@ -566,3 +566,40 @@ def test_debounce_single_window_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "debounce_duplicate_events")
     assert "Join" not in plan
     assert plan.count("events.parquet") == 1
+
+
+def test_abc_classification_uses_range_partitioned_cumsum(spark, sf_dir):
+    """The cumulative revenue share rides global_cumsum's range
+    shuffle, never a single-partition ORDER BY window."""
+    plan = _plan(spark, sf_dir, "abc_part_classification")
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_top_supplier_margin_is_window_free(spark, sf_dir):
+    """Winner and runner-up come from extremum aggregates + broadcast
+    joins — no rank window."""
+    plan = _plan(spark, sf_dir, "nation_top_supplier_margin")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_activity_streaks_single_scan_one_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "activity_streaks")
+    assert plan.count("events.parquet") == 1
+    assert "Window" in plan
+
+
+def test_monthly_pivot_no_distinct_prescan(spark, sf_dir):
+    """Declared pivot values: exactly one orders scan (pivot without
+    declared values adds a distinct-values collect scan)."""
+    plan = _plan(spark, sf_dir, "monthly_revenue_pivot")
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hhi_and_order_histogram_map_side_combined(spark, sf_dir):
+    for name in ("part_supplier_hhi", "order_size_histogram"):
+        plan = _plan(spark, sf_dir, name)
+        assert "partial_count" in plan or "partial_sum" in plan, name
+        assert "CartesianProduct" not in plan, name
