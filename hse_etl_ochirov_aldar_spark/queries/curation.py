@@ -5628,3 +5628,191 @@ FROM j
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Global order-value decile table.
+# ---------------------------------------------------------------------------
+
+
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row decile card for order value: exact p10..p90 as a
+    single ordered-set aggregate over integer cents (one map-side-
+    combined pass, no sort, no window) — the summary a pricing page or
+    an SLA doc quotes. Interpolated percentiles of BIGINTs are
+    engine-exact doubles."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        units("o_totalprice").alias("__pu")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_orders")] + [
+        F.percentile(F.col("__pu"), F.lit(q / 10)).alias(f"p{q}0_units")
+        for q in range(1, 10)
+    ]
+    return orders.agg(*aggs)
+
+
+ORACLE_ORDER_VALUE_DECILES = """
+SELECT count(*) AS n_orders,
+       """ + ",\n       ".join(
+    "percentile_cont({q}) WITHIN GROUP (ORDER BY CAST(round("
+    "o_totalprice * 100) AS BIGINT)) AS p{p}0_units".format(q=q / 10, p=q)
+    for q in range(1, 10)
+) + """
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calendar completeness: missing-days report.
+# ---------------------------------------------------------------------------
+
+
+def q_events_missing_days_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness audit: per event type, how many calendar
+    days inside its own [first, last] span produced ZERO events — the
+    silent-pipeline-outage detector. Dense calendar via
+    sequence()/explode (bounded by span days, the gap_fill_daily
+    pattern), LEFT ANTI against observed days, exact counts."""
+    ev = _events_base(spark, sf_dir).select("event_type", "day").distinct()
+    spans = ev.groupBy("event_type").agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("__d0"), F.col("__d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    missing = grid.join(ev, ["event_type", "day"], "left_anti")
+    span_days = spans.select(
+        "event_type",
+        (F.datediff("__d1", "__d0") + 1).cast("long").alias("span_days"),
+    )
+    n_missing = missing.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+    return (
+        span_days.join(n_missing, "event_type", "left")
+        .select(
+            "event_type",
+            "span_days",
+            F.coalesce(F.col("n_missing"), F.lit(0)).cast("long").alias(
+                "n_missing"
+            ),
+            F.round(
+                F.coalesce(F.col("n_missing"), F.lit(0)).cast("double")
+                / F.col("span_days").cast("double"),
+                6,
+            ).alias("missing_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_MISSING_DAYS_REPORT = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+ev AS (SELECT DISTINCT event_type, day FROM clean),
+spans AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM ev
+  GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1,
+                                 INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+),
+missing AS (
+  SELECT g.event_type, count(*) AS n_missing
+  FROM grid g LEFT JOIN ev e
+    ON e.event_type = g.event_type AND e.day = g.day
+  WHERE e.day IS NULL
+  GROUP BY g.event_type
+)
+SELECT s.event_type,
+       CAST(date_diff('day', s.d0, s.d1) + 1 AS BIGINT) AS span_days,
+       CAST(coalesce(m.n_missing, 0) AS BIGINT) AS n_missing,
+       round(CAST(coalesce(m.n_missing, 0) AS DOUBLE)
+             / CAST(date_diff('day', s.d0, s.d1) + 1 AS DOUBLE), 6)
+         AS missing_share
+FROM spans s LEFT JOIN missing m USING (event_type)
+ORDER BY s.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week movers.
+# ---------------------------------------------------------------------------
+
+
+def q_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movement per event type: weekly value totals
+    (ISO week = epoch-day div 7 anchored to Monday 1970-01-05 — both
+    engines state the same integer arithmetic, no locale-dependent
+    week function), previous week via one lag window over the weekly
+    rollup, exact integer delta and one 6 dp pct-change division."""
+    ev = _events_base(spark, sf_dir).select(
+        "event_type",
+        F.floor(
+            (F.datediff("day", F.lit("1970-01-05").cast("date"))) / 7
+        ).cast("long").alias("week_idx"),
+        units("value").alias("__vu"),
+    )
+    weekly = ev.groupBy("event_type", "week_idx").agg(
+        F.sum("__vu").alias("week_units")
+    )
+    w = Window.partitionBy("event_type").orderBy("week_idx")
+    out = weekly.select(
+        "event_type",
+        "week_idx",
+        "week_units",
+        F.lag("week_units").over(w).alias("prev_units"),
+        F.lag("week_idx").over(w).alias("__prev_idx"),
+    )
+    gapless = F.col("__prev_idx") == F.col("week_idx") - 1
+    return (
+        out.where(F.col("prev_units").isNotNull() & gapless & (F.col("prev_units") > 0))
+        .select(
+            "event_type",
+            "week_idx",
+            "week_units",
+            "prev_units",
+            (F.col("week_units") - F.col("prev_units")).alias("delta_units"),
+            F.round(
+                (F.col("week_units") - F.col("prev_units")).cast("double")
+                / F.col("prev_units").cast("double"),
+                6,
+            ).alias("pct_change"),
+        )
+        .orderBy("event_type", "week_idx")
+    )
+
+
+ORACLE_WEEKLY_MOVERS = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+ev AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-05', day) // 7 AS week_idx,
+         CAST(round(value * 100) AS BIGINT) AS vu
+  FROM clean
+),
+weekly AS (
+  SELECT event_type, CAST(week_idx AS BIGINT) AS week_idx,
+         CAST(sum(vu) AS BIGINT) AS week_units
+  FROM ev GROUP BY event_type, week_idx
+),
+lagged AS (
+  SELECT event_type, week_idx, week_units,
+         lag(week_units) OVER w AS prev_units,
+         lag(week_idx) OVER w AS prev_idx
+  FROM weekly
+  WINDOW w AS (PARTITION BY event_type ORDER BY week_idx)
+)
+SELECT event_type, week_idx, week_units, prev_units,
+       week_units - prev_units AS delta_units,
+       round(CAST(week_units - prev_units AS DOUBLE)
+             / CAST(prev_units AS DOUBLE), 6) AS pct_change
+FROM lagged
+WHERE prev_units IS NOT NULL AND prev_idx = week_idx - 1
+  AND prev_units > 0
+ORDER BY event_type, week_idx
+"""
