@@ -5816,3 +5816,117 @@ WHERE prev_units IS NOT NULL AND prev_idx = week_idx - 1
   AND prev_units > 0
 ORDER BY event_type, week_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy / data-governance screen).
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy screen before sharing a customer extract: treating
+    (nation, market segment) as the quasi-identifier, the
+    equivalence-class size distribution, the k-anonymity level (the
+    smallest class), and how many customers sit in classes below
+    k = 5 — the re-identification exposure a governance gate reports.
+    One census over the quasi-identifier, one rollup over class sizes;
+    all exact counts, one final share division."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.min("class_size").alias("k_anonymity"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .alias("n_below_k5"),
+    ).select(
+        "n_classes",
+        "n_rows",
+        "k_anonymity",
+        "n_below_k5",
+        F.round(
+            F.col("n_below_k5").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("exposure_share"),
+    )
+
+
+ORACLE_K_ANONYMITY_AUDIT = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT count(*) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(min(class_size) AS BIGINT) AS k_anonymity,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_below_k5,
+       round(CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(class_size) AS DOUBLE), 6)
+         AS exposure_share
+FROM classes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Activity inequality across users (Gini reuse).
+# ---------------------------------------------------------------------------
+
+
+def q_activity_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How unevenly is engagement distributed: the exact Gini of
+    per-user event counts, per event type — power-user concentration
+    (operators/profile.gini_coefficient, second consumer after the
+    revenue entry; the census machinery makes inequality audits a
+    one-liner over any integer measure)."""
+    from ..operators.profile import gini_coefficient
+
+    ev = _events_base(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return gini_coefficient(
+        per_user, group_col="event_type", units_col="n_events"
+    ).orderBy("event_type")
+
+
+ORACLE_ACTIVITY_GINI_USERS = f"""
+WITH clean AS ({_ORACLE_EVENTS_BASE}),
+per_user AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM clean GROUP BY event_type, user_id
+),
+census AS (
+  SELECT event_type, n_events, count(*) AS cnt
+  FROM per_user GROUP BY event_type, n_events
+),
+cum AS (
+  SELECT event_type, n_events, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY n_events
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r
+  FROM census
+),
+blocks AS (
+  SELECT event_type, cnt, n_events * cnt AS tot_blk,
+         n_events * (r * (r + 1) - (r - cnt) * (r - cnt + 1)) // 2 AS blk2
+  FROM cum
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(tot_blk) AS BIGINT) AS total_units,
+         CAST(sum(blk2) AS BIGINT) AS s
+  FROM blocks GROUP BY event_type
+)
+SELECT event_type, n, total_units,
+       round(CAST(2 * s - (n + 1) * total_units AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(total_units AS DOUBLE)), 6)
+         AS gini
+FROM agg
+WHERE total_units > 0
+ORDER BY event_type
+"""
