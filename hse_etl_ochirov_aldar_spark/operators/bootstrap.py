@@ -109,14 +109,22 @@ def poisson_bootstrap_mean(
         )
         for r in range(replicas)
     ]
-    means = F.sort_array(F.array(*mean_r))
+    means_arr = F.array(*mean_r)
+    means = F.sort_array(means_arr)
+    # A replica whose Poisson weights all drew 0 (possible on tiny
+    # inputs: wn_r = 0) has a NULL mean; sort_array places NULLs FIRST,
+    # which would silently shift ci_lo/ci_hi onto the wrong order
+    # statistics. With any replica missing, positions 2 and R-1 no
+    # longer carry the advertised coverage — so the CI is NULLed
+    # outright instead of quietly mis-indexed.
+    all_means_present = F.size(F.array_compact(means_arr)) == F.lit(replicas)
     return wide.select(
         F.col("n"),
         F.round(
             F.col("sy").cast("double") / F.col("n").cast("double") * F.lit(y_scale),
             6,
         ).alias("point_mean"),
-        F.element_at(means, 2).alias("ci_lo"),
-        F.element_at(means, replicas - 1).alias("ci_hi"),
+        F.when(all_means_present, F.element_at(means, 2)).alias("ci_lo"),
+        F.when(all_means_present, F.element_at(means, replicas - 1)).alias("ci_hi"),
         F.lit(replicas).cast("int").alias("n_replicas"),
     )

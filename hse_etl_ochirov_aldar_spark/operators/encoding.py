@@ -21,8 +21,9 @@ arithmetic until one final half-up division (functions/exact.py).
 Scale shape (100 TB): ONE map-side-combined groupBy(category, fold)
 partial over the facts — shuffle rows ~ |categories| * k, never row
 scale; the per-category totals re-aggregate THAT partial (integer sums
-are associative, so two-level aggregation stays exact); the global
-prior rides in as a broadcast 1-row aggregate. No window, no sort, no
+are associative, so two-level aggregation stays exact); the per-fold
+totals (k rows) and global totals (1 row) used by the prior ride in
+as broadcast aggregates of that same partial. No window, no sort, no
 Python.
 """
 
@@ -76,18 +77,25 @@ def kfold_target_encode(
     cat_totals = partial.groupBy("category").agg(
         F.sum("n_in_fold").alias("n_cat"), F.sum("s_in_fold").alias("s_cat")
     )
+    fold_totals = partial.groupBy("fold").agg(
+        F.sum("n_in_fold").alias("n_fold"), F.sum("s_in_fold").alias("s_fold")
+    )
     global_totals = partial.agg(
         F.sum("n_in_fold").alias("n_all"), F.sum("s_in_fold").alias("s_all")
     )
-    j = partial.join(cat_totals, "category").crossJoin(F.broadcast(global_totals))
+    j = (
+        partial.join(cat_totals, "category")
+        .join(F.broadcast(fold_totals), "fold")
+        .crossJoin(F.broadcast(global_totals))
+    )
     n_out = F.col("n_cat") - F.col("n_in_fold")
     enc_out = avg_units_expr("(s_cat - s_in_fold)", "(n_cat - n_in_fold)", scale, scale)
-    # Global prior is ALSO leave-fold-out: this fold's rows are removed
-    # from the global mean too, so even the fallback never sees its own
-    # fold's targets.
-    enc_prior = avg_units_expr(
-        "(s_all - s_in_fold)", "(n_all - n_in_fold)", scale, scale
-    )
+    # Global prior is ALSO leave-fold-out: the ENTIRE fold (every
+    # category's rows in it, not just this category's) is removed from
+    # the global mean, so the fallback never sees any validation-fold
+    # target. Subtracting only this category's in-fold rows would leave
+    # other categories' same-fold targets inside the prior — a leak.
+    enc_prior = avg_units_expr("(s_all - s_fold)", "(n_all - n_fold)", scale, scale)
     return j.select(
         "category",
         F.col("fold").cast("int").alias("fold"),

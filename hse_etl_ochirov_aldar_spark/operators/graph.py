@@ -201,18 +201,22 @@ def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     rounds (same lineage discipline as pagerank_exact).
 
     Rounds are data-dependent (a path graph peels one layer per
-    round); if ``max_rounds`` is hit before the fixpoint the operator
-    RAISES rather than returning a superset that silently isn't a
-    k-core — the same honest-failure contract as text_dedup's star
-    contraction. Each peel strictly removes >= 1 node, so rounds are
-    also bounded by the node count.
+    round); if ``max_rounds`` peels happen without reaching the
+    fixpoint the operator RAISES rather than returning a superset that
+    silently isn't a k-core — the same honest-failure contract as
+    text_dedup's star contraction. Each peel strictly removes >= 1
+    node, so ``max_rounds = node count`` always suffices: the loop
+    runs ``max_rounds + 1`` iterations so the emptiness check is
+    observed once more AFTER the final possible peel (without the +1,
+    a graph needing exactly ``max_rounds`` peels would raise despite
+    having converged).
 
     Output: ``id, core_degree`` (degree inside the k-core) for every
     member node.
     """
     und = _undirected(pairs)
     alive = und
-    for _ in range(max_rounds):
+    for _ in range(max_rounds + 1):
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         weak = deg.where(F.col("deg") < k).select("src")
         if weak.isEmpty():

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill_daily", "rolling_median_daily"]
+__all__ = ["cusum_changepoints", "gap_fill_daily", "rolling_median_daily"]
 
 
 def gap_fill_daily(

@@ -2484,8 +2484,10 @@ agg AS (
 SELECT n,
        round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
              * CAST(0.01 AS DOUBLE), 6) AS point_mean,
-       list_sort([{means}])[2] AS ci_lo,
-       list_sort([{means}])[{replicas - 1}] AS ci_hi,
+       CASE WHEN len(list_filter([{means}], x -> x IS NOT NULL)) = {replicas}
+            THEN list_sort([{means}])[2] END AS ci_lo,
+       CASE WHEN len(list_filter([{means}], x -> x IS NOT NULL)) = {replicas}
+            THEN list_sort([{means}])[{replicas - 1}] END AS ci_hi,
        CAST({replicas} AS INT) AS n_replicas
 FROM agg
 """
@@ -2659,6 +2661,10 @@ tot AS (
   SELECT category, sum(n_in_fold) AS n_cat, sum(s_in_fold) AS s_cat
   FROM partial GROUP BY 1
 ),
+ft AS (
+  SELECT fold, sum(n_in_fold) AS n_fold, sum(s_in_fold) AS s_fold
+  FROM partial GROUP BY 1
+),
 g AS (
   SELECT sum(n_in_fold) AS n_all, sum(s_in_fold) AS s_all FROM partial
 )
@@ -2668,9 +2674,12 @@ SELECT p.category,
        CAST(t.n_cat - p.n_in_fold AS BIGINT) AS n_out,
        CASE WHEN t.n_cat - p.n_in_fold > 0
             THEN {oracle_avg_units('(t.s_cat - p.s_in_fold)', '(t.n_cat - p.n_in_fold)', 2, 2)}
-            ELSE {oracle_avg_units('(g.s_all - p.s_in_fold)', '(g.n_all - p.n_in_fold)', 2, 2)}
+            ELSE {oracle_avg_units('(g.s_all - f.s_fold)', '(g.n_all - f.n_fold)', 2, 2)}
        END AS enc,
        (t.n_cat - p.n_in_fold = 0) AS is_prior
-FROM partial p JOIN tot t ON t.category = p.category CROSS JOIN g
+FROM partial p
+JOIN tot t ON t.category = p.category
+JOIN ft f ON f.fold = p.fold
+CROSS JOIN g
 ORDER BY p.category, p.fold
 """

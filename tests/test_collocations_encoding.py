@@ -101,14 +101,14 @@ def test_target_encode_single_fold_category_uses_prior(spark):
            for r in kfold_target_encode(df, "key", "cat", "t", k=k).collect()}
     r = out[("solo", 0)]
     assert r["is_prior"] and r["n_out"] == 0
-    # prior = mean over everything OUTSIDE fold... minus this row:
-    # all "big" rows (500) plus "solo" rows outside fold 0 (none) and
-    # "big" rows share fold 0 too — global leave-fold-out excludes ONLY
-    # this fold's rows of ALL categories? No: it excludes this
-    # (category, fold) cell's rows — s_all - s_in_fold over n_all -
-    # n_in_fold where the cell is ("solo", 0).
-    n_ref = 61 - 1
-    s_ref = 60 * 500 + 9900 - 9900
+    # The prior is leave-FOLD-out across ALL categories: every fold-0
+    # row (the solo row AND the "big" rows that hash into fold 0) is
+    # excluded from the global mean, so no fold-0 target — of any
+    # category — leaks into fold 0's encoding.
+    big_in_f0 = sum(1 for i in range(60) if _bucket(i, k) == 0)
+    assert big_in_f0 > 0  # fixture sanity: the leak case is exercised
+    n_ref = 61 - (big_in_f0 + 1)
+    s_ref = (60 * 500 + 9900) - (big_in_f0 * 500 + 9900)
     expect = ((2 * s_ref * 100 + n_ref * 100) // (2 * n_ref * 100)) / 100
     assert r["enc"] == expect
     # every "big" cell is a plain leave-fold-out mean: 500 centi-units
