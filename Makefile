@@ -4,7 +4,7 @@
 # FULL-catalog signal at gate scale — run it each round and record the
 # result in PERF.md ("sf0.01 oracle sweep" section).
 
-.PHONY: test sweep lint-oracles bench
+.PHONY: test sweep lint-oracles bench bench-accept
 
 test:
 	python -m pytest tests/ -x -q
@@ -25,6 +25,15 @@ lint-oracles:
 
 bench:
 	python bench.py
+
+# Accept a bench run as the secondary regression reference: entries
+# added after BENCH_REFERENCE.json was recorded are guarded against
+# BENCH_PREV.json (bench.py two-tier guard). Run at round close on the
+# round's accepted JSON line: `make bench-accept RUN=/tmp/bench.json`.
+bench-accept:
+	python -c "import json,sys; d=json.load(open('$(RUN)')); \
+	json.dump({'queries': d['queries'], 'sf': d['sf'], \
+	'accepted_total': d['value']}, open('BENCH_PREV.json','w'), indent=1)"
 
 # Synthetic multi-million-row scale checks (results recorded in PERF.md).
 scale:

@@ -2,6 +2,25 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Regression guard (PERF.md policy): every query is compared against a
+reference timing with whole-machine drift normalization; >1.5x
+adjusted AND >0.75s absolute flags in the JSON line. Two reference
+tiers (r6 verdict task #3 — entries added after the primary baseline
+was recorded used to be unguarded):
+
+- ``BENCH_REFERENCE.json`` — the primary baseline (quiet-host warm
+  run, regenerated only when the host itself changes; v1 kept as
+  ``BENCH_REFERENCE_v1.json`` for provenance).
+- ``BENCH_PREV.json`` — the previous accepted round's full per-query
+  record, maintained at round close (``make bench-accept``). Queries
+  absent from the primary (added since it was recorded) are guarded
+  against this tier with the SAME drift factor — drift is always
+  computed from the primary overlap, the stable anchor.
+
+The guard itself is the pure function ``guard_regressions`` so a
+synthetic 2x slowdown is unit-testable without Spark
+(tests/test_bench_guard.py).
 """
 
 from __future__ import annotations
@@ -10,6 +29,74 @@ import json
 import os
 import sys
 import time
+
+# guard thresholds (PERF.md policy, unchanged since r3)
+RATIO_BAR = 1.5
+ABS_BAR = 0.75
+DRIFT_WARN = 1.3
+MIN_BASE = 0.2  # sub-noise reference values are not guardable
+
+
+def machine_drift(
+    timings: dict[str, float], primary: dict[str, float]
+) -> float | None:
+    """Median now/ref ratio over the PRIMARY overlap: the reference was
+    recorded on one VM incarnation; a reboot onto a slower/noisier host
+    moves EVERY query by a similar factor, so only queries that moved
+    relative to the rest of the catalog should flag."""
+    ratios = sorted(
+        t / primary[n]
+        for n, t in timings.items()
+        if primary.get(n) and primary[n] >= MIN_BASE
+    )
+    if not ratios:
+        return None
+    return round(ratios[len(ratios) // 2], 3)
+
+
+def guard_regressions(
+    timings: dict[str, float],
+    primary: dict[str, float],
+    secondary: dict[str, float] | None = None,
+    drift: float | None = None,
+) -> dict[str, dict]:
+    """Flag queries whose timing regressed vs their reference tier.
+
+    A query's base is its ``primary`` entry, else its ``secondary``
+    entry (entries added after the primary baseline). Flag when
+    t > RATIO_BAR * base*drift AND t - base*drift > ABS_BAR — the
+    ratio alone over-flags sub-second queries (reference values are
+    per-query minima, so ±0.3s scheduler noise reads as 1.5x).
+    """
+    flags: dict[str, dict] = {}
+    d = drift or 1.0
+    for name, t in timings.items():
+        base = primary.get(name)
+        source = "reference"
+        if not base and secondary:
+            base = secondary.get(name)
+            source = "prev"
+        if not base or base < MIN_BASE:
+            continue
+        adj = base * d
+        if t > RATIO_BAR * adj and t - adj > ABS_BAR:
+            flags[name] = {
+                "ref": base,
+                "now": t,
+                "drift": drift,
+                "ratio_vs_drift": round(t / adj, 2),
+                "source": source,
+            }
+    return flags
+
+
+def _load_queries(path: str) -> dict[str, float]:
+    if not os.path.exists(path):
+        return {}
+    try:
+        return json.load(open(path)).get("queries", {})
+    except Exception:
+        return {}
 
 
 def main() -> None:
@@ -45,76 +132,46 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # Regression guard (PERF.md policy): compare against the last
-    # accepted round's per-query numbers; any >1.5x move is flagged in
-    # the JSON line and needs a PERF.md "Known costs" entry (precedent:
-    # near_dedup_minhash's r2 CC-clustering cost). Only applied at the
-    # reference's scale so sf0.01 smoke runs don't false-positive.
-    regressions: dict[str, dict] = {}
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_REFERENCE.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    primary = _load_queries(os.path.join(here, "BENCH_REFERENCE.json"))
+    secondary = _load_queries(os.path.join(here, "BENCH_PREV.json"))
     drift = None
     out_drift_warning = False
-    if os.path.exists(ref_path) and sf == "0.1":
-        ref = json.load(open(ref_path))["queries"]
-        # whole-machine drift: the reference was recorded on one VM
-        # incarnation; a reboot onto a slower/noisier host moves EVERY
-        # query by a similar factor. Normalize by the median now/ref
-        # ratio so only queries that moved relative to the rest of the
-        # catalog flag — a true per-query regression shifts its own
-        # ratio, not the median.
-        ratios = sorted(
-            t / ref[n] for n, t in timings.items()
-            if ref.get(n) and ref[n] >= 0.2
-        )
-        if ratios:
-            drift = round(ratios[len(ratios) // 2], 3)
-        if drift is not None and drift > 1.3:
+    regressions: dict[str, dict] = {}
+    if primary and sf == "0.1":
+        drift = machine_drift(timings, primary)
+        if drift is not None and drift > DRIFT_WARN:
             # median-normalization would silently absorb a uniform
             # software regression (shared helper, session config); a
             # drift this large needs a human to decide host-vs-code
-            print(f"# DRIFT-WARNING machine_drift={drift} > 1.3: either "
-                  "the host slowed down or a shared code path regressed "
-                  "across the whole catalog — inspect before trusting "
-                  "the normalized guard", file=sys.stderr)
+            print(f"# DRIFT-WARNING machine_drift={drift} > {DRIFT_WARN}: "
+                  "either the host slowed down or a shared code path "
+                  "regressed across the whole catalog — inspect before "
+                  "trusting the normalized guard", file=sys.stderr)
             out_drift_warning = True
 
-        def flagged(t: float, base: float) -> bool:
-            adj = base * (drift or 1.0)
-            # ratio alone over-flags sub-second queries (reference values
-            # are per-query minima, so ±0.3s scheduler noise reads as
-            # 1.5x); require a material absolute move too
-            return t > 1.5 * adj and t - adj > 0.75
-
-        for name, t in list(timings.items()):
-            base = ref.get(name)
-            if not base or base < 0.2:
-                continue
-            if flagged(t, base):
-                # first execution of a plan pays whole-stage-codegen
-                # compile + any transient host contention; re-run once
-                # warm and keep the min so the record reflects the
-                # query, not the moment (r3 false-positive precedent:
-                # nation_volume_shipping 2.29s flagged, 1.0s warm)
-                t0 = time.perf_counter()
-                try:
-                    QUERIES[name](spark, sf_dir).count()
-                    t2 = round(time.perf_counter() - t0, 3)
-                except Exception:
-                    t2 = t
-                spark.catalog.clearCache()
-                if t2 < t:
-                    print(f"# rerun {name}: {t}s -> {t2}s (kept min)",
-                          file=sys.stderr)
-                    timings[name] = t = t2
-            if flagged(t, base):
-                adj = base * (drift or 1.0)
-                regressions[name] = {"ref": base, "now": t,
-                                     "drift": drift,
-                                     "ratio_vs_drift": round(t / adj, 2)}
-                print(f"# REGRESSION {name}: {base}s -> {t}s "
-                      f"({t / adj:.2f}x after {drift}x drift)",
-                      file=sys.stderr)
+        for name in guard_regressions(timings, primary, secondary, drift):
+            # first execution of a plan pays whole-stage-codegen
+            # compile + any transient host contention; re-run once
+            # warm and keep the min so the record reflects the
+            # query, not the moment (r3 false-positive precedent:
+            # nation_volume_shipping 2.29s flagged, 1.0s warm)
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).count()
+                t2 = round(time.perf_counter() - t0, 3)
+            except Exception:
+                t2 = timings[name]
+            spark.catalog.clearCache()
+            if t2 < timings[name]:
+                print(f"# rerun {name}: {timings[name]}s -> {t2}s "
+                      "(kept min)", file=sys.stderr)
+                timings[name] = t2
+        regressions = guard_regressions(timings, primary, secondary, drift)
+        for name, r in regressions.items():
+            print(f"# REGRESSION {name}: {r['ref']}s -> {r['now']}s "
+                  f"({r['ratio_vs_drift']}x after {drift}x drift, "
+                  f"vs {r['source']})", file=sys.stderr)
         total = round(sum(timings.values()), 3)
 
     out = {
