@@ -1084,6 +1084,8 @@ def srp_lsh_pairs(
     vec_col: str = "embedding",
     scale: int = 6,
     seed: str = "srp",
+    stage: bool = True,
+    lookup: str = "broadcast",
 ) -> DataFrame:
     """Cosine near-pair mining via banded SRP-LSH + exact verify.
 
@@ -1101,13 +1103,37 @@ def srp_lsh_pairs(
     threshold verifies every candidate: false positives cost time, not
     correctness; recall is the banding guarantee above.
 
+    ``stage=True`` (default) materializes the band rows ONCE through a
+    temp parquet stage before the self-join: Spark re-executes a
+    non-cached subplan per consumer, and the signature fold (an
+    interpreted HOF dot product per hyperplane — the most expensive
+    expression in this module) feeds TWO consumers via the a/b
+    self-join. Same seam as setsim's staged postings (PERF finding 22),
+    same magnitude. The stage holds 3 ints per (vector, band) — the
+    smallest relation in the pipeline, never the embeddings.
+
+    Sizing ``bits``/``bands`` is the whole cost model: random-pair
+    candidate rate is ~bands/2^(bits/bands), so at corpus scale you buy
+    candidate shrinkage with bits-per-band (64 bits in 8 bands = 1/32
+    the random collisions of 16 in 4, with BETTER 0.95-cosine recall,
+    0.988 vs 0.985 — signature cost is linear in rows and trivially
+    parallel, verify cost is per-candidate and is what explodes).
+    ``lookup`` follows cosine_dup_ids: "broadcast" hash-maps the
+    (id, vec, norm) table to every task (right into the ~10M-vector
+    range at dim 64); at true 100 TB corpus scale pass "merge" for
+    co-partitioned sort-merge lookups.
+
     Output: (vec_id_a, vec_id_b, cos_sim 6dp) for verified pairs.
     """
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
     rpb = bits // bands
     mat = srp_sign_matrix(bits, _vec_dims(vectors, vec_col), seed)
-    sig = vectors.select(
+    # _spread before the signature fold (PERF finding 2): a small
+    # single-file corpus arrives in 1-2 partitions, and the interpreted
+    # per-hyperplane dot products are the CPU cost of this operator —
+    # without the spread they run on 1-2 cores. No-op at real scale.
+    sig = _spread(vectors).select(
         F.col(id_col).alias("vid"),
         srp_signature(F.col(vec_col), mat, scale).alias("bits"),
     )
@@ -1131,6 +1157,12 @@ def srp_lsh_pairs(
             )
         ).alias("bk"),
     ).select("vid", "bk.band_id", "bk.band_key")
+    if stage:
+        import tempfile
+
+        stage_dir = tempfile.mkdtemp(prefix="hse_srp_") + "/bands"
+        band_rows.coalesce(8).write.mode("overwrite").parquet(stage_dir)
+        band_rows = vectors.sparkSession.read.parquet(stage_dir)
     cand = (
         band_rows.alias("a")
         .join(
@@ -1144,19 +1176,48 @@ def srp_lsh_pairs(
         )
         .distinct()
     )
-    va = vectors.select(
-        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("_ea")
+    # Verify with the cosine_dup_ids discipline: per-vector norms are
+    # computed ONCE on the lookup side (the join is a projection
+    # barrier, so CollapseProject cannot re-inline the fold into the
+    # per-pair expression — a naive cosine(_ea, _eb) pays THREE
+    # interpreted dim-wide folds per candidate, this pays one), and the
+    # candidate stream is repartitioned because its per-row COMPUTE,
+    # not its byte size, is the cost of the stage.
+    base = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
-    vb = vectors.select(
-        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("_eb")
-    )
+    hint = F.broadcast if lookup == "broadcast" else (lambda d: d.hint("MERGE"))
+    target = vectors.sparkSession.sparkContext.defaultParallelism
     return (
-        cand.join(va, "vec_id_a")
-        .join(vb, "vec_id_b")
+        cand.repartition(target, "vec_id_a")
+        .join(
+            hint(
+                base.select(
+                    F.col(id_col).alias("vec_id_a"),
+                    F.col(vec_col).alias("_ea"),
+                    F.col("_nrm").alias("_na"),
+                )
+            ),
+            "vec_id_a",
+        )
+        .join(
+            hint(
+                base.select(
+                    F.col(id_col).alias("vec_id_b"),
+                    F.col(vec_col).alias("_eb"),
+                    F.col("_nrm").alias("_nb"),
+                )
+            ),
+            "vec_id_b",
+        )
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
     )

@@ -2715,16 +2715,21 @@ FROM fused QUALIFY fused_rank <= 5
 
 def q_srp_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine >= 0.95 near-pairs via banded sign-random-projection LSH
-    (operators/similarity.srp_lsh_pairs): 16 md5-derived Rademacher
-    hyperplane bits in 4 bands block the pair space; candidates are an
+    (operators/similarity.srp_lsh_pairs): 64 md5-derived Rademacher
+    hyperplane bits in 8 bands block the pair space; candidates are an
     equi-join on (band, band_key) carrying ids only, then exact cosine
-    verifies. Unlike the IVF path there is NO fit step — the
-    hyperplanes are data-independent, so the same signatures work for
-    streaming appends where a quantizer goes stale. Same 20 injected
-    scaled copies as embedding_near_dedup (cos = 1.0 against their
-    sources; natural corpus max ~0.51), so the verified pair set is
-    exactly the planted one — and sign(dot) is scale-invariant, so a
-    copy provably shares all 16 bits with its source."""
+    verifies against once-computed per-vector norms. Unlike the IVF
+    path there is NO fit step — the hyperplanes are data-independent,
+    so the same signatures work for streaming appends where a quantizer
+    goes stale. 64/8 rather than 16/4 is the scale-honest operating
+    point (r7, PERF finding 23): the random-pair collision rate drops
+    32x (8/2^8 vs 4/2^4) while 0.95-cosine recall IMPROVES to ~0.988 —
+    candidate verification, not signature computation, is the cost that
+    explodes with corpus size. Same 20 injected scaled copies as
+    embedding_near_dedup (cos = 1.0 against their sources; natural
+    corpus max ~0.51), so the verified pair set is exactly the planted
+    one — and sign(dot) is scale-invariant, so a copy provably shares
+    all 64 bits with its source."""
     from ..operators.similarity import srp_lsh_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2736,7 +2741,7 @@ def q_srp_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding").unionByName(dups)
     return srp_lsh_pairs(
-        corpus, threshold=0.95, bits=16, bands=4
+        corpus, threshold=0.95, bits=64, bands=8
     ).orderBy("vec_id_a", "vec_id_b")
 
 
@@ -2799,7 +2804,7 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
-ORACLE_SRP_LSH_NEAR_PAIRS = _srp_oracle()
+ORACLE_SRP_LSH_NEAR_PAIRS = _srp_oracle(64, 8)
 
 
 # ---------------------------------------------------------------------------
