@@ -214,7 +214,14 @@ def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     Output: ``id, core_degree`` (degree inside the k-core) for every
     member node.
     """
-    und = _undirected(pairs)
+    # Eager checkpoint of the edge list at entry: the producing subplan
+    # (typically an expensive pair census) would otherwise execute once
+    # for round 1's degree census AND again when round 1's survivor
+    # set is checkpointed — r7 profiling showed that double execution,
+    # not the peeling, dominated part_kcore. The edge list itself is
+    # the bounded relation here (O(edges), already the loop's working
+    # set), so materializing it once is strictly cheaper.
+    und = _undirected(pairs).localCheckpoint(eager=True)
     alive = und
     for _ in range(max_rounds + 1):
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

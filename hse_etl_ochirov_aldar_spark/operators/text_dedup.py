@@ -421,6 +421,7 @@ def connected_components_min(
             F.least(F.col("src"), F.col("nmin")).alias("rep"),
         )
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -444,8 +445,19 @@ def connected_components_min(
         changed = updated.where(F.col("new_rep") < F.col("rep")).count()
         labels = updated.select("id", F.col("new_rep").alias("rep"))
         if changed == 0:
+            converged = True
             break
     und.unpersist()  # labels are checkpointed; the pair cache is done
+    if not converged:
+        # non-fixpoint labels map one component onto multiple reps —
+        # downstream dedup would silently under-merge. Same honest-
+        # failure contract as the star path and kcore_members.
+        raise RuntimeError(
+            f"connected_components_min(algorithm='minlabel') did not "
+            f"converge within {max_iter} rounds; labels were still "
+            f"changing. Raise max_iter (rounds needed = component "
+            f"diameter) or use algorithm='star' (O(log^2 n) rounds)."
+        )
     return labels
 
 

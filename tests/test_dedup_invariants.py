@@ -178,6 +178,25 @@ def test_connected_components_min_fixpoint(spark):
     assert ml == want
 
 
+def test_minlabel_raises_instead_of_returning_nonfixpoint(spark):
+    """minlabel with too few rounds for the component diameter must
+    RAISE, never silently return labels that map one component onto
+    several reps (the under-merge a downstream dedup cannot detect)."""
+    import pytest
+
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        connected_components_min,
+    )
+
+    # a 7-node path needs more than one min-propagation round
+    chain = [(i, i + 1) for i in range(10, 16)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_min(
+            pairs, max_iter=1, collect_threshold=0, algorithm="minlabel"
+        )
+
+
 def test_connected_components_star_matches_union_find(spark):
     """Star contraction must agree exactly with driver union-find on a
     randomized multi-component graph (chains, a clique, a star, and

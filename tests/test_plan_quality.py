@@ -603,3 +603,15 @@ def test_hhi_and_order_histogram_map_side_combined(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "partial_count" in plan or "partial_sum" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_srp_verify_is_broadcast_with_staged_bands(spark, sf_dir):
+    """srp_lsh_near_pairs (r7 rework, PERF finding 23): the band rows
+    are staged through parquet (so the plan reads the stage, executing
+    the signature subplan once — the embeddings parquet appears only in
+    the verify lookups), the lookup sides broadcast, and no cartesian
+    product anywhere."""
+    plan = _plan(spark, sf_dir, "srp_lsh_near_pairs")
+    assert plan.count("hse_srp_") >= 2  # both self-join sides read the stage
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
