@@ -120,6 +120,39 @@ def main() -> None:
             vecs, threshold=0.999, block_col="label"
         ).count()
 
+    # 4b) SRP-LSH near-pairs at 200k vectors — the r7 sizing rule at
+    #    volume: bits-per-band buys candidate shrinkage (rpb=16 ->
+    #    2^-16 random collision rate, ~2.4M candidates from 2e10
+    #    pairs), bands buy recall back; planted scaled copies have
+    #    cosine 1.0 and share all bits, so found == planted exactly
+    #    (centered components keep natural cosines far below 0.95).
+    def srp_lsh_200k():
+        from hse_etl_ochirov_aldar_spark.operators.similarity import srp_lsh_pairs
+
+        base = spark.range(200_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (
+                    (F.pmod(F.xxhash64(F.col("id"), i), 1000) - 500) / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        copies = base.where(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        pairs = srp_lsh_pairs(
+            base.unionByName(copies),
+            threshold=0.95,
+            bits=128,
+            bands=8,
+        )
+        planted = pairs.where(F.col("vec_id_b") == F.col("vec_id_a") + 1_000_000)
+        return {"pairs": pairs.count(), "planted_found": planted.count()}
+
     # 5) as-of join: 5M probes against 500k versioned build rows
     def asof_5m():
         from hse_etl_ochirov_aldar_spark.operators.asof import asof_join
@@ -747,6 +780,7 @@ def main() -> None:
     timed("skewed_join_plain_5m", skew_plain)
     timed("skewed_join_salted_5m", skew_salted)
     timed("embedding_near_dedup_blocked_200k", embedding_blocked_200k)
+    timed("srp_lsh_near_pairs_200k", srp_lsh_200k)
     timed("gopher_filters_2m_docs", gopher_2m)
     timed("split_pack_10m_docs", pack_10m)
     timed("decontaminate_2m_docs", decontaminate_2m)
