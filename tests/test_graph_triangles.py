@@ -124,3 +124,15 @@ def test_label_propagation_two_clusters(spark):
     )
     out = {r["id"]: r["community"] for r in label_propagation(edges, iters=4).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_kcore_converging_at_exactly_max_rounds_returns(spark):
+    from hse_etl_ochirov_aldar_spark.operators.graph import kcore_members
+
+    # path 0-1-...-6 peels to empty in exactly 3 rounds at k=2 (two
+    # endpoints per round); with max_rounds=3 the fixpoint is only
+    # observable on the (max_rounds+1)-th degree census — the r6
+    # advice off-by-one made this raise despite having converged
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+    assert kcore_members(df, 2, max_rounds=3).count() == 0

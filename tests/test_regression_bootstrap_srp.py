@@ -272,3 +272,27 @@ def test_srp_candidates_shuffle_ids_only(spark):
         .toString()
     )
     assert "cartesian" not in plan.lower()
+
+
+def test_bootstrap_ci_null_when_a_replica_mean_is_missing(spark):
+    """A replica whose Poisson weights all drew 0 has a NULL mean; the
+    CI must be NULLed outright (r7 advice fix), never silently shifted
+    onto wrong order statistics by NULLS-first sort order."""
+    # single row: P(w=0) = e^-1 per replica, so across 32 replicas at
+    # least one zero-weight replica is a near-certainty — assert the
+    # fixture actually hits the degenerate case, then the contract
+    from hse_etl_ochirov_aldar_spark.operators.bootstrap import (
+        poisson_bootstrap_mean,
+        poisson_weight_expr,
+    )
+
+    df = spark.createDataFrame([(7, 100)], "id long, cents long")
+    weights = df.select(
+        *[poisson_weight_expr(F.col("id"), r).alias(f"w{r}") for r in range(32)]
+    ).collect()[0]
+    assert any(weights[f"w{r}"] == 0 for r in range(32))  # degenerate case live
+    row = poisson_bootstrap_mean(
+        df, F.col("id"), F.col("cents"), replicas=32
+    ).collect()[0]
+    assert row["ci_lo"] is None and row["ci_hi"] is None
+    assert row["point_mean"] == 100.0 and row["n"] == 1
