@@ -1075,6 +1075,52 @@ def srp_signature(
     )
 
 
+def srp_signature_frame(
+    vectors: DataFrame,
+    mat: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """(vid, bits) via ONE Arrow-batched numpy int64 matmul per batch —
+    the opt-in scale path for srp_signature, and unlike the float
+    Pandas-UDF twins elsewhere it is provably BIT-IDENTICAL to the
+    expression fold (test-pinned): the micro snap replicates Spark
+    round-HALF-UP exactly (sign * floor(|d| + 0.5) on the same IEEE
+    double product d = float64(x) * 10^scale, exact below 2^52), and
+    the hyperplane dots are integer matmul — no float aggregation
+    anywhere, so there is no summation-order or ulp concern. Use when
+    signatures dominate (interpreted HOF folds re-evaluate the free
+    micro-vec per hyperplane row — finding 22's class — and cost ~2
+    orders of magnitude more per element than vectorized int64 BLAS).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sig_t = np.asarray(mat, dtype=np.int64).T  # dims x bits
+    m = float(10**scale)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vid": [], "bits": []})
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            d = v * m
+            micro = (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
+            bits = (micro @ sig_t >= 0).astype(np.int32)
+            yield pd.DataFrame(
+                {"vid": pdf[id_col], "bits": [b.tolist() for b in bits]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen, f"vid {id_type}, bits array<int>"
+    )
+
+
 def srp_lsh_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -1086,6 +1132,7 @@ def srp_lsh_pairs(
     seed: str = "srp",
     stage: bool = True,
     lookup: str = "broadcast",
+    signature: str = "expr",
 ) -> DataFrame:
     """Cosine near-pair mining via banded SRP-LSH + exact verify.
 
@@ -1121,22 +1168,35 @@ def srp_lsh_pairs(
     ``lookup`` follows cosine_dup_ids: "broadcast" hash-maps the
     (id, vec, norm) table to every task (right into the ~10M-vector
     range at dim 64); at true 100 TB corpus scale pass "merge" for
-    co-partitioned sort-merge lookups.
+    co-partitioned sort-merge lookups. ``signature="arrow"`` computes
+    the sign bits with srp_signature_frame's Arrow/numpy int64 matmul
+    — bit-identical output (test-pinned), ~2 orders of magnitude less
+    per-element cost than the interpreted expression fold; the default
+    stays "expr" to keep the driver-checked entry free of Python
+    boundaries, per the repo's opt-in-scale-path convention.
 
     Output: (vec_id_a, vec_id_b, cos_sim 6dp) for verified pairs.
     """
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
+    if signature not in ("expr", "arrow"):
+        raise ValueError("signature must be 'expr' or 'arrow'")
     rpb = bits // bands
     mat = srp_sign_matrix(bits, _vec_dims(vectors, vec_col), seed)
     # _spread before the signature fold (PERF finding 2): a small
-    # single-file corpus arrives in 1-2 partitions, and the interpreted
-    # per-hyperplane dot products are the CPU cost of this operator —
-    # without the spread they run on 1-2 cores. No-op at real scale.
-    sig = _spread(vectors).select(
-        F.col(id_col).alias("vid"),
-        srp_signature(F.col(vec_col), mat, scale).alias("bits"),
-    )
+    # single-file corpus arrives in 1-2 partitions, and the per-row
+    # signature work (interpreted folds or Arrow batches alike) is the
+    # CPU cost of this operator — without the spread it runs on 1-2
+    # cores. No-op at real scale.
+    if signature == "arrow":
+        sig = srp_signature_frame(
+            _spread(vectors), mat, id_col=id_col, vec_col=vec_col, scale=scale
+        )
+    else:
+        sig = _spread(vectors).select(
+            F.col(id_col).alias("vid"),
+            srp_signature(F.col(vec_col), mat, scale).alias("bits"),
+        )
     band_rows = sig.select(
         "vid",
         F.explode(

@@ -144,14 +144,25 @@ def main() -> None:
                 "embedding"
             ),
         )
-        pairs = srp_lsh_pairs(
-            base.unionByName(copies),
-            threshold=0.95,
-            bits=128,
-            bands=8,
-        )
-        planted = pairs.where(F.col("vec_id_b") == F.col("vec_id_a") + 1_000_000)
-        return {"pairs": pairs.count(), "planted_found": planted.count()}
+        out = {}
+        for sig in ("expr", "arrow"):
+            pairs = srp_lsh_pairs(
+                base.unionByName(copies),
+                threshold=0.95,
+                bits=128,
+                bands=8,
+                signature=sig,
+            )
+            planted = pairs.where(
+                F.col("vec_id_b") == F.col("vec_id_a") + 1_000_000
+            )
+            t0 = time.perf_counter()
+            out[sig] = {
+                "pairs": pairs.count(),
+                "planted_found": planted.count(),
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        return out
 
     # 5) as-of join: 5M probes against 500k versioned build rows
     def asof_5m():

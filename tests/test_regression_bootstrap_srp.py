@@ -296,3 +296,65 @@ def test_bootstrap_ci_null_when_a_replica_mean_is_missing(spark):
     ).collect()[0]
     assert row["ci_lo"] is None and row["ci_hi"] is None
     assert row["point_mean"] == 100.0 and row["n"] == 1
+
+
+def test_srp_arrow_signature_bit_identical_to_expression(spark):
+    """srp_signature_frame (Arrow/numpy int64 matmul) must equal the
+    expression fold BIT-FOR-BIT: the micro snap replicates Spark
+    round-HALF-UP on the identical IEEE double product, and integer
+    matmul has no summation-order concern. Vectors include negative
+    components, zeros, and magnitudes that exercise the rounding
+    boundary region."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        srp_sign_matrix,
+        srp_signature,
+        srp_signature_frame,
+    )
+
+    dims, bits = 24, 32
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dims)),
+            lambda i: (
+                (F.pmod(F.xxhash64(F.col("id"), i), 2_000_001) - 1_000_000)
+                / 1_000_000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    mat = srp_sign_matrix(bits, dims)
+    expr = {
+        r["vid"]: r["bits"]
+        for r in df.select(
+            F.col("vec_id").alias("vid"),
+            srp_signature(F.col("embedding"), mat).alias("bits"),
+        ).collect()
+    }
+    arrow = {
+        r["vid"]: r["bits"]
+        for r in srp_signature_frame(df, mat).collect()
+    }
+    assert arrow == expr
+
+
+def test_srp_pairs_arrow_path_matches_expr_path(spark):
+    from pyspark.sql import functions as F
+
+    df = _mk_vectors(spark, n=40)
+    dup = df.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = df.unionByName(dup)
+    a = sorted(
+        tuple(r) for r in srp_lsh_pairs(corpus, threshold=0.9).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in srp_lsh_pairs(corpus, threshold=0.9, signature="arrow").collect()
+    )
+    assert a == b and len(a) >= 5
