@@ -264,6 +264,7 @@ def cluster_balanced_sample(
     vec_col: str = "embedding",
     scale: int = 6,
     centroids: list[list[int]] | None = None,
+    labeler: str = "expr",
 ) -> DataFrame:
     """Diversity-balanced sampling over LEARNED clusters — the D4-style
     coreset draw (Tirumala et al. 2023): fit the deterministic integer
@@ -289,16 +290,34 @@ def cluster_balanced_sample(
     semantic_dedup(centroids=): fit once offline with
     exact_kmeans_centroids, reuse per draw. Without it every call pays
     ``iters`` extra full scans, which at 100 TB dwarfs the draw itself.
+
+    ``labeler="arrow"`` computes the labels with
+    similarity.cell_labels_frame's int64 Arrow matmul — BIT-IDENTICAL
+    to the expression path (the finding-24 exact-integer pattern, so
+    no tolerance caveat), ~2 orders of magnitude less per-row cost;
+    the default stays "expr" so the driver-checked entry keeps a
+    Python-free plan.
     """
-    from .similarity import _cell_ranks, exact_kmeans_centroids, micro_vec
+    from .similarity import (
+        _cell_ranks,
+        cell_labels_frame,
+        exact_kmeans_centroids,
+        micro_vec,
+    )
 
     cents = centroids if centroids is not None else exact_kmeans_centroids(
         vectors, n_cells, iters, id_col, vec_col, scale
     )
-    labeled = vectors.withColumn(
-        "cluster_id",
-        F.element_at(_cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1),
-    )
+    if labeler == "arrow":
+        labels = cell_labels_frame(
+            vectors, cents, id_col=id_col, vec_col=vec_col, scale=scale
+        ).withColumnRenamed("vid", id_col)
+        labeled = vectors.join(labels, id_col)
+    else:
+        labeled = vectors.withColumn(
+            "cluster_id",
+            F.element_at(_cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1),
+        )
     return temperature_mixture_sample(labeled, "cluster_id", id_col, total)
 
 

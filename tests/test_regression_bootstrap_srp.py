@@ -358,3 +358,76 @@ def test_srp_pairs_arrow_path_matches_expr_path(spark):
         for r in srp_lsh_pairs(corpus, threshold=0.9, signature="arrow").collect()
     )
     assert a == b and len(a) >= 5
+
+
+def test_cell_labels_arrow_bit_identical_to_expression(spark):
+    """cell_labels_frame (int64 Arrow matmul) must equal
+    element_at(_cell_ranks(micro_vec(v)), 1) exactly — same micro
+    snap, exact integer L2, argmin first-occurrence = smallest-cell_id
+    tie-break. Includes duplicate centroids so ties are exercised."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        _cell_ranks,
+        cell_labels_frame,
+        micro_vec,
+    )
+
+    dims = 12
+    df = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dims)),
+            lambda i: (
+                (F.pmod(F.xxhash64(F.col("id"), i), 2001) - 1000) / 1000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    cents = [
+        [((7 * c + 3 * d) % 11 - 5) * 100_000 for d in range(dims)]
+        for c in range(6)
+    ]
+    cents.append(list(cents[2]))  # duplicate centroid -> guaranteed ties
+    expr = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id",
+            F.element_at(
+                _cell_ranks(micro_vec(F.col("embedding")), cents), 1
+            ).alias("cid"),
+        ).collect()
+    }
+    arrow = {
+        r["vid"]: r["cluster_id"]
+        for r in cell_labels_frame(df, cents).collect()
+    }
+    assert arrow == expr
+
+
+def test_cluster_balanced_sample_arrow_labeler_same_draw(spark):
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (
+                (F.pmod(F.xxhash64(F.col("id"), i), 1001) - 500) / 500.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    a = sorted(
+        r["vec_id"]
+        for r in cluster_balanced_sample(df, total=60, n_cells=4).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in cluster_balanced_sample(
+            df, total=60, n_cells=4, labeler="arrow"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
