@@ -30,10 +30,9 @@ bench:
 # added after BENCH_REFERENCE.json was recorded are guarded against
 # BENCH_PREV.json (bench.py two-tier guard). Run at round close on the
 # round's accepted JSON line: `make bench-accept RUN=/tmp/bench.json`.
+# Refuses non-gate-scale runs (ADVICE r7): see tools/bench_accept.py.
 bench-accept:
-	python -c "import json,sys; d=json.load(open('$(RUN)')); \
-	json.dump({'queries': d['queries'], 'sf': d['sf'], \
-	'accepted_total': d['value']}, open('BENCH_PREV.json','w'), indent=1)"
+	python tools/bench_accept.py $(RUN)
 
 # Synthetic multi-million-row scale checks (results recorded in PERF.md).
 scale:

@@ -3,6 +3,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The record is the PER-QUERY MINIMUM over $SPARK_GRAFT_BENCH_PASSES
+full catalog passes (default 2 — r7 verdict task #2): a single-pass
+reading of a sub-second entry is ±2x scheduler noise, which made the
+guard flag DISJOINT sets of sub-1.5s entries on back-to-back runs, and
+BENCH_REFERENCE.json itself is per-query minima of two quiet-host runs
+— min-of-2 compares like with like. Min-of-2 also makes the record
+order-independent for entries sharing a memoized offline artifact (the
+embeddings quantizer fit): whichever entry pays the fit in pass 1 is
+warm in pass 2.
+
 Regression guard (PERF.md policy): every query is compared against a
 reference timing with whole-machine drift normalization; >1.5x
 adjusted AND >0.75s absolute flags in the JSON line. Two reference
@@ -112,22 +122,32 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure query work
     QUERIES["pricing_summary"](spark, sf_dir).count()
 
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        try:
-            df = QUERIES[name](spark, sf_dir)
-            n = df.count()
-        except Exception as exc:  # one broken query must not kill the line
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: ERROR {exc}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
-        # a few queries persist() small rollups as a scan barrier; drop
-        # them so one query's leftover cache can't distort the next
-        # query's timing or accumulate executor memory over the run
-        spark.catalog.clearCache()
+    for p in range(passes):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                n = df.count()
+            except Exception as exc:  # a broken query must not kill the line
+                t = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, t), t)
+                print(f"# {name}: ERROR {exc}", file=sys.stderr)
+                continue
+            t = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
+            print(f"# pass{p + 1} {name}: {t}s rows={n}", file=sys.stderr)
+            # a few queries persist() small rollups as a scan barrier;
+            # drop them so one query's leftover cache can't distort the
+            # next query's timing or accumulate executor memory
+            spark.catalog.clearCache()
+        # staged parquet (setsim postings, SRP bands, streaming replay
+        # sources) accumulates per pass; all staged frames are consumed
+        # within their own query, so reclaim between passes
+        from hse_etl_ochirov_aldar_spark._stage import purge_stage_root
+
+        purge_stage_root()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -180,6 +200,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": passes,
     }
     if drift is not None:
         out["machine_drift"] = drift

@@ -45,11 +45,10 @@ Plan-shape notes (measured at sf0.1, PERF finding 22):
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .._stage import stage_parquet
 from ._plan import spread_small_input
 
 
@@ -90,13 +89,10 @@ def prefix_filter_jaccard_pairs_postings(
     """Core pipeline over a DISTINCT (id, tok) postings relation.
     ``postings`` rows must be unique per (id, tok) — each record's set
     membership, exploded."""
-    spark = postings.sparkSession
-    stage_dir = tempfile.mkdtemp(prefix="hse_setsim_") + "/postings"
-    # coalesce the stage: postings arrive in shuffle-partition count
-    # (~200 tiny files otherwise), and every downstream consumer pays
-    # the file-open overhead x4
-    postings.coalesce(8).write.mode("overwrite").parquet(stage_dir)
-    ex = spark.read.parquet(stage_dir)
+    # stage once (PERF finding 22): four consumers would otherwise
+    # re-execute the postings subplan; lifecycle + multi-node root
+    # resolution live in _stage.stage_parquet
+    ex = stage_parquet(postings, prefix="hse_setsim_")
 
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     w_rank = Window.partitionBy("id").orderBy("df_t", "tok")

@@ -738,7 +738,12 @@ def ivf_kmeans_exact_topk(
     cents = centroids if centroids is not None else exact_kmeans_centroids(
         corpus, n_cells, iters, id_col, vec_col, scale, sample_cap
     )
-    labeled = corpus.select(
+    # _spread BEFORE the labeling projection (r8, PERF finding 26): the
+    # argmin over n_cells interpreted integer-L2 folds is this plan's
+    # CPU cost, and an Exchange does not commute with the Project that
+    # computes it — `_spread(labeled)` ran the folds on the scan's 1-2
+    # partitions and only spread the finished rows. No-op at real scale.
+    labeled = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("__nc"),
@@ -759,7 +764,7 @@ def ivf_kmeans_exact_topk(
         ).alias("q_cell"),
     )
     scored = (
-        _spread(labeled)
+        labeled
         .join(F.broadcast(probes), F.col("c_cell") == F.col("q_cell"))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -1202,18 +1207,24 @@ def srp_lsh_pairs(
     correctness; recall is the banding guarantee above.
 
     ``stage=True`` (default) materializes the band rows ONCE through a
-    temp parquet stage before the self-join: Spark re-executes a
+    parquet stage before the self-join: Spark re-executes a
     non-cached subplan per consumer, and the signature fold (an
     interpreted HOF dot product per hyperplane — the most expensive
     expression in this module) feeds TWO consumers via the a/b
     self-join. Same seam as setsim's staged postings (PERF finding 22),
     same magnitude. The stage holds 3 ints per (vector, band) — the
-    smallest relation in the pipeline, never the embeddings.
+    smallest relation in the pipeline, never the embeddings. Stage
+    location + cleanup lifecycle live in ``_stage.stage_parquet``:
+    per-process tempdir with atexit removal in local mode, and a
+    REQUIRED ``spark.hse_etl.stageDir`` shared-filesystem path on a
+    multi-node cluster (a driver-local path would silently drop
+    executor-written files — the helper raises instead).
 
     Sizing ``bits``/``bands`` is the whole cost model: random-pair
     candidate rate is ~bands/2^(bits/bands), so at corpus scale you buy
-    candidate shrinkage with bits-per-band (64 bits in 8 bands = 1/32
-    the random collisions of 16 in 4, with BETTER 0.95-cosine recall,
+    candidate shrinkage with bits-per-band (64 bits in 8 bands collides
+    at 8/2^8 = 1/32 vs 16-in-4's 4/2^4 = 1/4 — an 8x drop — with
+    BETTER 0.95-cosine recall,
     0.988 vs 0.985 — signature cost is linear in rows and trivially
     parallel, verify cost is per-candidate and is what explodes).
     ``lookup`` follows cosine_dup_ids: "broadcast" hash-maps the
@@ -1269,11 +1280,9 @@ def srp_lsh_pairs(
         ).alias("bk"),
     ).select("vid", "bk.band_id", "bk.band_key")
     if stage:
-        import tempfile
+        from .._stage import stage_parquet
 
-        stage_dir = tempfile.mkdtemp(prefix="hse_srp_") + "/bands"
-        band_rows.coalesce(8).write.mode("overwrite").parquet(stage_dir)
-        band_rows = vectors.sparkSession.read.parquet(stage_dir)
+        band_rows = stage_parquet(band_rows, prefix="hse_srp_")
     cand = (
         band_rows.alias("a")
         .join(

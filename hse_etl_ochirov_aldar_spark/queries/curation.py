@@ -2301,12 +2301,12 @@ def q_streaming_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow trigger (the reference's @daily batch, Spark-native).
     The finished in-memory sink table is returned as the result."""
     import os
-    import tempfile
 
+    from .._stage import scratch_dir
     from ..streaming.daily import run_available_now, streaming_daily_avg
 
     events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    tmp = tempfile.mkdtemp(prefix="hse_stream_")
+    tmp = scratch_dir(spark, "hse_stream_")
     src = os.path.join(tmp, "src")
     events.write.mode("overwrite").parquet(src)
     name = f"stream_daily_avg_{next(_STREAM_RUN_SEQ)}"
@@ -2477,12 +2477,12 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands to its slide-aligned window starts via integer epoch-us
     division — the batch twin of F.window's epoch-aligned assignment."""
     import os
-    import tempfile
 
+    from .._stage import scratch_dir
     from ..streaming.daily import run_available_now, streaming_sliding_counts
 
     events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    tmp = tempfile.mkdtemp(prefix="hse_stream_")
+    tmp = scratch_dir(spark, "hse_stream_")
     src = os.path.join(tmp, "src")
     events.write.mode("overwrite").parquet(src)
     name = f"stream_sliding_counts_{next(_STREAM_RUN_SEQ)}"
@@ -2723,7 +2723,8 @@ def q_srp_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the same signatures work for streaming appends where a quantizer
     goes stale. 64/8 rather than 16/4 is the scale-honest operating
     point (r7, PERF finding 23): the random-pair collision rate drops
-    32x (8/2^8 vs 4/2^4) while 0.95-cosine recall IMPROVES to ~0.988 —
+    8x (8/2^8 = 1/32 vs 4/2^4 = 1/4) while 0.95-cosine recall IMPROVES
+    to ~0.988 —
     candidate verification, not signature computation, is the cost that
     explodes with corpus size. Same 20 injected scaled copies as
     embedding_near_dedup (cos = 1.0 against their sources; natural

@@ -1425,8 +1425,8 @@ def q_warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import shutil
-    import tempfile
 
+    from .._stage import stage_root
     from ..plans.ivm import maintain_additive_mart
     from ..sources.sinks import read_versioned, versioned_upsert
 
@@ -1441,14 +1441,13 @@ def q_warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wt", F.lit(-1)
         )
     )
-    # Deterministic per-(process, sf_dir) workspace, wiped on entry:
-    # the returned DataFrame still reads these files, so cleanup must
-    # happen at the NEXT invocation, and a fresh mkdtemp per call
-    # would leak a mart+snapshot copy every bench/test run.
+    # Deterministic per-(process, sf_dir) workspace under the session
+    # stage root, wiped on entry: the returned DataFrame still reads
+    # these files, so cleanup must happen at the NEXT invocation (or
+    # at process exit via the root's atexit hook), and a fresh dir per
+    # call would leak a mart+snapshot copy every bench/test run.
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"hse_wm_{os.getpid()}_{token}"
-    )
+    tmp = os.path.join(stage_root(spark), f"hse_wm_{token}")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     mart = os.path.join(tmp, "mart")
