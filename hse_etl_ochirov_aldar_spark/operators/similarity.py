@@ -1103,6 +1103,7 @@ def srp_signature_frame(
     import pandas as pd
 
     sig_t = np.asarray(mat, dtype=np.int64).T  # dims x bits
+    sig_f = sig_t.astype(np.float64)
     m = float(10**scale)
     id_type = vectors.schema[id_col].dataType.simpleString()
 
@@ -1116,7 +1117,18 @@ def srp_signature_frame(
             )
             d = v * m
             micro = (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
-            bits = (micro @ sig_t >= 0).astype(np.int32)
+            # int64 matmul in numpy is a naive single-thread loop (no
+            # BLAS kernel for integers); the identical product is EXACT
+            # in float64 dgemm whenever every partial sum is an integer
+            # below 2^53 — with Rademacher (+-1) hyperplanes that bound
+            # is dims * max|micro| (r8, same bit-identity, ~BLAS-fast).
+            # Fall back to int64 if a batch ever exceeds it.
+            if np.abs(micro).max(initial=0) * micro.shape[1] < (1 << 53):
+                bits = (micro.astype(np.float64) @ sig_f >= 0).astype(
+                    np.int32
+                )
+            else:
+                bits = (micro @ sig_t >= 0).astype(np.int32)
             yield pd.DataFrame(
                 {"vid": pdf[id_col], "bits": [b.tolist() for b in bits]}
             )
@@ -1150,6 +1162,9 @@ def cell_labels_frame(
 
     c = np.asarray(cents, dtype=np.int64)  # cells x dims
     cc = np.einsum("ij,ij->i", c, c)
+    cf = c.astype(np.float64)
+    ccf = cc.astype(np.float64)
+    max_c = int(np.abs(c).max(initial=0))
     m = float(10**scale)
     id_type = vectors.schema[id_col].dataType.simpleString()
 
@@ -1163,8 +1178,24 @@ def cell_labels_frame(
             )
             d = v * m
             micro = (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
-            vv = np.einsum("ij,ij->i", micro, micro)
-            dist = vv[:, None] - 2 * (micro @ c.T) + cc[None, :]
+            # same exact-float64-dgemm trick as srp_signature_frame
+            # (r8): every term of vv - 2 v.c + cc is an integer, and
+            # as long as the largest possible term magnitude
+            # (dims * max_component^2, x4 for the combination) stays
+            # below 2^53 the float64 pipeline is EXACT and the matmul
+            # hits BLAS instead of numpy's naive int64 loop.
+            max_m = int(np.abs(micro).max(initial=0))
+            bound = 4 * micro.shape[1] * max(max_m, max_c) ** 2
+            if bound < (1 << 53):
+                vvf = np.einsum("ij,ij->i", micro, micro, dtype=np.float64)
+                dist = (
+                    vvf[:, None]
+                    - 2.0 * (micro.astype(np.float64) @ cf.T)
+                    + ccf[None, :]
+                )
+            else:
+                vv = np.einsum("ij,ij->i", micro, micro)
+                dist = vv[:, None] - 2 * (micro @ c.T) + cc[None, :]
             yield pd.DataFrame(
                 {
                     "vid": pdf[id_col],

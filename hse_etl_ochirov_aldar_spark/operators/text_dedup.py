@@ -84,6 +84,193 @@ def minhash_signatures(
     return df.withColumn("minhash", sig)
 
 
+def _np_xxh64_long(v, seed):
+    """numpy uint64 twin of Spark XXH64.hashLong (an 8-byte xxHash64
+    block): identical constants and rotations, wraparound arithmetic
+    via uint64. Empirically pinned bit-equal to ``F.xxhash64(<long>)``
+    (seed 42) and to the (long, int) chain below over random inputs
+    (tests/test_minhash_arrow.py)."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    h = seed + P5 + np.uint64(8)
+    k1 = v * P2
+    k1 = ((k1 << np.uint64(31)) | (k1 >> np.uint64(33))) * P1
+    h = h ^ k1
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
+    return _np_xxh64_fmix(h)
+
+
+def _np_xxh64_int(v, seed):
+    """numpy uint64 twin of Spark XXH64.hashInt (a 4-byte tail block);
+    ``v`` must be non-negative < 2^31 (the seed indices used here)."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    h = seed + P5 + np.uint64(4)
+    h = h ^ ((v & np.uint64(0xFFFFFFFF)) * P1)
+    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * P2 + P3
+    return _np_xxh64_fmix(h)
+
+
+def _np_xxh64_fmix(h):
+    import numpy as np
+
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    h = h ^ (h >> np.uint64(33))
+    h = h * P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _np_minhash_fold(seeds, flat, lens, chunk: int = 8192):
+    """Segmented min over hashInt(j, stage1_s) for every (row, j) —
+    the (shingles x num_hashes) grid evaluated in row-blocks whose
+    flat span is <= ``chunk`` so the working set stays cache-sized.
+    The naive broadcast form materializes ~10 full-grid temporaries
+    per XXH64 step; at 32 concurrent Arrow workers that is DRAM-
+    bandwidth-bound and measured 5x slower than this kernel even
+    single-threaded. In-place ops throughout; bit-identical to
+    _np_xxh64_int by construction (same op chain, pinned in tests).
+
+    seeds: (k,) uint64; flat: (total_shingles,) uint64 stage-1 hashes;
+    lens: (rows,) int64 per-row shingle counts (zero-length rows must
+    be filtered out by the caller). Returns (rows, k) int64.
+    """
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    k = len(seeds)
+    k1 = (seeds & np.uint64(0xFFFFFFFF)) * P1
+    h0 = flat + (P5 + np.uint64(4))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    out = np.empty((len(lens), k), dtype=np.int64)
+    m_buf = np.empty((chunk, k), dtype=np.uint64)
+    t_buf = np.empty((chunk, k), dtype=np.uint64)
+    i = 0
+    while i < len(lens):
+        j = i
+        while j < len(lens) and ends[j] - starts[i] <= chunk:
+            j += 1
+        if j == i:  # one row wider than the chunk: take it alone
+            j = i + 1
+        lo, hi = starts[i], ends[j - 1]
+        nn = hi - lo
+        if nn <= chunk:
+            mm, tt = m_buf[:nn], t_buf[:nn]
+        else:
+            mm = np.empty((nn, k), dtype=np.uint64)
+            tt = np.empty((nn, k), dtype=np.uint64)
+        np.bitwise_xor(h0[lo:hi, None], k1[None, :], out=mm)
+        np.left_shift(mm, np.uint64(23), out=tt)
+        np.right_shift(mm, np.uint64(41), out=mm)
+        np.bitwise_or(mm, tt, out=mm)
+        np.multiply(mm, P2, out=mm)
+        np.add(mm, P3, out=mm)
+        np.right_shift(mm, np.uint64(33), out=tt)
+        np.bitwise_xor(mm, tt, out=mm)
+        np.multiply(mm, P2, out=mm)
+        np.right_shift(mm, np.uint64(29), out=tt)
+        np.bitwise_xor(mm, tt, out=mm)
+        np.multiply(mm, P3, out=mm)
+        np.right_shift(mm, np.uint64(32), out=tt)
+        np.bitwise_xor(mm, tt, out=mm)
+        local_starts = (starts[i:j] - lo).astype(np.int64)
+        out[i:j] = np.minimum.reduceat(
+            mm.view(np.int64), local_starts, axis=0
+        )
+        i = j
+    return out
+
+
+def minhash_signature_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash) via an Arrow-batched numpy fold — the exact twin
+    of ``minhash_signatures`` (finding-24/25 pattern, test-pinned
+    BIT-IDENTICAL, not tolerance-close).
+
+    The plan split keeps each engine on its strength: shingling and the
+    per-shingle STRING hash stay JVM-side (codegen'd xxhash64 over
+    UTF-8), and only the (shingles x num_hashes) integer min-fold —
+    the term that dominates at corpus scale, interpreted zip_with
+    lambdas per element in the expression path — moves to numpy, where
+    it is two vectorized XXH64 block functions and a segmented min.
+    Bit-identity holds because Spark's xxhash64(h, j) over a LONG and
+    an INT is hashInt(j, hashLong(h, 42)) — pure uint64 wraparound
+    arithmetic replicated exactly by _np_xxh64_long/_np_xxh64_int.
+
+    Null text (null shingle array) yields a null signature; a doc with
+    zero shingles keeps the fold's init (LONG_MAX repeated) — both
+    matching the expression fold's semantics exactly.
+
+    Opt-in scale path (``signature="arrow"`` on the LSH entry points);
+    the driver-checked catalog entries keep the Python-free default,
+    per the repo's convention.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    hashes = F.transform(
+        word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+    )
+    src = df.select(F.col(id_col).alias("id"), hashes.alias("hs"))
+    seeds = np.arange(num_hashes, dtype=np.uint64)
+    long_max = np.uint64(_LONG_MAX)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"id": [], "minhash": []})
+                continue
+            rows = pdf["hs"]
+            lens = np.fromiter(
+                (0 if r is None else len(r) for r in rows), np.int64, n
+            )
+            flat = np.concatenate(
+                [np.asarray(r, dtype=np.int64) for r in rows if r is not None and len(r)]
+                or [np.empty(0, dtype=np.int64)]
+            ).view(np.uint64)
+            # chain stage 1 once per shingle, then the segmented
+            # (shingle x j) min-fold via the chunked grid kernel
+            a = _np_xxh64_long(flat, np.uint64(42))
+            sigs: list = []
+            nz = lens > 0
+            if nz.any():
+                mins = _np_minhash_fold(seeds, a, lens[nz])
+            k = 0
+            for i in range(n):
+                if rows.iloc[i] is None:
+                    sigs.append(None)
+                elif lens[i] == 0:
+                    sigs.append([int(long_max)] * num_hashes)
+                else:
+                    sigs.append(mins[k].tolist())
+                    k += 1
+            yield pd.DataFrame({"id": pdf["id"], "minhash": sigs})
+
+    return src.mapInPandas(gen, f"id {id_type}, minhash array<bigint>")
+
+
 def banded_minhash_keys(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -91,6 +278,7 @@ def banded_minhash_keys(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    signature: str = "expr",
 ) -> DataFrame:
     """(id, band, bucket) banded LSH keys: one row per (doc, band),
     bucket = hash of the band's signature slice. Docs agreeing on ALL
@@ -101,11 +289,25 @@ def banded_minhash_keys(
     signature is materialized once per doc. Banding below the explode
     (an array of per-band structs) lets CollapseProject inline the
     whole fold into every band slice — ``bands``x recomputation.
+
+    ``signature="arrow"`` computes the signatures with
+    minhash_signature_frame's vectorized XXH64 fold — bit-identical
+    output (test-pinned); the default stays "expr" so driver-checked
+    entries keep Python-free plans. The mapInPandas node is itself a
+    projection barrier, so the explode-above-barrier property holds on
+    both paths.
     """
+    if signature not in ("expr", "arrow"):
+        raise ValueError("signature must be 'expr' or 'arrow'")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(_spread(df), text_col, num_hashes, shingle_n).select(
-        F.col(id_col).alias("id"), "minhash"
-    )
+    if signature == "arrow":
+        sigs = minhash_signature_frame(
+            _spread(df), id_col, text_col, num_hashes, shingle_n
+        )
+    else:
+        sigs = minhash_signatures(
+            _spread(df), text_col, num_hashes, shingle_n
+        ).select(F.col(id_col).alias("id"), "minhash")
     return (
         sigs.select(
             "id",
@@ -140,6 +342,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int = 1024,
+    signature: str = "expr",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -165,7 +368,7 @@ def minhash_lsh_candidates(
     quadratically explode.
     """
     banded = banded_minhash_keys(
-        df, id_col, text_col, num_hashes, bands, shingle_n
+        df, id_col, text_col, num_hashes, bands, shingle_n, signature
     )
     buckets = (
         banded.groupBy("band", "bucket")
@@ -821,6 +1024,7 @@ def incremental_minhash_dedup(
     max_bucket_size: int = 1024,
     corpus_keys: DataFrame | None = None,
     persisted_out: list | None = None,
+    signature: str = "expr",
 ) -> DataFrame:
     """NEAR-duplicate dedup of an ingest batch against a large corpus:
     drop batch docs whose n-gram Jaccard vs ANY corpus doc reaches
@@ -852,7 +1056,12 @@ def incremental_minhash_dedup(
     ``unpersist()`` its contents after their terminal action, or cached
     blocks accumulate for the query lifetime.
     """
-    lshkw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+    lshkw = dict(
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        signature=signature,
+    )
     bkeys = banded_minhash_keys(new_batch, id_col, text_col, **lshkw)
     ckeys = (
         corpus_keys

@@ -6,19 +6,26 @@ the partitioning/shuffle design holds well past the test fixtures.
 Results are recorded in PERF.md.
 
     python scale_check.py            # ~2-4 min on local[32]
+    python scale_check.py srp arrow  # only checks whose label contains
+                                     # any given substring
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 from pyspark.sql import functions as F
 
 from hse_etl_ochirov_aldar_spark.session import get_spark
 
+_FILTERS = sys.argv[1:]
+
 
 def timed(label, fn):
+    if _FILTERS and not any(s in label for s in _FILTERS):
+        return None
     t0 = time.perf_counter()
     out = fn()
     dt = round(time.perf_counter() - t0, 2)
@@ -46,7 +53,10 @@ def main() -> None:
         )
         return sessionize_batch(ev, gap_seconds=600).count()
 
-    # 2) MinHash LSH candidates over 300k synthetic ~32-word docs
+    # 2) MinHash LSH candidates over 300k synthetic ~32-word docs —
+    #    both signature paths (expr = driver-checked default, arrow =
+    #    the r8 vectorized-XXH64 twin, test-pinned bit-identical);
+    #    candidate counts must agree exactly.
     def minhash_300k():
         from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
             minhash_lsh_candidates,
@@ -62,7 +72,59 @@ def main() -> None:
             F.col("id").alias("doc_id"),
             F.concat_ws(" ", words).alias("text"),
         )
-        return minhash_lsh_candidates(docs).count()
+        out = {}
+        for sig in ("expr", "arrow"):
+            t0 = time.perf_counter()
+            out[sig] = {
+                "candidates": minhash_lsh_candidates(
+                    docs, signature=sig
+                ).count(),
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        out["identical_count"] = (
+            out["expr"]["candidates"] == out["arrow"]["candidates"]
+        )
+        return out
+
+    # 2b) signature stage ONLY, 64 hashes (fine-threshold / 0.8-Jaccard
+    #    operating points): at 16 hashes the fold is small next to
+    #    shingling+string-hash (both JVM) and the bucket join, so the
+    #    arrow twin's end-to-end win is Amdahl-capped (~8%); at 64
+    #    hashes the per-(shingle, j) interpreted zip_with work is 4x
+    #    while the vectorized path grows only the reduceat width.
+    def minhash_sig64_300k():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            minhash_signature_frame,
+            minhash_signatures,
+        )
+
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.concat(
+                F.lit("w"), (F.pmod(F.xxhash64(F.col("id"), i), 5000)).cast("string")
+            ),
+        )
+        docs = spark.range(300_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+        )
+        out = {}
+        t0 = time.perf_counter()
+        expr_n = (
+            minhash_signatures(docs, "text", 64, 3)
+            .select(F.sum(F.element_at("minhash", 1)).alias("s"))
+            .collect()[0]["s"]
+        )
+        out["expr_seconds"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        arrow_n = (
+            minhash_signature_frame(docs, "doc_id", "text", 64, 3)
+            .select(F.sum(F.element_at("minhash", 1)).alias("s"))
+            .collect()[0]["s"]
+        )
+        out["arrow_seconds"] = round(time.perf_counter() - t0, 2)
+        out["identical_checksum"] = expr_n == arrow_n
+        return out
 
     # 3) hot-key join, 5M facts with 50% on one key: plain vs salted
     def _skewed_sides():
@@ -162,6 +224,70 @@ def main() -> None:
                 "planted_found": planted.count(),
                 "seconds": round(time.perf_counter() - t0, 2),
             }
+        return out
+
+    # 4c) COMPOSED Arrow scale path (r7 verdict task #3): the two
+    #    bit-identical int64 seams working together in one
+    #    catalog-adjacent pipeline — cluster-balanced coreset draw
+    #    (labeler seam, finding 25) feeding SRP-LSH near-pair mining
+    #    over the drawn coreset (signature seam, finding 24). Both
+    #    all-expr and all-arrow runs; because every seam is exact
+    #    integer math the drawn IDs and the verified pairs must be
+    #    IDENTICAL, so "identical_output" is a hard check, not a
+    #    tolerance. 100 planted scaled copies ride the draw via id
+    #    pinning below.
+    def coreset_then_srp_200k():
+        from hse_etl_ochirov_aldar_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+        from hse_etl_ochirov_aldar_spark.operators.similarity import (
+            srp_lsh_pairs,
+        )
+
+        base = spark.range(200_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (
+                    (F.pmod(F.xxhash64(F.col("id"), i), 1000) - 500) / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        out = {}
+        pair_sets = {}
+        for mode in ("expr", "arrow"):
+            t0 = time.perf_counter()
+            coreset = cluster_balanced_sample(
+                base, total=50_000, n_cells=64, iters=2, labeler=mode
+            ).select("vec_id", "embedding")
+            # plant scaled copies of the 100 LOWEST-id drawn vectors
+            # (cosine 1.0); ordered pick — a bare limit() is
+            # plan-dependent and would break the cross-mode identity
+            copies = coreset.orderBy("vec_id").limit(100).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+                ).alias("embedding"),
+            )
+            pairs = srp_lsh_pairs(
+                coreset.unionByName(copies),
+                threshold=0.95,
+                bits=128,
+                bands=8,
+                signature=mode,
+            )
+            pair_sets[mode] = {
+                (r["vec_id_a"], r["vec_id_b"])
+                for r in pairs.select("vec_id_a", "vec_id_b").collect()
+            }
+            out[mode] = {
+                "pairs": len(pair_sets[mode]),
+                "planted_found": sum(
+                    1 for a, b in pair_sets[mode] if b == a + 1_000_000
+                ),
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        out["identical_output"] = pair_sets["expr"] == pair_sets["arrow"]
         return out
 
     # 5) as-of join: 5M probes against 500k versioned build rows
@@ -474,7 +600,11 @@ def main() -> None:
         return int(sum(r["n_tokens"] for r in out))
 
     # cluster-balanced draw over 200k x 16-dim vectors, 64 cells:
-    # integer Lloyd fit + row-local argmin labels + one quota window
+    # integer Lloyd fit + row-local argmin labels + one quota window.
+    # Both labelers run (expr = driver-checked default, arrow = the
+    # finding-25 int64-matmul twin) and the drawn ID sets must be
+    # IDENTICAL — bit-identity means the sample, not just the scores,
+    # is invariant under the scale path.
     def cluster_balanced_200k():
         from hse_etl_ochirov_aldar_spark.operators.sampling import (
             cluster_balanced_sample,
@@ -489,8 +619,20 @@ def main() -> None:
                 ).cast("float"),
             ).alias("embedding"),
         )
-        s = cluster_balanced_sample(vecs, total=10_000, n_cells=64, iters=2)
-        return s.count()
+        out = {}
+        ids = {}
+        for lab in ("expr", "arrow"):
+            t0 = time.perf_counter()
+            s = cluster_balanced_sample(
+                vecs, total=10_000, n_cells=64, iters=2, labeler=lab
+            )
+            ids[lab] = {r["vec_id"] for r in s.select("vec_id").collect()}
+            out[lab] = {
+                "rows": len(ids[lab]),
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        out["identical_draw"] = ids["expr"] == ids["arrow"]
+        return out
 
     # Q21 EXISTS/NOT-EXISTS rewrite at 10M lineitems / 1.5M orders:
     # one orderkey shuffle + window over the aggregated relation
@@ -788,10 +930,12 @@ def main() -> None:
     timed("asof_join_5m_probes", asof_5m)
     timed("range_join_5m_probes", range_5m)
     timed("minhash_lsh_300k_docs", minhash_300k)
+    timed("minhash_signatures_64h_300k", minhash_sig64_300k)
     timed("skewed_join_plain_5m", skew_plain)
     timed("skewed_join_salted_5m", skew_salted)
     timed("embedding_near_dedup_blocked_200k", embedding_blocked_200k)
     timed("srp_lsh_near_pairs_200k", srp_lsh_200k)
+    timed("coreset_then_srp_200k_composed_arrow", coreset_then_srp_200k)
     timed("gopher_filters_2m_docs", gopher_2m)
     timed("split_pack_10m_docs", pack_10m)
     timed("decontaminate_2m_docs", decontaminate_2m)
