@@ -207,6 +207,7 @@ def main() -> None:
             ),
         )
         out = {}
+        pair_sets = {}
         for sig in ("expr", "arrow"):
             pairs = srp_lsh_pairs(
                 base.unionByName(copies),
@@ -215,15 +216,21 @@ def main() -> None:
                 bands=8,
                 signature=sig,
             )
-            planted = pairs.where(
-                F.col("vec_id_b") == F.col("vec_id_a") + 1_000_000
-            )
             t0 = time.perf_counter()
+            pair_sets[sig] = {
+                (r["vec_id_a"], r["vec_id_b"])
+                for r in pairs.select("vec_id_a", "vec_id_b").collect()
+            }
             out[sig] = {
-                "pairs": pairs.count(),
-                "planted_found": planted.count(),
+                "pairs": len(pair_sets[sig]),
+                "planted_found": sum(
+                    1 for a, b in pair_sets[sig] if b == a + 1_000_000
+                ),
                 "seconds": round(time.perf_counter() - t0, 2),
             }
+        # bit-identical signatures -> identical verified pair SETS, not
+        # just equal counts (r8: hard identity, same as the composed check)
+        out["identical_output"] = pair_sets["expr"] == pair_sets["arrow"]
         return out
 
     # 4c) COMPOSED Arrow scale path (r7 verdict task #3): the two
@@ -634,6 +641,40 @@ def main() -> None:
         out["identical_draw"] = ids["expr"] == ids["arrow"]
         return out
 
+    # cluster-balanced draw at 1M vectors (10x the 200k row): the
+    # 100x-scale-up evidence for the labeler seam — labeling is the
+    # per-row cost, so expr should scale ~linearly in rows while the
+    # arrow path's BLAS labeling stays far below it; the drawn IDs
+    # must still be identical.
+    def cluster_balanced_1m():
+        from hse_etl_ochirov_aldar_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+
+        vecs = spark.range(1_000_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        out = {}
+        ids = {}
+        for lab in ("expr", "arrow"):
+            t0 = time.perf_counter()
+            s = cluster_balanced_sample(
+                vecs, total=20_000, n_cells=64, iters=2, labeler=lab
+            )
+            ids[lab] = {r["vec_id"] for r in s.select("vec_id").collect()}
+            out[lab] = {
+                "rows": len(ids[lab]),
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        out["identical_draw"] = ids["expr"] == ids["arrow"]
+        return out
+
     # Q21 EXISTS/NOT-EXISTS rewrite at 10M lineitems / 1.5M orders:
     # one orderkey shuffle + window over the aggregated relation
     def waiting_orders_10m():
@@ -913,6 +954,7 @@ def main() -> None:
 
     timed("ngram_diversity_2m_docs_approx", ngram_diversity_2m_approx)
     timed("cluster_balanced_sample_200k", cluster_balanced_200k)
+    timed("cluster_balanced_sample_1m", cluster_balanced_1m)
     timed("waiting_orders_blame_10m", waiting_orders_10m)
     timed("distinct_exact_10m", distinct_exact_10m)
     timed("distinct_approx_10m", distinct_approx_10m)

@@ -145,3 +145,57 @@ def test_lsh_candidates_arrow_path_identical(spark):
 def test_banded_keys_rejects_unknown_signature(spark):
     with pytest.raises(ValueError, match="signature"):
         banded_minhash_keys(_docs(spark), signature="nope")
+
+
+def test_np_minhash_fold_property_random_ragged():
+    """Property pin (hypothesis): the chunked in-place kernel equals
+    the broadcast grid + reduceat reference for arbitrary ragged
+    segmentations and chunk sizes, including chunk boundaries landing
+    mid-row-group."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        _np_minhash_fold,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        lens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+        k=st.integers(min_value=1, max_value=20),
+        chunk=st.integers(min_value=1, max_value=64),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(lens, k, chunk, seed):
+        rng = np.random.default_rng(seed)
+        lens_a = np.asarray(lens, dtype=np.int64)
+        flat = rng.integers(
+            -(2**63), 2**63, size=int(lens_a.sum()), dtype=np.int64
+        ).view(np.uint64)
+        seeds = np.arange(k, dtype=np.uint64)
+        got = _np_minhash_fold(seeds, flat, lens_a, chunk=chunk)
+        grid = _np_xxh64_int(seeds[None, :], flat[:, None]).view(np.int64)
+        starts = np.cumsum(lens_a) - lens_a
+        ref = np.minimum.reduceat(grid, starts, axis=0)
+        assert np.array_equal(got, ref)
+
+    check()
+
+
+def test_banded_keys_arrow_plan_shape(spark):
+    """The arrow path's documented plan properties: exactly one
+    Arrow/pandas boundary (the signature frame), the band explode
+    ABOVE it (the mapInPandas node is the projection barrier, so the
+    signature is materialized once per doc), and no extra shuffle
+    versus the expression path."""
+    plan = (
+        banded_minhash_keys(_docs(spark), signature="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "Generate explode" in plan
+    # Generate (the explode) must sit above MapInPandas in the tree:
+    # in the printed plan, parents print BEFORE children
+    assert plan.index("Generate") < plan.index("MapInPandas")
