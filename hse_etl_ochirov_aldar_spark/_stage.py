@@ -39,6 +39,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,6 +48,21 @@ STAGE_DIR_ENV = "SPARK_GRAFT_STAGE_DIR"
 
 _process_root: str | None = None
 _seq = itertools.count()
+
+
+def _unique_name(prefix: str) -> str:
+    """A per-call directory name that is unique ACROSS processes.
+
+    Under the per-process default root a plain counter would suffice,
+    but a configured shared root (``spark.hse_etl.stageDir`` /
+    ``$SPARK_GRAFT_STAGE_DIR``) is, by design, shared between
+    concurrent sessions — two processes both writing
+    ``<root>/hse_setsim_0`` with mode=overwrite would silently read
+    each other's staged rows (ADVICE r8 medium). pid + uuid4 makes
+    collisions impossible regardless of root; the counter is kept only
+    for human-readable ordering within one process.
+    """
+    return f"{prefix}{os.getpid()}_{next(_seq)}_{uuid.uuid4().hex[:12]}"
 
 
 def _default_root() -> str:
@@ -81,7 +97,7 @@ def scratch_dir(spark: SparkSession, prefix: str) -> str:
     """A fresh directory path under the stage root (streaming replay
     sources, checkpoint locations, versioned-sink workspaces). The
     path is unique per call; lifecycle follows the root's."""
-    path = f"{stage_root(spark)}/{prefix}{next(_seq)}"
+    path = f"{stage_root(spark)}/{_unique_name(prefix)}"
     # only meaningful for local-fs roots; hdfs/s3 writers mkdir lazily
     if "://" not in path:
         os.makedirs(path, exist_ok=True)
@@ -104,7 +120,7 @@ def stage_parquet(
     the producing partitioning for genuinely large stages.
     """
     spark = df.sparkSession
-    path = f"{stage_root(spark)}/{prefix}{next(_seq)}"
+    path = f"{stage_root(spark)}/{_unique_name(prefix)}"
     w = df.coalesce(coalesce) if coalesce else df
     w.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -1445,9 +1445,13 @@ def q_warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage root, wiped on entry: the returned DataFrame still reads
     # these files, so cleanup must happen at the NEXT invocation (or
     # at process exit via the root's atexit hook), and a fresh dir per
-    # call would leak a mart+snapshot copy every bench/test run.
+    # call would leak a mart+snapshot copy every bench/test run. The
+    # pid must stay in the name even though the default root already
+    # embeds it: a configured SHARED stage root does not, and two
+    # concurrent processes on the same sf_dir would otherwise rmtree
+    # each other's live mart mid-query (ADVICE r8 medium).
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tmp = os.path.join(stage_root(spark), f"hse_wm_{token}")
+    tmp = os.path.join(stage_root(spark), f"hse_wm_{os.getpid()}_{token}")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     mart = os.path.join(tmp, "mart")

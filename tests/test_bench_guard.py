@@ -9,7 +9,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from bench import guard_regressions, machine_drift  # noqa: E402
+from bench import (  # noqa: E402
+    guard_regressions,
+    machine_drift,
+    merge_error_timings,
+)
 
 PRIMARY = {"q_old_a": 1.0, "q_old_b": 2.0, "q_old_c": 4.0, "q_tiny": 0.1}
 SECONDARY = {"q_old_a": 1.1, "q_new": 3.0, "q_new_small": 0.3}
@@ -66,3 +70,20 @@ def test_absolute_bar_protects_subsecond_entries():
 def test_unreferenced_entry_never_flags():
     timings = {"q_brand_new": 100.0, "q_old_a": 1.0}
     assert guard_regressions(timings, PRIMARY, SECONDARY, drift=1.0) == {}
+
+
+def test_error_pass_never_undercuts_successful_timing():
+    """ADVICE r8 low: a 0.05s fail-fast pass must not min() against a
+    5s successful pass — the successful timing wins and the query is
+    NOT reported as errored."""
+    timings = {"q_flaky": 5.0, "q_ok": 1.0}
+    errored = merge_error_timings(timings, {"q_flaky": 0.05})
+    assert errored == []
+    assert timings["q_flaky"] == 5.0
+
+
+def test_never_succeeded_query_falls_back_and_flags():
+    timings = {"q_ok": 1.0}
+    errored = merge_error_timings(timings, {"q_broken": 0.07})
+    assert errored == ["q_broken"]
+    assert timings["q_broken"] == 0.07

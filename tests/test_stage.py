@@ -57,6 +57,36 @@ def test_env_override_wins(spark, tmp_path, monkeypatch):
     assert stage_root(spark) == str(tmp_path)
 
 
+def test_unique_names_across_processes():
+    """Per-call names embed pid + uuid, never just a counter: under a
+    CONFIGURED shared root two concurrent sessions each start their
+    counter at 0, so '<root>/<prefix>0' would collide and one job
+    would silently read the other's staged rows (ADVICE r8 medium)."""
+    a = _stage._unique_name("hse_x_")
+    b = _stage._unique_name("hse_x_")
+    assert a != b
+    assert str(os.getpid()) in a
+    # counter-only suffixes are the failure mode being excluded: the
+    # name must carry entropy beyond the per-process sequence number
+    assert len(a) >= len("hse_x_") + len(str(os.getpid())) + 1 + 1 + 12
+
+
+def test_shared_root_stage_names_collision_free(spark, tmp_path,
+                                                monkeypatch):
+    """Simulate the two-process race: reset the module counter (as a
+    second process would see it) and stage into the SAME shared root —
+    the dirs must still be distinct."""
+    monkeypatch.setenv(STAGE_DIR_ENV, str(tmp_path))
+    df = spark.range(5)
+    s1 = stage_parquet(df, prefix="hse_race_")
+    monkeypatch.setattr(_stage, "_seq", __import__("itertools").count())
+    s2 = stage_parquet(df, prefix="hse_race_")
+    d1 = {f.rsplit("/", 2)[1] for f in s1.inputFiles()}
+    d2 = {f.rsplit("/", 2)[1] for f in s2.inputFiles()}
+    assert d1 and d2 and d1.isdisjoint(d2)
+    assert s1.count() == 5 and s2.count() == 5
+
+
 def test_purge_removes_default_root_and_recreates(spark):
     df = spark.range(10)
     staged = stage_parquet(df, prefix="hse_test_")
