@@ -264,7 +264,7 @@ def cluster_balanced_sample(
     vec_col: str = "embedding",
     scale: int = 6,
     centroids: list[list[int]] | None = None,
-    labeler: str = "expr",
+    labeler: str | None = None,
 ) -> DataFrame:
     """Diversity-balanced sampling over LEARNED clusters — the D4-style
     coreset draw (Tirumala et al. 2023): fit the deterministic integer
@@ -291,15 +291,19 @@ def cluster_balanced_sample(
     exact_kmeans_centroids, reuse per draw. Without it every call pays
     ``iters`` extra full scans, which at 100 TB dwarfs the draw itself.
 
-    ``labeler="arrow"`` computes the labels with
-    similarity.cell_labels_frame's int64 Arrow matmul — BIT-IDENTICAL
-    to the expression path (the finding-24 exact-integer pattern, so
-    no tolerance caveat), ~2 orders of magnitude less per-row cost;
-    the default stays "expr" so the driver-checked entry keeps a
-    Python-free plan.
+    ``labeler``: None defers to the session kernel default
+    ($SPARK_GRAFT_KERNEL, 'arrow' since r9) — similarity.
+    cell_labels_frame's int64 Arrow matmul is BIT-IDENTICAL to the
+    expression path (the finding-24 exact-integer pattern, so no
+    tolerance caveat) at ~2 orders of magnitude less per-row cost, and
+    with ``passthrough`` the labeled rows come straight out of the
+    Arrow stage (no label join — r9, the join was the old arrow
+    path's scale blemish). 'expr' forces the Python-free plan.
     """
+    from .._kernels import resolve_kernel
     from .similarity import (
         _cell_ranks,
+        _spread,
         cell_labels_frame,
         exact_kmeans_centroids,
         micro_vec,
@@ -308,11 +312,11 @@ def cluster_balanced_sample(
     cents = centroids if centroids is not None else exact_kmeans_centroids(
         vectors, n_cells, iters, id_col, vec_col, scale
     )
-    if labeler == "arrow":
-        labels = cell_labels_frame(
-            vectors, cents, id_col=id_col, vec_col=vec_col, scale=scale
-        ).withColumnRenamed("vid", id_col)
-        labeled = vectors.join(labels, id_col)
+    if resolve_kernel(labeler) == "arrow":
+        labeled = cell_labels_frame(
+            _spread(vectors), cents, id_col=id_col, vec_col=vec_col,
+            scale=scale, passthrough=True,
+        )
     else:
         labeled = vectors.withColumn(
             "cluster_id",

@@ -719,6 +719,7 @@ def ivf_kmeans_exact_topk(
     scale: int = 6,
     centroids: list[list[int]] | None = None,
     sample_cap: int | None = None,
+    labeler: str | None = None,
 ) -> DataFrame:
     """End-to-end IVF search on the exact-arithmetic quantizer: fit
     (exact_kmeans_centroids) -> label corpus (1 cell each, literal
@@ -735,6 +736,8 @@ def ivf_kmeans_exact_topk(
     reused for every search batch (same seam as semantic_dedup /
     cluster_balanced_sample).
     """
+    from .._kernels import resolve_kernel
+
     cents = centroids if centroids is not None else exact_kmeans_centroids(
         corpus, n_cells, iters, id_col, vec_col, scale, sample_cap
     )
@@ -743,14 +746,28 @@ def ivf_kmeans_exact_topk(
     # CPU cost, and an Exchange does not commute with the Project that
     # computes it — `_spread(labeled)` ran the folds on the scan's 1-2
     # partitions and only spread the finished rows. No-op at real scale.
-    labeled = _spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("__nc"),
-        F.element_at(
-            _cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1
-        ).alias("c_cell"),
-    )
+    if resolve_kernel(labeler) == "arrow":
+        # join-free: the Arrow kernel labels and passes (id, vec)
+        # through losslessly; the norm is the SAME JVM expression on
+        # the same bit-identical values, computed above the kernel
+        labeled = cell_labels_frame(
+            _spread(corpus.select(id_col, vec_col)), cents,
+            id_col=id_col, vec_col=vec_col, scale=scale, passthrough=True,
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("__nc"),
+            F.col("cluster_id").alias("c_cell"),
+        )
+    else:
+        labeled = _spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("__nc"),
+            F.element_at(
+                _cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1
+            ).alias("c_cell"),
+        )
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -797,6 +814,7 @@ def semantic_dedup_flags(
     scale: int = 6,
     centroids: list[list[int]] | None = None,
     sample_cap: int | None = None,
+    labeler: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) flags: cluster the
     corpus with the exact-integer k-means fit, then mark as redundant
@@ -828,14 +846,29 @@ def semantic_dedup_flags(
     the production shape for repeated runs over a growing corpus: fit
     once offline (exact_kmeans_centroids, or a hash-sample via
     sampled_centroids quantized through micro_vec), reuse per batch.
+
+    ``labeler``: None defers to the session kernel default
+    (``$SPARK_GRAFT_KERNEL``, 'arrow' since r9 — the bit-identical
+    Arrow labeling kernel with column passthrough, no label join);
+    'expr' forces the Python-free Catalyst argmin.
     """
+    from .._kernels import resolve_kernel
+
     cents = centroids if centroids is not None else exact_kmeans_centroids(
         vectors, n_cells, iters, id_col, vec_col, scale, sample_cap
     )
-    labeled = vectors.withColumn(
-        "cluster_id",
-        F.element_at(_cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1),
-    )
+    if resolve_kernel(labeler) == "arrow":
+        labeled = cell_labels_frame(
+            _spread(vectors), cents, id_col=id_col, vec_col=vec_col,
+            scale=scale, passthrough=True,
+        )
+    else:
+        labeled = vectors.withColumn(
+            "cluster_id",
+            F.element_at(
+                _cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1
+            ),
+        )
     dup_ids = embedding_near_dup_ids(
         labeled, threshold, id_col, vec_col, block_col="cluster_id", scale=scale
     )
@@ -854,12 +887,13 @@ def semantic_dedup(
     scale: int = 6,
     centroids: list[list[int]] | None = None,
     sample_cap: int | None = None,
+    labeler: str | None = None,
 ) -> DataFrame:
     """SemDeDup survivors: the corpus minus semantically redundant
     vectors (see semantic_dedup_flags), with their cluster_id."""
     flags = semantic_dedup_flags(
         vectors, threshold, n_cells, iters, id_col, vec_col, scale, centroids,
-        sample_cap,
+        sample_cap, labeler,
     )
     return flags.where(~F.col("is_dup")).drop("is_dup")
 
@@ -1144,6 +1178,7 @@ def cell_labels_frame(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    passthrough: bool = False,
 ) -> DataFrame:
     """(vid, cluster_id) nearest-centroid labels via ONE Arrow batch of
     int64 matrix arithmetic — the exact twin of
@@ -1156,6 +1191,14 @@ def cell_labels_frame(
     the vectorized path is provably identical, not tolerance-close.
     Labeling is the per-row cost that dominates quantizer consumers at
     corpus scale (IVF corpus labels, SemDeDup cells, D4 coreset draw).
+
+    ``passthrough=True`` carries EVERY input column through the Arrow
+    stage unchanged and appends ``cluster_id`` — the join-free shape
+    (r9): consumers that need labeled full rows (SemDeDup flags, the
+    coreset draw, IVF corpus labeling) would otherwise pay a shuffle
+    join of labels back onto the corpus. Arrow round-trips values
+    losslessly (IEEE floats bit-preserved), so passthrough keeps the
+    bit-identity guarantee.
     """
     import numpy as np
     import pandas as pd
@@ -1167,11 +1210,27 @@ def cell_labels_frame(
     max_c = int(np.abs(c).max(initial=0))
     m = float(10**scale)
     id_type = vectors.schema[id_col].dataType.simpleString()
+    if passthrough:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        in_cols = list(vectors.columns)
+        # never .add() onto vectors.schema — StructType.add mutates in
+        # place and df.schema is cached on the DataFrame
+        out_schema = StructType(
+            list(vectors.schema.fields)
+            + [StructField("cluster_id", LongType())]
+        )
+    else:
+        in_cols = [id_col, vec_col]
+        out_schema = f"vid {id_type}, cluster_id long"
 
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"vid": [], "cluster_id": []})
+                if passthrough:
+                    yield pdf.assign(cluster_id=pd.Series([], dtype="int64"))
+                else:
+                    yield pd.DataFrame({"vid": [], "cluster_id": []})
                 continue
             v = np.asarray(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
@@ -1196,16 +1255,15 @@ def cell_labels_frame(
             else:
                 vv = np.einsum("ij,ij->i", micro, micro)
                 dist = vv[:, None] - 2 * (micro @ c.T) + cc[None, :]
-            yield pd.DataFrame(
-                {
-                    "vid": pdf[id_col],
-                    "cluster_id": np.argmin(dist, axis=1).astype(np.int64),
-                }
-            )
+            labels = np.argmin(dist, axis=1).astype(np.int64)
+            if passthrough:
+                yield pdf.assign(cluster_id=labels)
+            else:
+                yield pd.DataFrame(
+                    {"vid": pdf[id_col], "cluster_id": labels}
+                )
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        gen, f"vid {id_type}, cluster_id long"
-    )
+    return vectors.select(*in_cols).mapInPandas(gen, out_schema)
 
 
 def srp_lsh_pairs(
@@ -1219,7 +1277,7 @@ def srp_lsh_pairs(
     seed: str = "srp",
     stage: bool = True,
     lookup: str = "broadcast",
-    signature: str = "expr",
+    signature: str | None = None,
 ) -> DataFrame:
     """Cosine near-pair mining via banded SRP-LSH + exact verify.
 
@@ -1261,19 +1319,20 @@ def srp_lsh_pairs(
     ``lookup`` follows cosine_dup_ids: "broadcast" hash-maps the
     (id, vec, norm) table to every task (right into the ~10M-vector
     range at dim 64); at true 100 TB corpus scale pass "merge" for
-    co-partitioned sort-merge lookups. ``signature="arrow"`` computes
-    the sign bits with srp_signature_frame's Arrow/numpy int64 matmul
-    — bit-identical output (test-pinned), ~2 orders of magnitude less
-    per-element cost than the interpreted expression fold; the default
-    stays "expr" to keep the driver-checked entry free of Python
-    boundaries, per the repo's opt-in-scale-path convention.
+    co-partitioned sort-merge lookups. ``signature``: None defers to
+    the session kernel default ($SPARK_GRAFT_KERNEL, 'arrow' since r9)
+    — srp_signature_frame's Arrow/numpy int64 matmul is bit-identical
+    to the interpreted expression fold (test-pinned), at ~2 orders of
+    magnitude less per-element cost; 'expr' forces the Python-free
+    plan.
 
     Output: (vec_id_a, vec_id_b, cos_sim 6dp) for verified pairs.
     """
+    from .._kernels import resolve_kernel
+
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
-    if signature not in ("expr", "arrow"):
-        raise ValueError("signature must be 'expr' or 'arrow'")
+    signature = resolve_kernel(signature)
     rpb = bits // bands
     mat = srp_sign_matrix(bits, _vec_dims(vectors, vec_col), seed)
     # _spread before the signature fold (PERF finding 2): a small

@@ -1,0 +1,117 @@
+"""The session kernel knob (_kernels.py, r9 verdict task #1): proven
+bit-identical Arrow kernels are the DEFAULT, $SPARK_GRAFT_KERNEL=expr
+forces the Python-free expression plans, and operator arguments win
+over the env."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hse_etl_ochirov_aldar_spark._kernels import (
+    KERNEL_ENV,
+    default_kernel,
+    resolve_kernel,
+)
+
+
+def test_default_is_arrow(monkeypatch):
+    monkeypatch.delenv(KERNEL_ENV, raising=False)
+    assert default_kernel() == "arrow"
+    assert resolve_kernel(None) == "arrow"
+
+
+def test_env_forces_expr(monkeypatch):
+    monkeypatch.setenv(KERNEL_ENV, "expr")
+    assert resolve_kernel(None) == "expr"
+    # explicit argument still wins over the env
+    assert resolve_kernel("arrow") == "arrow"
+
+
+def test_invalid_values_raise(monkeypatch):
+    monkeypatch.setenv(KERNEL_ENV, "cuda")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_KERNEL"):
+        default_kernel()
+    monkeypatch.delenv(KERNEL_ENV, raising=False)
+    with pytest.raises(ValueError, match="kernel must be"):
+        resolve_kernel("nope")
+
+
+def _vectors(spark, n=200, dims=8):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dims)),
+            lambda i: (
+                (F.pmod(F.xxhash64(F.col("id"), i), 1001) - 500) / 500.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_env_expr_removes_python_stages(spark, monkeypatch):
+    """SPARK_GRAFT_KERNEL=expr is the one-line driver-parity switch:
+    the same operator call produces a plan with zero Arrow stages."""
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        semantic_dedup_flags,
+    )
+
+    df = _vectors(spark)
+    monkeypatch.setenv(KERNEL_ENV, "expr")
+    plan_expr = (
+        semantic_dedup_flags(df, n_cells=4, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    monkeypatch.delenv(KERNEL_ENV, raising=False)
+    plan_arrow = (
+        semantic_dedup_flags(df, n_cells=4, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan_expr
+    assert "ArrowEvalPython" not in plan_expr
+    assert "MapInPandas" in plan_arrow
+
+
+def test_semantic_dedup_identical_across_kernels(spark):
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        semantic_dedup_flags,
+    )
+
+    df = _vectors(spark, n=300)
+    key = ["vec_id", "cluster_id", "is_dup"]
+    a = sorted(
+        tuple(r[k] for k in key)
+        for r in semantic_dedup_flags(
+            df, n_cells=4, iters=2, labeler="expr"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r[k] for k in key)
+        for r in semantic_dedup_flags(
+            df, n_cells=4, iters=2, labeler="arrow"
+        ).collect()
+    )
+    assert a == b and len(a) == 300
+
+
+def test_ivf_kmeans_exact_topk_identical_across_kernels(spark):
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        ivf_kmeans_exact_topk,
+    )
+
+    corpus = _vectors(spark, n=300)
+    queries = _vectors(spark, n=5).withColumnRenamed("vec_id", "query_id")
+    key = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    a = sorted(
+        tuple(r[k] for k in key)
+        for r in ivf_kmeans_exact_topk(
+            corpus, queries, k=3, n_cells=4, iters=1, labeler="expr"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r[k] for k in key)
+        for r in ivf_kmeans_exact_topk(
+            corpus, queries, k=3, n_cells=4, iters=1, labeler="arrow"
+        ).collect()
+    )
+    assert a == b and len(a) == 15

@@ -422,7 +422,9 @@ def test_cluster_balanced_sample_arrow_labeler_same_draw(spark):
     )
     a = sorted(
         r["vec_id"]
-        for r in cluster_balanced_sample(df, total=60, n_cells=4).collect()
+        for r in cluster_balanced_sample(
+            df, total=60, n_cells=4, labeler="expr"
+        ).collect()
     )
     b = sorted(
         r["vec_id"]
@@ -431,3 +433,18 @@ def test_cluster_balanced_sample_arrow_labeler_same_draw(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+    # default (None) resolves to the session kernel (arrow since r9)
+    # and must reproduce the same draw
+    c = sorted(
+        r["vec_id"]
+        for r in cluster_balanced_sample(df, total=60, n_cells=4).collect()
+    )
+    assert c == a
+    # the r9 arrow path labels with column passthrough — labeled rows
+    # come straight out of the Arrow stage, no label join back onto
+    # the corpus (the old arrow path's scale blemish)
+    plan = cluster_balanced_sample(
+        df, total=60, n_cells=4, labeler="arrow"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
