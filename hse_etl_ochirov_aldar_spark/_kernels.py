@@ -49,12 +49,26 @@ def default_kernel() -> str:
     return k
 
 
-def resolve_kernel(choice: str | None) -> str:
-    """An operator's explicit kernel argument wins; None defers to the
-    session default. Centralized so every dual-path operator validates
-    and defaults identically."""
-    if choice is None:
-        return default_kernel()
-    if choice not in _VALID:
-        raise ValueError(f"kernel must be one of {_VALID}, got {choice!r}")
-    return choice
+def resolve_kernel(choice: str | None, auto: str = "arrow") -> str:
+    """An operator's explicit kernel argument wins; None defers to
+    $SPARK_GRAFT_KERNEL if set, else to ``auto`` — the family's
+    measured-best default. ``auto`` is 'arrow' for the matmul-bound
+    families (labeling, SRP — 2-3x wins at sf0.1) and 'expr' for
+    MinHash banding, which is shingling/IO-bound at every hash count
+    measured (16/64/128 at sf0.1, r9) so an Arrow stage only adds a
+    serialization boundary. Centralized so every dual-path operator
+    validates identically."""
+    if choice is not None:
+        if choice not in _VALID:
+            raise ValueError(
+                f"kernel must be one of {_VALID}, got {choice!r}"
+            )
+        return choice
+    k = os.environ.get(KERNEL_ENV)
+    if k is not None:
+        if k not in _VALID:
+            raise ValueError(f"${KERNEL_ENV}={k!r}: must be one of {_VALID}")
+        return k
+    if auto not in _VALID:
+        raise ValueError(f"auto must be one of {_VALID}, got {auto!r}")
+    return auto

@@ -278,7 +278,7 @@ def banded_minhash_keys(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
-    signature: str = "expr",
+    signature: str | None = None,
 ) -> DataFrame:
     """(id, band, bucket) banded LSH keys: one row per (doc, band),
     bucket = hash of the band's signature slice. Docs agreeing on ALL
@@ -290,15 +290,18 @@ def banded_minhash_keys(
     (an array of per-band structs) lets CollapseProject inline the
     whole fold into every band slice — ``bands``x recomputation.
 
-    ``signature="arrow"`` computes the signatures with
-    minhash_signature_frame's vectorized XXH64 fold — bit-identical
-    output (test-pinned); the default stays "expr" so driver-checked
-    entries keep Python-free plans. The mapInPandas node is itself a
+    ``signature``: None defers to $SPARK_GRAFT_KERNEL if set, else
+    'expr' — unlike the matmul-bound labeling/SRP families, MinHash
+    banding is shingling/IO-bound (measured r9 at sf0.1: expr vs arrow
+    within noise at 16, 64, AND 128 hashes), so the Arrow XXH64 fold
+    (minhash_signature_frame, bit-identical, test-pinned) stays the
+    explicit-opt-in path here. The mapInPandas node is itself a
     projection barrier, so the explode-above-barrier property holds on
     both paths.
     """
-    if signature not in ("expr", "arrow"):
-        raise ValueError("signature must be 'expr' or 'arrow'")
+    from .._kernels import resolve_kernel
+
+    signature = resolve_kernel(signature, auto="expr")
     rows_per_band = num_hashes // bands
     if signature == "arrow":
         sigs = minhash_signature_frame(
@@ -342,7 +345,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int = 1024,
-    signature: str = "expr",
+    signature: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -1024,7 +1027,7 @@ def incremental_minhash_dedup(
     max_bucket_size: int = 1024,
     corpus_keys: DataFrame | None = None,
     persisted_out: list | None = None,
-    signature: str = "expr",
+    signature: str | None = None,
 ) -> DataFrame:
     """NEAR-duplicate dedup of an ingest batch against a large corpus:
     drop batch docs whose n-gram Jaccard vs ANY corpus doc reaches

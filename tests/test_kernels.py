@@ -115,3 +115,42 @@ def test_ivf_kmeans_exact_topk_identical_across_kernels(spark):
         ).collect()
     )
     assert a == b and len(a) == 15
+
+
+def test_minhash_family_auto_default_is_expr(spark, monkeypatch):
+    """MinHash banding is shingling/IO-bound (r9 measurement: expr vs
+    arrow within noise at 16/64/128 hashes, sf0.1), so its unset-env
+    default stays the Python-free plan — while an explicitly set
+    $SPARK_GRAFT_KERNEL still forces the family either way."""
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+        banded_minhash_keys,
+    )
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    monkeypatch.delenv(KERNEL_ENV, raising=False)
+    plan_auto = (
+        banded_minhash_keys(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan_auto
+    monkeypatch.setenv(KERNEL_ENV, "arrow")
+    plan_forced = (
+        banded_minhash_keys(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_forced
+
+
+def test_resolve_kernel_auto_param():
+    import os
+
+    os.environ.pop(KERNEL_ENV, None)
+    assert resolve_kernel(None, auto="expr") == "expr"
+    assert resolve_kernel(None, auto="arrow") == "arrow"
+    assert resolve_kernel("arrow", auto="expr") == "arrow"
+    with pytest.raises(ValueError, match="auto must be"):
+        resolve_kernel(None, auto="nope")

@@ -143,7 +143,7 @@ def test_lsh_candidates_arrow_path_identical(spark):
 
 
 def test_banded_keys_rejects_unknown_signature(spark):
-    with pytest.raises(ValueError, match="signature"):
+    with pytest.raises(ValueError, match="kernel must be"):
         banded_minhash_keys(_docs(spark), signature="nope")
 
 
