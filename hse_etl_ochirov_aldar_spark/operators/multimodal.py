@@ -10,12 +10,15 @@ pipelines — the canonical Spark pattern for media feature extraction:
 
 Decoder status: binary PPM (P6) decode and nearest-neighbor resize are
 REAL — numpy-only, fully functional in this container (``decode_ppm``,
-``ppm_decoder``, ``resize_ppm``). Codec-library formats (JPEG/PNG,
-audio, video) need PIL/librosa/ffmpeg, absent here, so ``decode_image``
-raises NotImplementedError behind a clearly-marked gate and
-``fake_decode_features`` provides a deterministic stand-in; the
-``pil_decoder`` adapter + contract test prove a codec decoder drops
-into the same seam without touching the Spark plumbing.
+``ppm_decoder``, ``resize_ppm``), as is 8-bit mono PCM WAV
+(``decode_wav``). Codec-library formats dispatch to OPTIONAL extras
+(r9): ``decode_image`` runs through the ``pil_decoder`` adapter when
+pillow is importable and ``decode_audio`` through ``soundfile_decoder``
+when soundfile is — each raises a documented NotImplementedError when
+its library is absent (as in this container), and the adapters stay
+injectable so contract tests prove the seam with stub modules.
+``fake_decode_features`` remains the deterministic plumbing stand-in;
+video frame decode (ffmpeg/PyAV) is still a stub.
 
 Scale notes: payloads never pass through Python row-by-row; Arrow moves
 columnar batches. ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -37,16 +40,52 @@ MEDIA_FEATURES_SCHEMA = (
     "width INT, height INT, duration_s DOUBLE"
 )
 
-_HAVE_REAL_DECODERS = False  # PIL / librosa / ffmpeg not in this container
+def _try_import(module: str, attr: str | None = None):
+    """Lazy optional-dependency probe (PIL / soundfile are extras, not
+    requirements): returns the module (or its attr) if importable in
+    THIS environment, else None. Probed at call time, never at import,
+    so the package loads identically with or without codecs."""
+    import importlib
+
+    try:
+        m = importlib.import_module(module)
+    except ImportError:
+        return None
+    return getattr(m, attr) if attr else m
 
 
-def decode_image(payload: bytes) -> dict:
-    """Real decoder gate. Replace the body when PIL is available."""
-    if not _HAVE_REAL_DECODERS:
+def decode_image(payload: bytes, kind: str = "image") -> dict:
+    """Codec-format image decode. When pillow is installed this is a
+    REAL decoder (r9 — the gate now dispatches instead of always
+    raising): PIL opens the payload, features come from the decoded
+    pixels via the same pil_decoder adapter the contract tests inject
+    a stub through. Without pillow, raises the documented
+    NotImplementedError — use ppm_decoder (real, numpy-only) or
+    fake_decode_features for plumbing tests."""
+    image_mod = _try_import("PIL.Image")
+    if image_mod is None:
         raise NotImplementedError(
-            "image decoding requires PIL/pillow, not present in this "
-            "environment; use fake_decode_features for plumbing tests"
+            "image decoding for codec formats (JPEG/PNG/...) requires "
+            "pillow, not present in this environment; PPM (P6) payloads "
+            "decode without it via ppm_decoder, and "
+            "fake_decode_features covers plumbing tests"
         )
+    return pil_decoder(image_mod)(payload, kind)
+
+
+def decode_audio(payload: bytes, kind: str = "audio") -> dict:
+    """Codec-format audio decode (FLAC/OGG/...). When soundfile is
+    installed this is a REAL decoder via the soundfile_decoder adapter;
+    8-bit mono PCM WAV decodes without it (wav_decoder, numpy+struct).
+    """
+    sf_mod = _try_import("soundfile")
+    if sf_mod is None:
+        raise NotImplementedError(
+            "audio decoding for codec formats (FLAC/OGG/...) requires "
+            "soundfile, not present in this environment; 8-bit mono PCM "
+            "WAV decodes without it via wav_decoder"
+        )
+    return soundfile_decoder(sf_mod)(payload, kind)
 
 
 def _ppm_header(payload: bytes) -> tuple[list[bytes], int]:
@@ -173,38 +212,110 @@ def wav_decoder(payload: bytes, kind: str) -> dict:
     }
 
 
+_IMAGE_MAGICS = (
+    b"\xff\xd8\xff",  # JPEG
+    b"\x89PNG",  # PNG
+    b"GIF8",  # GIF
+    b"BM",  # BMP
+)
+_AUDIO_MAGICS = (
+    b"fLaC",  # FLAC
+    b"OggS",  # OGG container
+    b"ID3",  # MP3 with ID3 tag
+)
+
+
 def sniff_decoder(payload: bytes, kind: str) -> dict:
     """Production-shaped dispatch: route each payload to the right REAL
-    decoder by its magic bytes (P6 -> PPM image, RIFF -> WAV audio) —
-    one mapInPandas stage handles a mixed-modality media table. Codec
-    formats raise through the decode_image gate."""
+    decoder by its magic bytes — one mapInPandas stage handles a
+    mixed-modality media table. P6 (PPM) and RIFF (PCM WAV) decode with
+    numpy alone; JPEG/PNG/GIF/BMP go through the pillow-backed
+    decode_image and FLAC/OGG/MP3 through the soundfile-backed
+    decode_audio, each of which raises the documented
+    NotImplementedError when its optional codec library is absent."""
     head = bytes(payload[:4])
     if head[:2] == b"P6":
         return ppm_decoder(payload, kind)
     if head == b"RIFF":
         return wav_decoder(payload, kind)
-    return decode_image(bytes(payload))
+    if any(head.startswith(m[:4]) for m in _IMAGE_MAGICS):
+        return decode_image(bytes(payload), kind)
+    if any(head.startswith(m[:4]) for m in _AUDIO_MAGICS):
+        return decode_audio(bytes(payload), kind)
+    return decode_image(bytes(payload), kind)
 
 
-def pil_decoder(pil_image_module):
-    """Adapter from a PIL-shaped module (``Image.open(BytesIO).size``)
-    to the decoder contract ``(payload, kind) -> feature dict``. This is
+def pil_decoder(pil_image_module=None):
+    """Adapter from a PIL-shaped module (``Image.open(BytesIO)``) to
+    the decoder contract ``(payload, kind) -> feature dict``. This is
     the production seam: ``extract_media_features(media,
-    decoder=pil_decoder(PIL.Image))`` when the environment has codecs.
-    The adapter is what the contract test injects (with a stub module),
-    proving a real decoder drops in without touching the Spark plumbing.
+    decoder=pil_decoder())`` when the environment has pillow. The
+    module parameter stays injectable — the contract test drops in a
+    stub module, proving a real decoder slots into the same Spark
+    plumbing; passing None imports the real PIL.Image or raises
+    ImportError with guidance.
+
+    checksum is the exact decoded-pixel byte sum (matches ppm_decoder's
+    definition on identical pixels) when the decoded image converts to
+    a numpy array; a stub module without array support falls back to 0.
     """
     import io
 
+    if pil_image_module is None:
+        pil_image_module = _try_import("PIL.Image")
+        if pil_image_module is None:
+            raise ImportError(
+                "pil_decoder() with no module requires pillow; install "
+                "it or inject a PIL-shaped module explicitly"
+            )
+
     def decode(payload: bytes, kind: str) -> dict:
+        import numpy as np
+
         img = pil_image_module.open(io.BytesIO(payload))
         w, h = img.size
+        try:
+            checksum = int(np.asarray(img, dtype=np.uint8).sum(dtype="int64"))
+        except Exception:
+            checksum = 0  # stub modules without pixel access
         return {
             "n_bytes": len(payload),
-            "checksum": 0,
+            "checksum": checksum,
             "width": w if kind == "image" else None,
             "height": h if kind == "image" else None,
             "duration_s": None,
+        }
+
+    return decode
+
+
+def soundfile_decoder(soundfile_module=None):
+    """Adapter from a soundfile-shaped module (``read(BytesIO) ->
+    (samples, samplerate)``) to the decoder contract — the audio twin
+    of pil_decoder, same injectable-module convention. duration_s =
+    frames / samplerate; checksum = exact int16-sample sum (bit-exact
+    across platforms, unlike a float sum)."""
+    import io
+
+    if soundfile_module is None:
+        soundfile_module = _try_import("soundfile")
+        if soundfile_module is None:
+            raise ImportError(
+                "soundfile_decoder() with no module requires soundfile; "
+                "install it or inject a compatible module explicitly"
+            )
+
+    def decode(payload: bytes, kind: str) -> dict:
+        samples, rate = soundfile_module.read(
+            io.BytesIO(bytes(payload)), dtype="int16"
+        )
+        n = len(samples)
+        return {
+            "n_bytes": len(payload),
+            "checksum": int(samples.sum(dtype="int64")),
+            "width": None,
+            "height": None,
+            "duration_s": n / rate if rate else None,
         }
 
     return decode

@@ -7,16 +7,72 @@ import pytest
 from pyspark.sql import functions as F
 
 from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+    _try_import,
+    decode_audio,
     decode_image,
     documents_as_media,
     extract_media_features,
 )
 from hse_etl_ochirov_aldar_spark.sources.readers import load_table
 
+_HAS_PIL = _try_import("PIL.Image") is not None
+_HAS_SF = _try_import("soundfile") is not None
 
-def test_real_decoder_gate_raises():
-    with pytest.raises(NotImplementedError):
+
+@pytest.mark.skipif(_HAS_PIL, reason="pillow installed: gate dispatches")
+def test_image_gate_raises_without_pillow():
+    with pytest.raises(NotImplementedError, match="pillow"):
         decode_image(b"\x89PNG...")
+
+
+@pytest.mark.skipif(_HAS_SF, reason="soundfile installed: gate dispatches")
+def test_audio_gate_raises_without_soundfile():
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"fLaC....")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="pillow not installed")
+def test_real_pil_decode_png():
+    """With pillow present the gate dispatches to a REAL decode: build
+    a tiny PNG via PIL itself, then decode through the production
+    entry point and check exact dims + pixel-sum checksum."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    payload = buf.getvalue()
+    feats = decode_image(payload, "image")
+    assert (feats["width"], feats["height"]) == (5, 4)
+    assert feats["checksum"] == int(arr.sum())
+    assert feats["n_bytes"] == len(payload)
+    # and the sniffer routes PNG magic to the same decode
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        sniff_decoder,
+    )
+
+    assert sniff_decoder(payload, "image") == feats
+
+
+@pytest.mark.skipif(not _HAS_SF, reason="soundfile not installed")
+def test_real_soundfile_decode_flac():
+    """With soundfile present the audio gate decodes a real FLAC built
+    by soundfile itself: exact duration and int16-sample checksum."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    samples = (np.sin(np.linspace(0, 40, 8000)) * 1000).astype(np.int16)
+    buf = io.BytesIO()
+    sf.write(buf, samples, 8000, format="FLAC")
+    payload = buf.getvalue()
+    feats = decode_audio(payload, "audio")
+    assert feats["duration_s"] == pytest.approx(1.0)
+    assert feats["checksum"] == int(samples.sum(dtype="int64"))
 
 
 class _FakePilImage:
@@ -53,6 +109,62 @@ def test_injected_pil_decoder_contract(spark, sf_dir):
         # the injected decoder's "pixels": dims PIL would report
         assert (got.width, got.height) == (n % 640 + 1, n % 480 + 1)
         assert got.n_bytes == n and got.duration_s is None
+
+
+class _FakeSoundfile:
+    """soundfile-shaped stub: read(fp, dtype) -> (int16 array, rate).
+    Samples are the payload bytes so the test can predict checksum."""
+
+    @staticmethod
+    def read(fp, dtype="int16"):
+        import numpy as np
+
+        data = np.frombuffer(fp.read(), dtype=np.uint8).astype(np.int16)
+        return data, 16000
+
+
+def test_injected_soundfile_decoder_contract(spark, sf_dir):
+    """The audio twin of the pil_decoder contract: a soundfile-shaped
+    module injected through the seam runs inside the same Arrow
+    plumbing with predictable duration/checksum."""
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        soundfile_decoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = documents_as_media(docs, "audio")
+    feats = extract_media_features(
+        media, decoder=soundfile_decoder(_FakeSoundfile)
+    )
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 20
+    for r in docs.collect():
+        raw = r.text.encode()
+        got = rows[r.doc_id]
+        assert got.checksum == sum(raw)
+        assert got.duration_s == pytest.approx(len(raw) / 16000)
+        assert got.width is None and got.height is None
+
+
+def test_adapters_require_module_or_lib():
+    """Zero-arg adapter construction must either import the real lib
+    or raise ImportError with installation guidance — never silently
+    degrade to a fake."""
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        pil_decoder,
+        soundfile_decoder,
+    )
+
+    if not _HAS_PIL:
+        with pytest.raises(ImportError, match="pillow"):
+            pil_decoder()
+    else:
+        assert callable(pil_decoder())
+    if not _HAS_SF:
+        with pytest.raises(ImportError, match="soundfile"):
+            soundfile_decoder()
+    else:
+        assert callable(soundfile_decoder())
 
 
 def test_media_feature_extraction(spark, sf_dir):
