@@ -366,6 +366,48 @@ def read_mongo_export(
     return df
 
 
+def read_mongo(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+    pipeline: list[dict] | None = None,
+    schema=None,
+    export_path: str | None = None,
+) -> DataFrame:
+    """S5 as ONE entry point (r8 verdict task #3): the reference's live
+    Mongo collection read (mongo_to_postgres_replication.py:118,149,185)
+    mapped to ``spark.read.format("mongodb")`` options, with the
+    documented degraded mode as an explicit fallback.
+
+    Resolution order:
+
+    1. **Connector path** — options assembled by ``mongo_read_options``
+       (the ``pipeline`` runs server-side in mongod, so dedup-at-source
+       rows never cross the wire), loaded through the Mongo Spark
+       connector.
+    2. **Fixture fallback** — when the connector package is NOT on the
+       classpath and ``export_path`` names a mongoexport JSON-lines
+       dump, the SAME pipeline dict executes in Spark over the dump
+       via :func:`apply_mongo_pipeline` (semantics pinned by the
+       executed contract tests). The fallback never masks a live-read
+       failure: only the missing-datasource error falls through, any
+       other connector error re-raises.
+
+    With no ``export_path`` the missing connector raises the clear
+    RuntimeError naming the package to add.
+    """
+    opts = mongo_read_options(uri, database, collection, pipeline)
+    try:
+        return read_mongo_collection(spark, opts, schema=schema)
+    except RuntimeError as exc:
+        if "mongodb datasource" not in str(exc) or export_path is None:
+            raise
+        return read_mongo_export(
+            spark, export_path, schema=schema, pipeline=pipeline
+        )
+
+
 def read_mongo_collection(
     spark: SparkSession, options: dict[str, str], schema=None
 ) -> DataFrame:

@@ -391,3 +391,37 @@ def test_mongo_match_null_semantics(spark):
             [{"$sort": {"id": 1}},
              {"$group": {"_id": "$tag", "x": {"$first": 1}}}],
         )
+
+
+def test_read_mongo_falls_back_to_export_fixture(spark, mongo_export):
+    """The unified read_mongo seam: connector absent here, so the SAME
+    pipeline the options would push server-side executes over the
+    export fixture — one survivor per natural key, newest doc."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from hse_etl_ochirov_aldar_spark.sources.connectors import read_mongo
+
+    schema = StructType([
+        StructField("_id", StringType()),
+        StructField("natural_key", StringType()),
+        StructField("updated_at", LongType()),
+        StructField("device", StringType()),
+    ])
+    df = read_mongo(
+        spark, "mongodb://nohost:27017", "app", "user_sessions",
+        pipeline=_REFERENCE_DEDUP_PIPELINE, schema=schema,
+        export_path=mongo_export,
+    )
+    rows = {r["_id"]: (r.updated_at, r.device) for r in df.collect()}
+    assert rows == {
+        f"s{i}": (1020 + i, "mobile" if i % 2 else "web") for i in range(10)
+    }
+
+
+def test_read_mongo_without_fallback_raises_clear_error(spark):
+    from hse_etl_ochirov_aldar_spark.sources.connectors import read_mongo
+
+    with pytest.raises(RuntimeError, match="mongodb datasource"):
+        read_mongo(spark, "mongodb://nohost:27017", "app", "c")
