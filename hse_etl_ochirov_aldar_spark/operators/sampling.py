@@ -141,11 +141,42 @@ def pack_sequences(
     )
 
 
+MAX_QUOTA_GROUPS = 100_000
+
+
+def _bounded_group_counts(
+    df: DataFrame, group_col: str, max_groups: int
+) -> dict:
+    """Per-group counts collected to the driver, GUARDED (r8 verdict
+    task #6): the quota samplers' one-row-per-group collect is the
+    right shape for mixture keys (domains, languages — dozens to
+    thousands of groups) but silently becomes a driver OOM if someone
+    keys quotas on a high-cardinality column (url, doc_id). The probe
+    collects at most ``max_groups + 1`` rows — driver memory stays
+    bounded even in the failure case — and raises with guidance
+    instead of degrading. NULL groups are excluded (None cannot be a
+    create_map key; a NULL-group row draws no quota)."""
+    rows = (
+        df.groupBy(group_col).count().limit(max_groups + 1).collect()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"{group_col!r} has more than {max_groups} distinct groups: "
+            f"per-group quotas collect one row per group to the driver, "
+            f"which is meant for mixture keys (domain, language, "
+            f"cluster), not high-cardinality keys. Re-key the quota on "
+            f"a coarser column, or raise max_groups explicitly if the "
+            f"driver can genuinely hold the group table"
+        )
+    return {r[0]: r[1] for r in rows if r[0] is not None}
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     group_col: str,
     key_col: str,
     total: int,
+    max_groups: int = MAX_QUOTA_GROUPS,
 ) -> DataFrame:
     """Temperature-weighted mixture sampling (alpha = 0.5): draw ~``total``
     rows with per-group quotas proportional to sqrt(group size) — the
@@ -160,17 +191,12 @@ def temperature_mixture_sample(
     where floor(sqrt(double)) is exact). Per-group counts are collected
     to the driver — bounded by the number of groups (domains), the same
     justified materialization as the touched-partition collect in
-    sinks. Selection within a group is hash-order rank (deterministic,
-    partitioning-independent); one shuffle on ``group_col``.
+    sinks, and GUARDED by ``max_groups`` against accidental
+    high-cardinality keys (_bounded_group_counts). Selection within a
+    group is hash-order rank (deterministic, partitioning-independent);
+    one shuffle on ``group_col``.
     """
-    # NULL groups are excluded (same guard as distribution_matched_
-    # sample): None cannot be a create_map key, and sorted() on a
-    # None/str mix raises — a NULL-group row simply draws no quota.
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(group_col).count().collect()
-        if r[0] is not None
-    }
+    counts = _bounded_group_counts(df, group_col, max_groups)
     w = {g: math.isqrt(n) for g, n in counts.items()}
     s = sum(w.values())
     if s == 0:
@@ -331,6 +357,7 @@ def distribution_matched_sample(
     group_col: str,
     key_col: str,
     total: int,
+    max_groups: int = MAX_QUOTA_GROUPS,
 ) -> DataFrame:
     """Sample ~``total`` rows of ``df`` so that ``group_col``'s
     distribution matches the TARGET corpus's distribution — the
@@ -350,17 +377,13 @@ def distribution_matched_sample(
 
     Scale shape (100 TB): the target reduces to one driver-bounded
     count per group (the same justified collect as
-    temperature_mixture_sample); ``df`` shuffles once on ``group_col``
-    for the rank window; AQE splits oversized groups.
+    temperature_mixture_sample, with the same ``max_groups`` guard);
+    ``df`` shuffles once on ``group_col`` for the rank window; AQE
+    splits oversized groups. NULL-group rows in df are dropped like
+    any other quota-0 group ("match the NULL slice" is not a
+    meaningful target).
     """
-    tcounts = {
-        r[0]: r[1]
-        for r in target.groupBy(group_col).count().collect()
-        # a NULL group cannot be a map key (and "match the NULL slice"
-        # is not a meaningful target); NULL-group rows in df are
-        # dropped like any other quota-0 group
-        if r[0] is not None
-    }
+    tcounts = _bounded_group_counts(target, group_col, max_groups)
     t_total = sum(tcounts.values())
     if t_total == 0:
         return df.limit(0)

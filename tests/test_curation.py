@@ -705,3 +705,32 @@ def test_distribution_matched_sample_matches_target_marginal(spark, sf_dir):
         ).collect()
     )
     assert ids1 == ids2
+
+
+def test_quota_group_guard_raises_on_high_cardinality(spark):
+    """r8 verdict task #6: quotas keyed on a high-cardinality column
+    must raise with guidance instead of collecting one row per group
+    to the driver; the probe itself is bounded (limit max+1)."""
+    import pytest
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        distribution_matched_sample,
+        temperature_mixture_sample,
+    )
+
+    df = spark.range(500).selectExpr(
+        "cast(id as string) as doc_id", "id % 3 as lang", "id as uniq"
+    )
+    with pytest.raises(ValueError, match="distinct groups"):
+        temperature_mixture_sample(
+            df, "uniq", "doc_id", total=10, max_groups=100
+        )
+    with pytest.raises(ValueError, match="distinct groups"):
+        distribution_matched_sample(
+            df, df, "uniq", "doc_id", total=10, max_groups=100
+        )
+    # mixture-shaped keys stay fine under the same guard
+    out = temperature_mixture_sample(
+        df, "lang", "doc_id", total=30, max_groups=100
+    )
+    assert 0 < out.count() <= 30
