@@ -923,6 +923,112 @@ def main() -> None:
     timed("ppm_decode_500k_images", ppm_decode_500k)
     timed("ngram_diversity_2m_docs", ngram_diversity_2m)
 
+    # 32) Zipf-skew stress for the census/dedup family (r8 verdict
+    #     task #5): the sf1.0 upsampler preserves distributions, so
+    #     these corpora deliberately plant ONE hot key owning ~20% of
+    #     spans / segments / LSH-bucket membership and report
+    #     uniform-vs-skewed wall time at identical scale. Bounded
+    #     ratios = no superlinear blowup: the censuses combine
+    #     map-side before the exchange (the hot key arrives at its
+    #     reducer as ~n_partitions partial rows, not ~n_docs rows),
+    #     AQE splits the skewed post-census joins, and the LSH bucket
+    #     cap chains the boilerplate bucket instead of squaring it.
+    _HOT_TEXT = " ".join(f"boiler{i}" for i in range(30))
+
+    def _skewed_corpus(n, hot_every=5):
+        return _synth_docs(n).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % hot_every == 0, F.lit(_HOT_TEXT)
+            ).otherwise(F.col("text")),
+        )
+
+    def _ab(label_uniform, build_uniform, build_skewed):
+        t0 = time.perf_counter()
+        u = build_uniform()
+        t_uni = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        s = build_skewed()
+        t_skew = round(time.perf_counter() - t0, 2)
+        return {
+            "uniform_s": t_uni,
+            "skew_s": t_skew,
+            "ratio": round(t_skew / t_uni, 2) if t_uni else None,
+            "uniform_out": u,
+            "skew_out": s,
+        }
+
+    def span_screen_skew_500k():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            duplicate_span_stats,
+        )
+
+        n = 500_000
+
+        def run(docs):
+            return (
+                duplicate_span_stats(docs, span_tokens=5)
+                .agg(
+                    F.sum("n_dup_spans").alias("d"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]["n"]
+            )
+
+        out = _ab(
+            "span",
+            lambda: run(_synth_docs(n)),
+            lambda: run(_skewed_corpus(n)),
+        )
+        assert out["uniform_out"] == n and out["skew_out"] == n
+        return out
+
+    def line_dedup_skew_300k():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            segment_boilerplate_removal,
+        )
+
+        n = 300_000
+
+        def run(docs):
+            return (
+                segment_boilerplate_removal(docs, chunk_words=10)
+                .agg(
+                    F.sum("n_segments_removed").alias("r"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]["n"]
+            )
+
+        out = _ab(
+            "line",
+            lambda: run(_synth_docs(n)),
+            lambda: run(_skewed_corpus(n)),
+        )
+        assert out["uniform_out"] == n and out["skew_out"] == n
+        return out
+
+    def minhash_skew_300k():
+        from hse_etl_ochirov_aldar_spark.operators.text_dedup import (
+            minhash_lsh_candidates,
+        )
+
+        n = 300_000
+
+        def run(docs):
+            return minhash_lsh_candidates(docs).count()
+
+        out = _ab(
+            "minhash",
+            lambda: run(_synth_docs(n)),
+            lambda: run(_skewed_corpus(n)),
+        )
+        # the 60k-doc boilerplate bucket must CHAIN (b-1 pairs per
+        # band, deduped across bands), never square: pair count stays
+        # linear in the hot-group size
+        assert out["skew_out"] < 2 * (n // 5), out["skew_out"]
+        return out
+
     # 31) quantizer fit over 2M x 16-dim vectors, 64 cells: the
     #     sample-cap path (one TakeOrdered collect of 4096 micro-
     #     vectors + driver-local integer Lloyd) vs the distributed
@@ -982,6 +1088,9 @@ def main() -> None:
     timed("split_pack_10m_docs", pack_10m)
     timed("decontaminate_2m_docs", decontaminate_2m)
     timed("quantizer_fit_2m_sample_cap", quantizer_fit_2m)
+    timed("span_screen_skew_500k", span_screen_skew_500k)
+    timed("line_dedup_skew_300k", line_dedup_skew_300k)
+    timed("minhash_skew_300k", minhash_skew_300k)
     spark.stop()
 
 
