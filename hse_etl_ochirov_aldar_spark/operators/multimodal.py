@@ -433,14 +433,63 @@ def resize_images(
     return media.mapInPandas(process, RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+def av_frame_decoder(av_module=None):
+    """Adapter from a PyAV-shaped module (``open(BytesIO)`` -> container
+    whose ``decode(video=0)`` yields frames with ``.time`` and
+    ``.to_ndarray()``) to the frame-decode contract
+    ``(payload, frame_ts) -> bytes`` — the video twin of pil_decoder /
+    soundfile_decoder, same injectable-module convention (r9): the
+    contract test drops in a stub container, proving a real PyAV
+    decoder slots into sample_frames' mapInPandas stage untouched;
+    passing None imports the real ``av`` or raises ImportError.
+
+    Seeking: the adapter decodes the stream and returns the LAST frame
+    at or before ``frame_ts`` (presentation-time semantics). A
+    production body would ``container.seek`` to the nearest keyframe
+    first; the stub contract only pins payload-in/bytes-out and the
+    at-or-before rule.
+    """
+    import io
+
+    if av_module is None:
+        av_module = _try_import("av")
+        if av_module is None:
+            raise ImportError(
+                "av_frame_decoder() with no module requires PyAV; "
+                "install it or inject a compatible module explicitly"
+            )
+
+    def decode(payload: bytes, frame_ts: float) -> bytes:
+        container = av_module.open(io.BytesIO(bytes(payload)))
+        best = None
+        for frame in container.decode(video=0):
+            if frame.time is not None and frame.time <= frame_ts:
+                best = frame
+            else:
+                break
+        if best is None:
+            return b""
+        return best.to_ndarray().tobytes()
+
+    return decode
+
+
+FRAME_SCHEMA = "media_id LONG, frame_ts DOUBLE, frame_bytes BINARY"
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_decoder=None
+) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
 
     The frame OFFSETS and fan-out are pure DataFrame plumbing (explode
-    of an offset sequence — J3, JVM-side); only the frame decode would
-    touch Python, and it is stubbed to a deterministic byte-slice here
-    (a real body runs ffmpeg/PyAV inside a mapInPandas over this
-    exploded frame table). Duration comes from the feature extractor.
+    of an offset sequence — J3, JVM-side); only the frame decode
+    touches Python. ``frame_decoder`` is the swappable seam — any
+    picklable ``(payload, frame_ts) -> bytes`` (see ``av_frame_decoder``
+    for the PyAV adapter); it runs inside one Arrow mapInPandas stage
+    over the exploded frame table. Defaults to a deterministic
+    byte-slice stub so plumbing tests need no decodable payloads.
+    Duration comes from the feature extractor.
     """
     feats = extract_media_features(media).where(F.col("kind") == "video")
     with_offsets = feats.join(
@@ -458,14 +507,32 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
         ).alias("frame_ts"),
     )
-    # stubbed per-frame decode: a deterministic 32-byte slice keyed by
-    # the frame timestamp (real impl: mapInPandas seek+decode here)
+    if frame_decoder is None:
+        # stubbed per-frame decode: a deterministic 32-byte slice keyed
+        # by the frame timestamp
+        return with_offsets.select(
+            "media_id",
+            "frame_ts",
+            F.substring(
+                "payload",
+                F.lit(1) + (F.col("frame_ts") * 10).cast("int") % 32,
+                32,
+            ).alias("frame_bytes"),
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "frame_ts": pdf["frame_ts"].astype("float64"),
+                    "frame_bytes": [
+                        frame_decoder(p, t)
+                        for p, t in zip(pdf["payload"], pdf["frame_ts"])
+                    ],
+                }
+            )
+
     return with_offsets.select(
-        "media_id",
-        "frame_ts",
-        F.substring(
-            "payload",
-            F.lit(1) + (F.col("frame_ts") * 10).cast("int") % 32,
-            32,
-        ).alias("frame_bytes"),
-    )
+        "media_id", "frame_ts", "payload"
+    ).mapInPandas(process, FRAME_SCHEMA)

@@ -391,3 +391,74 @@ def test_sniff_decoder_routes_by_magic():
 
     with _pytest.raises(NotImplementedError):
         sniff_decoder(b"\x89PNG\r\n", "image")
+
+
+class _FakeAvFrame:
+    def __init__(self, t, data):
+        self.time = t
+        self._d = data
+
+    def to_ndarray(self):
+        import numpy as np
+
+        return np.frombuffer(self._d, dtype=np.uint8)
+
+
+class _FakeAvContainer:
+    """PyAV-shaped stub: three frames at t=0/1/2 whose pixels are the
+    payload's first bytes shifted by the frame index — predictable
+    at-or-before selection."""
+
+    def __init__(self, data: bytes):
+        self._frames = [
+            _FakeAvFrame(float(t), bytes((b + t) % 256 for b in data[:8]))
+            for t in range(3)
+        ]
+
+    def decode(self, video=0):
+        return iter(self._frames)
+
+
+class _FakeAv:
+    @staticmethod
+    def open(fp):
+        return _FakeAvContainer(fp.read())
+
+
+def test_injected_av_frame_decoder_contract(spark, sf_dir):
+    """The video twin of the pil_decoder contract: a PyAV-shaped module
+    injected through av_frame_decoder runs inside sample_frames'
+    mapInPandas stage; each sampled offset gets the at-or-before frame."""
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        av_frame_decoder,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(6)
+    media = documents_as_media(docs, "video")
+    out = sample_frames(
+        media, n_frames=2, frame_decoder=av_frame_decoder(_FakeAv)
+    )
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,frame_ts:double,frame_bytes:binary>"
+    )
+    rows = out.collect()
+    assert len(rows) == 12  # one row per (media, offset)
+    payloads = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for r in rows:
+        base = payloads[r.media_id][:8]
+        k = min(2, int(r.frame_ts))  # at-or-before frame index
+        assert bytes(r.frame_bytes) == bytes((b + k) % 256 for b in base)
+
+
+def test_av_adapter_requires_module_or_lib():
+    from hse_etl_ochirov_aldar_spark.operators.multimodal import (
+        _try_import,
+        av_frame_decoder,
+    )
+
+    if _try_import("av") is None:
+        with pytest.raises(ImportError, match="PyAV"):
+            av_frame_decoder()
+    else:
+        assert callable(av_frame_decoder())
