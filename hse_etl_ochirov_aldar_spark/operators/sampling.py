@@ -291,6 +291,7 @@ def cluster_balanced_sample(
     scale: int = 6,
     centroids: list[list[int]] | None = None,
     labeler: str | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Diversity-balanced sampling over LEARNED clusters — the D4-style
     coreset draw (Tirumala et al. 2023): fit the deterministic integer
@@ -348,6 +349,21 @@ def cluster_balanced_sample(
             "cluster_id",
             F.element_at(_cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1),
         )
+        # labeled feeds TWO consumers (the quota count-collect and the
+        # rank window) and Spark re-executes a non-cached subplan per
+        # consumer. Under the EXPR kernel the interpreted 64-cell
+        # argmin dominates, so paying it twice is the operator's whole
+        # cost — persist halves the 1M-vector draw (92.7s -> 43.0s,
+        # r9). Under the arrow kernel relabeling is CHEAPER than the
+        # cache build (20.2s -> 21.9s with persist), so that path
+        # deliberately recomputes. Eviction spills/recomputes, never
+        # corrupts. persisted_out: per-batch callers pass a list and
+        # unpersist after their terminal action (the
+        # incremental_minhash_dedup contract); bench/tests clear cache
+        # between entries.
+        labeled = labeled.persist()
+        if persisted_out is not None:
+            persisted_out.append(labeled)
     return temperature_mixture_sample(labeled, "cluster_id", id_col, total)
 
 

@@ -815,6 +815,7 @@ def semantic_dedup_flags(
     centroids: list[list[int]] | None = None,
     sample_cap: int | None = None,
     labeler: str | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) flags: cluster the
     corpus with the exact-integer k-means fit, then mark as redundant
@@ -869,6 +870,16 @@ def semantic_dedup_flags(
                 _cell_ranks(micro_vec(F.col(vec_col), scale), cents), 1
             ),
         )
+        # labeled feeds TWO consumers (pair mining + the final flag
+        # join). Persist ONLY under the expr kernel, where the
+        # interpreted argmin dominates and re-running it per consumer
+        # is the operator's whole cost; the arrow kernel relabels
+        # cheaper than a cache build (cluster_balanced_sample's r9
+        # measurement). Same persisted_out contract as
+        # incremental_minhash_dedup for long-running per-batch callers.
+        labeled = labeled.persist()
+        if persisted_out is not None:
+            persisted_out.append(labeled)
     dup_ids = embedding_near_dup_ids(
         labeled, threshold, id_col, vec_col, block_col="cluster_id", scale=scale
     )
