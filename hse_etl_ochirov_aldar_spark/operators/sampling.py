@@ -337,7 +337,7 @@ def cluster_balanced_sample(
     )
 
     cents = centroids if centroids is not None else exact_kmeans_centroids(
-        vectors, n_cells, iters, id_col, vec_col, scale
+        vectors, n_cells, iters, id_col, vec_col, scale, labeler=labeler
     )
     if resolve_kernel(labeler) == "arrow":
         labeled = cell_labels_frame(

@@ -603,6 +603,7 @@ def exact_kmeans_centroids(
     vec_col: str = "embedding",
     scale: int = 6,
     sample_cap: int | None = None,
+    labeler: str | None = None,
 ) -> list[list[int]]:
     """Deterministic Lloyd k-means in exact BIGINT micro-unit
     arithmetic; returns the centroid micro-vectors as Python ints.
@@ -644,7 +645,15 @@ def exact_kmeans_centroids(
     (_kmeans_label_ctes with the same cap) stay exact at any SF.
     Replaces iters+2 scan jobs with one — at bench scale the fit cost
     is per-job fixed overhead, not arithmetic.
+
+    ``labeler`` (distributed path only): None defers to the session
+    kernel default — under 'arrow' each iteration's assign step runs
+    cell_labels_frame on the cached micro-vector projection
+    (pre_quantized, bit-identical argmin/tie-break, r9: the interpreted
+    per-iteration argmin was the last expr hotspot in the 1M coreset
+    draw); 'expr' keeps the Catalyst argmin.
     """
+    from .._kernels import resolve_kernel
     from .text_dedup import md5_hash32
 
     if sample_cap is not None:
@@ -682,11 +691,20 @@ def exact_kmeans_centroids(
         )
         cents = [[int(x) for x in r["_v"]] for r in init_rows]
         dims = len(cents[0])
+        use_arrow = resolve_kernel(labeler) == "arrow"
         for _ in range(iters):
-            assigned = qv.select(
-                F.element_at(_cell_ranks(F.col("_v"), cents), 1).alias("_cell"),
-                "_v",
-            )
+            if use_arrow:
+                assigned = cell_labels_frame(
+                    qv, cents, id_col="_id", vec_col="_v",
+                    passthrough=True, pre_quantized=True,
+                ).select(F.col("cluster_id").alias("_cell"), "_v")
+            else:
+                assigned = qv.select(
+                    F.element_at(_cell_ranks(F.col("_v"), cents), 1).alias(
+                        "_cell"
+                    ),
+                    "_v",
+                )
             agg = assigned.groupBy("_cell").agg(
                 F.count(F.lit(1)).alias("_n"),
                 *[
@@ -739,7 +757,8 @@ def ivf_kmeans_exact_topk(
     from .._kernels import resolve_kernel
 
     cents = centroids if centroids is not None else exact_kmeans_centroids(
-        corpus, n_cells, iters, id_col, vec_col, scale, sample_cap
+        corpus, n_cells, iters, id_col, vec_col, scale, sample_cap,
+        labeler=labeler,
     )
     # _spread BEFORE the labeling projection (r8, PERF finding 26): the
     # argmin over n_cells interpreted integer-L2 folds is this plan's
@@ -856,7 +875,8 @@ def semantic_dedup_flags(
     from .._kernels import resolve_kernel
 
     cents = centroids if centroids is not None else exact_kmeans_centroids(
-        vectors, n_cells, iters, id_col, vec_col, scale, sample_cap
+        vectors, n_cells, iters, id_col, vec_col, scale, sample_cap,
+        labeler=labeler,
     )
     if resolve_kernel(labeler) == "arrow":
         labeled = cell_labels_frame(
@@ -1190,6 +1210,7 @@ def cell_labels_frame(
     vec_col: str = "embedding",
     scale: int = 6,
     passthrough: bool = False,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """(vid, cluster_id) nearest-centroid labels via ONE Arrow batch of
     int64 matrix arithmetic — the exact twin of
@@ -1210,6 +1231,11 @@ def cell_labels_frame(
     join of labels back onto the corpus. Arrow round-trips values
     losslessly (IEEE floats bit-preserved), so passthrough keeps the
     bit-identity guarantee.
+
+    ``pre_quantized=True`` treats ``vec_col`` as ALREADY-micro int64
+    arrays and skips the snap — the exact_kmeans_centroids Lloyd loop
+    labels its cached micro-vector projection directly (r9); identical
+    argmin/tie-break arithmetic either way.
     """
     import numpy as np
     import pandas as pd
@@ -1243,11 +1269,18 @@ def cell_labels_frame(
                 else:
                     yield pd.DataFrame({"vid": [], "cluster_id": []})
                 continue
-            v = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-            )
-            d = v * m
-            micro = (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
+            if pre_quantized:
+                micro = np.asarray(
+                    [np.asarray(x, dtype=np.int64) for x in pdf[vec_col]]
+                )
+            else:
+                v = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                d = v * m
+                micro = (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(
+                    np.int64
+                )
             # same exact-float64-dgemm trick as srp_signature_frame
             # (r8): every term of vv - 2 v.c + cc is an integer, and
             # as long as the largest possible term magnitude

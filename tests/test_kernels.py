@@ -154,3 +154,52 @@ def test_resolve_kernel_auto_param():
     assert resolve_kernel("arrow", auto="expr") == "arrow"
     with pytest.raises(ValueError, match="auto must be"):
         resolve_kernel(None, auto="nope")
+
+
+def test_kmeans_fit_identical_across_kernels(spark):
+    """The distributed Lloyd assign step under the arrow kernel
+    (pre_quantized cell_labels_frame) must produce bit-identical
+    centroids to the Catalyst argmin at every iteration count."""
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        exact_kmeans_centroids,
+    )
+
+    df = _vectors(spark, n=400, dims=6)
+    for iters in (1, 3):
+        a = exact_kmeans_centroids(
+            df, n_cells=5, iters=iters, labeler="expr"
+        )
+        b = exact_kmeans_centroids(
+            df, n_cells=5, iters=iters, labeler="arrow"
+        )
+        assert a == b
+    # and the unset default resolves to the same result
+    c = exact_kmeans_centroids(df, n_cells=5, iters=3)
+    assert c == a
+
+
+def test_pre_quantized_labels_match_snapped(spark):
+    """pre_quantized=True on already-micro int64 arrays must agree with
+    the float snap path on the same underlying vectors."""
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        cell_labels_frame,
+        micro_vec,
+    )
+
+    df = _vectors(spark, n=200, dims=6)
+    cents = [[i * 100_000] * 6 for i in range(4)]
+    a = sorted(
+        (r["vid"], r["cluster_id"])
+        for r in cell_labels_frame(df, cents).collect()
+    )
+    micro = df.select(
+        F.col("vec_id").alias("vid2"),
+        micro_vec(F.col("embedding"), 6).alias("mv"),
+    )
+    b = sorted(
+        (r["vid"], r["cluster_id"])
+        for r in cell_labels_frame(
+            micro, cents, id_col="vid2", vec_col="mv", pre_quantized=True
+        ).collect()
+    )
+    assert a == b and len(a) == 200
