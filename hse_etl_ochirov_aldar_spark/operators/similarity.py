@@ -1269,14 +1269,44 @@ def cell_labels_frame(
                 else:
                     yield pd.DataFrame({"vid": [], "cluster_id": []})
                 continue
+            # NULL-ROW parity with the expression path (pin-tested):
+            # a null VECTOR makes every per-cell distance null there,
+            # and the (d, cell_id) struct sort puts null distances
+            # first with the cell_id tie-break — null rows label as
+            # cell 0 deterministically. Map them to a zero vector,
+            # compute the batch normally, overwrite with 0. NaN
+            # ELEMENTS match expr too: Spark's round(NaN*1e6) casts to
+            # long 0, so nan_to_num(0.0) -> micro 0 is the identical
+            # component. (An array<float> with a null ELEMENT is
+            # indistinguishable from NaN after Arrow and takes the NaN
+            # rule — the one documented divergence; expr would
+            # null-poison that row's distances.)
+            dims = c.shape[1]
             if pre_quantized:
+                zero_i = np.zeros(dims, dtype=np.int64)
+                null_rows = np.array(
+                    [x is None for x in pdf[vec_col]], dtype=bool
+                )
                 micro = np.asarray(
-                    [np.asarray(x, dtype=np.int64) for x in pdf[vec_col]]
+                    [
+                        zero_i if x is None else np.asarray(x, dtype=np.int64)
+                        for x in pdf[vec_col]
+                    ]
                 )
             else:
-                v = np.asarray(
-                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                zero_f = np.zeros(dims, dtype=np.float64)
+                null_rows = np.array(
+                    [x is None for x in pdf[vec_col]], dtype=bool
                 )
+                v = np.asarray(
+                    [
+                        zero_f
+                        if x is None
+                        else np.asarray(x, dtype=np.float64)
+                        for x in pdf[vec_col]
+                    ]
+                )
+                np.nan_to_num(v, copy=False)
                 d = v * m
                 micro = (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(
                     np.int64
@@ -1300,6 +1330,7 @@ def cell_labels_frame(
                 vv = np.einsum("ij,ij->i", micro, micro)
                 dist = vv[:, None] - 2 * (micro @ c.T) + cc[None, :]
             labels = np.argmin(dist, axis=1).astype(np.int64)
+            labels[null_rows] = 0
             if passthrough:
                 yield pdf.assign(cluster_id=labels)
             else:

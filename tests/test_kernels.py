@@ -203,3 +203,41 @@ def test_pre_quantized_labels_match_snapped(spark):
         ).collect()
     )
     assert a == b and len(a) == 200
+
+
+def test_null_and_nan_rows_match_expr(spark):
+    """NULL-row parity (r9): a null vector labels as cell 0 on BOTH
+    kernels (expr: all distances null -> struct sort tie-break to the
+    lowest cell_id); NaN elements become micro component 0 on both
+    (Spark round(NaN*1e6) casts to long 0)."""
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        _cell_ranks,
+        cell_labels_frame,
+        micro_vec,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, 0.5]),
+            (2, None),
+            (3, [0.9, 0.1]),
+            (4, [float("nan"), 0.9]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    cents = [[100_000, 900_000], [900_000, 100_000]]
+    expr = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in df.select(
+            "vec_id",
+            F.element_at(
+                _cell_ranks(micro_vec(F.col("embedding"), 6), cents), 1
+            ).alias("cluster_id"),
+        ).collect()
+    )
+    arrow = sorted(
+        (r["vid"], r["cluster_id"])
+        for r in cell_labels_frame(df, cents).collect()
+    )
+    assert arrow == expr
+    assert dict(arrow)[2] == 0  # the null row labels cell 0
