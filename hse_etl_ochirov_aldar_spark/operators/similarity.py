@@ -1177,9 +1177,23 @@ def srp_signature_frame(
             if len(pdf) == 0:
                 yield pd.DataFrame({"vid": [], "bits": []})
                 continue
-            v = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            # NULL-ROW parity with srp_signature (pin-tested): a null
+            # vector null-poisons every dot there, and when(null >= 0)
+            # falls to otherwise(0) — ALL-ZERO bits (NOT the zero-
+            # vector signature, whose dots are 0 >= 0 = all-one).
+            # NaN elements become micro component 0 on both paths
+            # (Spark round(NaN*1e6) casts to long 0 <-> nan_to_num).
+            zero_f = np.zeros(sig_f.shape[0], dtype=np.float64)
+            null_rows = np.array(
+                [x is None for x in pdf[vec_col]], dtype=bool
             )
+            v = np.asarray(
+                [
+                    zero_f if x is None else np.asarray(x, dtype=np.float64)
+                    for x in pdf[vec_col]
+                ]
+            )
+            np.nan_to_num(v, copy=False)
             d = v * m
             micro = (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
             # int64 matmul in numpy is a naive single-thread loop (no
@@ -1194,6 +1208,7 @@ def srp_signature_frame(
                 )
             else:
                 bits = (micro @ sig_t >= 0).astype(np.int32)
+            bits[null_rows] = 0
             yield pd.DataFrame(
                 {"vid": pdf[id_col], "bits": [b.tolist() for b in bits]}
             )

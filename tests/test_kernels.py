@@ -241,3 +241,40 @@ def test_null_and_nan_rows_match_expr(spark):
     )
     assert arrow == expr
     assert dict(arrow)[2] == 0  # the null row labels cell 0
+
+
+def test_srp_null_and_nan_rows_match_expr(spark):
+    """SRP null-row parity: a null vector gives ALL-ZERO bits on both
+    paths (expr: when(null >= 0) falls to otherwise(0)) — distinct from
+    a zero VECTOR whose dots are 0 >= 0 = all-one; NaN elements become
+    micro 0 on both."""
+    from hse_etl_ochirov_aldar_spark.operators.similarity import (
+        srp_sign_matrix,
+        srp_signature,
+        srp_signature_frame,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, 0.5]),
+            (2, None),
+            (3, [float("nan"), 0.3]),
+            (4, [0.0, 0.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    mat = srp_sign_matrix(8, 2, "srp")
+    expr = sorted(
+        (r["vec_id"], tuple(r["bits"]))
+        for r in df.select(
+            "vec_id", srp_signature(F.col("embedding"), mat, 6).alias("bits")
+        ).collect()
+    )
+    arrow = sorted(
+        (r["vid"], tuple(r["bits"]))
+        for r in srp_signature_frame(df, mat).collect()
+    )
+    assert arrow == expr
+    d = dict(arrow)
+    assert d[2] == (0,) * 8          # null row: all-zero bits
+    assert d[4] == (1,) * 8          # zero vector: all-one bits (0 >= 0)
