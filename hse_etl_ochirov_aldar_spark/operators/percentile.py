@@ -26,7 +26,7 @@ and filter columns only (verified in the physical plan).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,15 +37,27 @@ def global_percentile_bounds(
     upper: float = 0.95,
     approx: bool = False,
     accuracy: int = 10_000,
+    strategy: str = "buffer",
 ) -> DataFrame:
     """1-row DataFrame with the [lower, upper] percentiles of value_col.
 
     ``approx=True`` switches to ``approx_percentile`` (bounded-memory
-    t-digest style sketch, rank error <= 1/accuracy) — the 100 TB
+    t-digest style sketch, rank error <= 1/accuracy) — a 100 TB
     escape hatch when the exact aggregate's per-partition value digest
-    would not fit executor memory. Default stays exact to match
-    Postgres ``percentile_cont`` bit-for-bit.
+    would not fit executor memory. ``strategy="rank"`` is the EXACT
+    escape hatch for the same regime: rank-based two-pass bounds with
+    O(1) task state (see :func:`grouped_percentile_bounds_ranked`),
+    bit-identical to the default. Default stays the ``percentile``
+    aggregate to match Postgres ``percentile_cont`` bit-for-bit.
     """
+    if strategy == "rank":
+        if approx:
+            raise ValueError("approx=True and strategy='rank' conflict")
+        return grouped_percentile_bounds_ranked(
+            df, value_col, [], lower, upper
+        )
+    if strategy != "buffer":
+        raise ValueError(f"unknown strategy {strategy!r} (buffer|rank)")
     if approx:
         return df.agg(
             F.approx_percentile(
@@ -68,6 +80,7 @@ def percentile_trim(
     upper: float = 0.95,
     bounds_over: DataFrame | None = None,
     approx: bool = False,
+    strategy: str = "buffer",
 ) -> DataFrame:
     """Keep rows whose value lies within the *global* [p_lo, p_hi] band.
 
@@ -76,7 +89,8 @@ def percentile_trim(
     HW-4/airflow/dags/iot_temperature.py:109-113).
     """
     bounds = global_percentile_bounds(bounds_over if bounds_over is not None else df,
-                                      value_col, lower, upper, approx=approx)
+                                      value_col, lower, upper, approx=approx,
+                                      strategy=strategy)
     out = df.crossJoin(F.broadcast(bounds))
     out = out.where(F.col(value_col).between(F.col("p_lo"), F.col("p_hi")))
     return out.drop("p_lo", "p_hi")
@@ -121,6 +135,7 @@ def grouped_percentile_trim(
     group_cols: list[str],
     lower: float = 0.05,
     upper: float = 0.95,
+    strategy: str = "buffer",
 ) -> DataFrame:
     """Per-GROUP [lower, upper] percentile trim — each group is cleaned
     against its own band (the global trim's natural extension when
@@ -130,11 +145,134 @@ def grouped_percentile_trim(
     back onto the data (equi-join on the group keys, tiny build side).
     At 100 TB the bounds aggregation is the usual partial+final agg;
     the join stays broadcast as long as group cardinality is dim-sized.
+
+    ``strategy``: ``"buffer"`` (default) uses Spark's exact
+    ``percentile`` aggregate — O(distinct values) merge state per
+    group, the cheap path when value domains are bounded.  ``"rank"``
+    switches the bounds computation to
+    :func:`grouped_percentile_bounds_ranked` — O(1) task state, the
+    exact escape hatch for unbounded/continuous domains where the
+    buffer would not fit executor memory (bit-identical output,
+    pin-tested).
     """
-    bounds = df.groupBy(*group_cols).agg(
-        F.percentile(F.col(value_col), F.lit(lower)).alias("p_lo"),
-        F.percentile(F.col(value_col), F.lit(upper)).alias("p_hi"),
-    )
+    if strategy == "rank":
+        bounds = grouped_percentile_bounds_ranked(
+            df, value_col, group_cols, lower, upper
+        )
+    elif strategy == "buffer":
+        bounds = df.groupBy(*group_cols).agg(
+            F.percentile(F.col(value_col), F.lit(lower)).alias("p_lo"),
+            F.percentile(F.col(value_col), F.lit(upper)).alias("p_hi"),
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (buffer|rank)")
     out = df.join(F.broadcast(bounds), group_cols)
     out = out.where(F.col(value_col).between(F.col("p_lo"), F.col("p_hi")))
     return out.drop("p_lo", "p_hi")
+
+
+def grouped_percentile_bounds_ranked(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """EXACT per-group [lower, upper] percentiles with O(1) task state —
+    the rank-based twin of the ``percentile``-aggregate bounds.
+
+    Spark's exact ``percentile`` aggregate buffers a value→count map
+    per group; its merge state is O(distinct values), which for a
+    continuous 100 TB value column concentrates the whole domain in
+    one final-merge task.  This twin never buffers values.  Same
+    discipline as ``operators/rank.py``:
+
+    1. range-partition by (group, value) — huge groups SPLIT across
+       partitions, so no task ever holds a whole group;
+    2. census per (partition, group) — a tiny frame (≤ partitions +
+       groups rows); per-group offsets come from a window over the
+       census, not a driver collect;
+    3. global in-group rank = census offset + local row_number;
+    4. each bound needs the values at ranks floor(pos)+1 / ceil(pos)+1
+       where pos = p·(n−1) — filter those ≤4 rows per group and
+       interpolate with Spark's own symmetric formula
+       ``(hi−pos)·v_lo + (pos−lo)·v_hi`` (``when hi==lo`` short-
+       circuits to v_lo), which is BIT-IDENTICAL to the buffer
+       aggregate's ``Percentile.getPercentile`` (pin-tested).
+
+    Returns one row per group: ``(*group_cols, p_lo, p_hi)`` as
+    doubles.  Groups whose values are all NULL produce no row (the
+    aggregate twin yields NULL bounds; either way a trim drops every
+    row of such a group).  Cost: two big-data exchanges (range + the
+    window's hash) vs the aggregate's one partial+final — pay it only
+    when the value domain is unbounded; correctness is identical.
+    """
+    gcols = list(group_cols)
+    vals = df.select(*gcols, value_col).where(F.col(value_col).isNotNull())
+    ranged = (
+        vals.repartitionByRange(*gcols, value_col)
+        .sortWithinPartitions(*gcols, value_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # Materialization barrier: range boundaries are sampled, so the
+    # census branch and the rank branch MUST read the same physical
+    # partitioning. One cheap action pins the cache before either
+    # consumer plans against it (rank.py precedent; consumers clear
+    # cache between catalog entries per the QUERIES contract).
+    ranged.count()
+    census = ranged.groupBy("__pid", *gcols).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    meta = census.select(
+        "__pid",
+        *gcols,
+        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy(*gcols)).alias("__n"),
+    )
+    w_rank = Window.partitionBy("__pid", *gcols).orderBy(F.asc(value_col))
+    ranked = ranged.join(F.broadcast(meta), ["__pid", *gcols]).withColumn(
+        "__rank", F.col("__off") + F.row_number().over(w_rank)
+    )
+
+    def _pos(p: float) -> Column:
+        # Spark's Percentile: position = percentage * (n - 1), Double.
+        return F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
+
+    def _hits(pos: Column) -> Column:
+        return (F.col("__rank") == F.floor(pos) + 1) | (
+            F.col("__rank") == F.ceil(pos) + 1
+        )
+
+    v = F.col(value_col).cast("double")
+
+    def _at(pos_rank: Column) -> Column:
+        return F.max(F.when(F.col("__rank") == pos_rank, v))
+
+    cand = ranked.where(_hits(_pos(lower)) | _hits(_pos(upper)))
+    agg = cand.groupBy(*gcols).agg(
+        F.max("__n").alias("__n"),
+        _at(F.floor(_pos(lower)) + 1).alias("__lo_l"),
+        _at(F.ceil(_pos(lower)) + 1).alias("__lo_h"),
+        _at(F.floor(_pos(upper)) + 1).alias("__hi_l"),
+        _at(F.ceil(_pos(upper)) + 1).alias("__hi_h"),
+    )
+
+    def _interp(p: float, lo_v: str, hi_v: str) -> Column:
+        pos = _pos(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        return F.when(hi == lo, F.col(lo_v)).otherwise(
+            (hi.cast("double") - pos) * F.col(lo_v)
+            + (pos - lo.cast("double")) * F.col(hi_v)
+        )
+
+    return agg.select(
+        *gcols,
+        _interp(lower, "__lo_l", "__lo_h").alias("p_lo"),
+        _interp(upper, "__hi_l", "__hi_h").alias("p_hi"),
+    )

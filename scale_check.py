@@ -538,6 +538,56 @@ def main() -> None:
         ).collect()[0]
         return [r.p_lo, r.p_hi]
 
+    # 21b) rank-based EXACT bounds at 10M rows: the O(1)-task-state twin
+    #      of the percentile aggregate (no value->count buffer). Global
+    #      case + a 4-huge-groups case (2.5M rows per group — a plain
+    #      per-group window would drag each group through ONE task; the
+    #      range partitioning splits them). Identity asserted vs the
+    #      buffer aggregate both times.
+    def percentile_ranked_10m():
+        from hse_etl_ochirov_aldar_spark.operators.percentile import (
+            global_percentile_bounds,
+            grouped_percentile_bounds_ranked,
+        )
+
+        t0 = time.perf_counter()
+        g_rank = global_percentile_bounds(
+            _pct_vals(), "value", strategy="rank"
+        ).collect()[0]
+        t_global = round(time.perf_counter() - t0, 2)
+        g_buf = global_percentile_bounds(_pct_vals(), "value").collect()[0]
+        assert (g_rank.p_lo, g_rank.p_hi) == (g_buf.p_lo, g_buf.p_hi)
+        spark.catalog.clearCache()
+
+        grouped = spark.range(10_000_000).select(
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(4)).alias("grp"),
+            (F.pmod(F.xxhash64("id"), 1_000_000) / 100.0).alias("value"),
+        )
+        t0 = time.perf_counter()
+        rk = {
+            r.grp: (r.p_lo, r.p_hi)
+            for r in grouped_percentile_bounds_ranked(
+                grouped, "value", ["grp"]
+            ).collect()
+        }
+        t_grouped = round(time.perf_counter() - t0, 2)
+        buf = {
+            r.grp: (r.p_lo, r.p_hi)
+            for r in grouped.groupBy("grp")
+            .agg(
+                F.percentile("value", F.lit(0.05)).alias("p_lo"),
+                F.percentile("value", F.lit(0.95)).alias("p_hi"),
+            )
+            .collect()
+        }
+        assert rk == buf
+        spark.catalog.clearCache()
+        return {
+            "global_s": t_global,
+            "grouped_4x2.5m_s": t_grouped,
+            "identical": True,
+        }
+
     # 22) SemDeDup at 100k vectors: offline-fit centroids (hash sample
     #     quantized to micro-units) injected, 128 learned clusters,
     #     within-cluster pairs only (~100k*390/2 = 20M candidate pairs
@@ -1069,6 +1119,7 @@ def main() -> None:
     timed("sessionize_10m_events", sessionize_10m)
     timed("percentile_exact_bounds_10m", percentile_exact_10m)
     timed("percentile_approx_bounds_10m", percentile_approx_10m)
+    timed("percentile_ranked_bounds_10m", percentile_ranked_10m)
     timed("exact_substring_removal_500k_docs", substring_removal_500k)
     timed("dsir_importance_2m_docs", dsir_2m)
     timed("perplexity_buckets_2m_docs", ppl_buckets_2m)

@@ -1,0 +1,152 @@
+"""Rank-based exact percentile bounds — bit-identity with the
+``percentile``-aggregate path and O(1)-state plan shape.
+
+The ranked twin (operators/percentile.py:grouped_percentile_bounds_ranked)
+exists for the 100 TB regime where the exact aggregate's value→count
+buffer would not fit executor memory; these tests pin that switching
+strategies can never move a result by even one ulp.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hse_etl_ochirov_aldar_spark.operators.percentile import (
+    global_percentile_bounds,
+    grouped_percentile_bounds_ranked,
+    grouped_percentile_trim,
+    percentile_trim,
+)
+
+
+def _mixed_frame(spark, seed: int, with_nulls: bool = True):
+    """Groups of size 1..400, duplicate-heavy small ints mixed with
+    continuous doubles, optional nulls and an all-null group."""
+    rng = random.Random(seed)
+    rows = []
+    for g in range(30):
+        for _ in range(rng.choice([1, 2, 3, 5, 17, 120, 400])):
+            pick = rng.random()
+            if with_nulls and pick < 0.1:
+                v = None
+            elif pick < 0.5:
+                v = float(rng.randint(-4, 4))  # heavy ties
+            else:
+                v = rng.uniform(-1e6, 1e6)
+            rows.append((f"g{g}", v))
+    if with_nulls:
+        rows += [("only_nulls", None)] * 4
+    return spark.createDataFrame(rows, "grp string, v double").repartition(16)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+@pytest.mark.parametrize(
+    "lower,upper",
+    [(0.05, 0.95), (0.0, 1.0), (1.0 / 3.0, 0.75)],
+)
+def test_ranked_bounds_bit_identical_to_aggregate(spark, seed, lower, upper):
+    df = _mixed_frame(spark, seed)
+    buffer = {
+        r["grp"]: (r["p_lo"], r["p_hi"])
+        for r in df.groupBy("grp")
+        .agg(
+            F.percentile("v", F.lit(lower)).alias("p_lo"),
+            F.percentile("v", F.lit(upper)).alias("p_hi"),
+        )
+        .collect()
+    }
+    ranked = {
+        r["grp"]: (r["p_lo"], r["p_hi"])
+        for r in grouped_percentile_bounds_ranked(
+            df, "v", ["grp"], lower, upper
+        ).collect()
+    }
+    # all-null groups: aggregate yields NULL bounds, ranked yields no
+    # row — both trim to zero rows; assert that exact contract.
+    assert buffer["only_nulls"] == (None, None)
+    all_null = {g for g, b in buffer.items() if b == (None, None)}
+    assert not all_null & set(ranked)
+    assert ranked == {g: b for g, b in buffer.items() if g not in all_null}
+    # float == above: bit-identity, not approx
+
+
+def test_ranked_bounds_on_integral_column(spark):
+    rng = random.Random(7)
+    rows = [(f"g{i % 9}", rng.randint(-1000, 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, v long").repartition(12)
+    buffer = {
+        r["grp"]: (r["p_lo"], r["p_hi"])
+        for r in df.groupBy("grp")
+        .agg(
+            F.percentile("v", F.lit(0.25)).alias("p_lo"),
+            F.percentile("v", F.lit(0.9)).alias("p_hi"),
+        )
+        .collect()
+    }
+    ranked = {
+        r["grp"]: (r["p_lo"], r["p_hi"])
+        for r in grouped_percentile_bounds_ranked(
+            df, "v", ["grp"], 0.25, 0.9
+        ).collect()
+    }
+    assert ranked == buffer
+
+
+def test_trim_strategy_rank_row_identical(spark):
+    df = _mixed_frame(spark, 23)
+    base = sorted(
+        map(tuple, grouped_percentile_trim(df, "v", ["grp"]).collect())
+    )
+    rank = sorted(
+        map(
+            tuple,
+            grouped_percentile_trim(df, "v", ["grp"], strategy="rank").collect(),
+        )
+    )
+    assert base == rank and len(base) > 0
+
+
+def test_global_bounds_and_trim_strategy_rank(spark):
+    df = _mixed_frame(spark, 31, with_nulls=False)
+    buf = global_percentile_bounds(df, "v").collect()[0]
+    rk = global_percentile_bounds(df, "v", strategy="rank").collect()[0]
+    assert (buf["p_lo"], buf["p_hi"]) == (rk["p_lo"], rk["p_hi"])
+    a = sorted(map(tuple, percentile_trim(df, "v").collect()))
+    b = sorted(map(tuple, percentile_trim(df, "v", strategy="rank").collect()))
+    assert a == b
+
+
+def test_single_row_groups_and_extremes(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", -1.5), ("c", 0.0)], "grp string, v double"
+    )
+    out = {
+        r["grp"]: (r["p_lo"], r["p_hi"])
+        for r in grouped_percentile_bounds_ranked(
+            df, "v", ["grp"], 0.0, 1.0
+        ).collect()
+    }
+    assert out == {"a": (5.0, 5.0), "b": (-1.5, -1.5), "c": (0.0, 0.0)}
+
+
+def test_ranked_plan_has_no_percentile_buffer(spark):
+    df = _mixed_frame(spark, 5, with_nulls=False)
+    plan = (
+        grouped_percentile_bounds_ranked(df, "v", ["grp"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the whole point: no value-buffering Percentile aggregate anywhere
+    assert "percentile" not in plan.lower()
+
+
+def test_strategy_validation(spark):
+    df = _mixed_frame(spark, 1, with_nulls=False)
+    with pytest.raises(ValueError, match="buffer|rank"):
+        grouped_percentile_trim(df, "v", ["grp"], strategy="nope")
+    with pytest.raises(ValueError, match="conflict"):
+        global_percentile_bounds(df, "v", approx=True, strategy="rank")
