@@ -103,6 +103,7 @@ def percentile_clamp(
     upper: float = 0.95,
     bounds_over: DataFrame | None = None,
     approx: bool = False,
+    strategy: str = "buffer",
 ) -> DataFrame:
     """Winsorize: CLAMP values into the global [p_lo, p_hi] band
     instead of dropping rows (percentile_trim's row-preserving twin —
@@ -112,7 +113,7 @@ def percentile_clamp(
     """
     bounds = global_percentile_bounds(
         bounds_over if bounds_over is not None else df,
-        value_col, lower, upper, approx=approx,
+        value_col, lower, upper, approx=approx, strategy=strategy,
     )
     out = df.crossJoin(F.broadcast(bounds))
     # greatest/least SKIP nulls (least(p_hi, NULL) = p_hi), so an

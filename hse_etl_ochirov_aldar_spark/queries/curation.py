@@ -1012,8 +1012,10 @@ def q_mad_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation median) — each a map-side-combined digest, no per-group
     sort — with group-count-sized broadcast joins back; one final
     conditional rollup. Three scans of the filtered column is the
-    exact-MAD floor; the approx_percentile escape hatch applies as in
-    operators/percentile.py."""
+    exact-MAD floor; for value domains too wide for the aggregate's
+    value->count buffer the escape hatches in operators/percentile.py
+    apply (approx_percentile, or the EXACT O(1)-state rank-based twin
+    grouped_percentile_bounds_ranked)."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
