@@ -495,6 +495,43 @@ FROM clean GROUP BY event_type, day
 """
 
 
+def q_grouped_percentile_trim_ranked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """grouped_percentile_trim's O(1)-task-state twin under driver
+    checking: the per-group bounds come from the rank-based exact
+    percentile (operators/percentile.py:grouped_percentile_bounds_ranked
+    — range-partition by (group, value), census offsets, interpolate at
+    ranks floor/ceil(p·(n−1))+1 with Spark's own symmetric formula)
+    instead of the value-buffering ``percentile`` aggregate. Bit-
+    identical bounds by construction, so the oracle is the SAME SQL as
+    grouped_percentile_trim; what this entry adds is the driver
+    value-hash proving the scale path end-to-end, not just in pytest.
+    At 100 TB this is the variant to run when the value domain is
+    continuous/unbounded: every task stays O(1) regardless of group
+    size or distinct-value count (PERF.md finding 33: already 2.1×
+    faster than the buffer aggregate at 10M rows × 1M distinct)."""
+    from ..operators.percentile import grouped_percentile_trim
+
+    base = _events_base(spark, sf_dir)
+    trimmed = grouped_percentile_trim(
+        base, "value", ["event_type"], strategy="rank"
+    )
+    return (
+        trimmed.groupBy("event_type", "day")
+        .agg(
+            units_sum("value").alias("s_value"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            "event_type",
+            "day",
+            as_value("s_value", 2).alias("total_value"),
+            "n_readings",
+        )
+    )
+
+
 def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One event per (user_id, event_type), keeping the earliest event_id.
 
