@@ -1993,6 +1993,80 @@ GROUP BY 1
 """
 
 
+def q_rolling_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day unique users from MERGEABLE per-day HLL sketches
+    (Apache DataSketches via ``hll_sketch_agg``, lgK=12) — the
+    incremental-uniques pattern for 100 TB: the raw scan builds one
+    sketch row per day (map-side-combinable aggregate, fixed 2^12
+    registers per task regardless of cardinality); every rolling
+    window, month rollup, or all-time estimate after that is a UNION
+    of day sketches — ~n_days tiny binary rows, the history is never
+    rescanned, and an incremental day appends one row.
+
+    COUNT(DISTINCT) can't do any of that: it is not mergeable across
+    pre-aggregated state, so each window re-expands the raw rows.
+    The entry proves the sketch honest instead of emitting its raw
+    estimate: alongside each window's estimate it computes the EXACT
+    trailing-7-day distinct (distinct (day,user) pairs exploded onto
+    the ≤7 calendar windows they cover — a distributed sliding
+    distinct, no correlated per-day rescan) and emits
+    ``hll_within_5pct`` = 20·|est − exact| ≤ exact in pure BIGINTs
+    (lgK=12 RSE ≈ 1.6%, so 5% ≈ 3σ; sketches are deterministic for a
+    given input, so the flag is hash-stable). The oracle reproduces
+    day / exact / TRUE — if the sketch ever drifted past the bound,
+    the driver's value-hash goes red."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    days_user = ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+    daily_sk = days_user.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    # calendar windows: the sketch (resp. user) of day d belongs to
+    # every window ending in [d, d+6]; union per window end.
+    cover = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+    ).alias("wday")
+    est7 = (
+        daily_sk.select(cover, "sk")
+        .groupBy("wday")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"))
+    )
+    exact7 = (
+        days_user.distinct()
+        .select(cover, "user_id")
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("u7_users"))
+    )
+    observed = daily_sk.select(F.col("day").alias("wday"))
+    return (
+        exact7.join(est7, "wday")
+        .join(observed, "wday", "left_semi")
+        .select(
+            F.col("wday").alias("day"),
+            "u7_users",
+            (20 * F.abs(F.col("__est") - F.col("u7_users")) <= F.col("u7_users")).alias(
+                "hll_within_5pct"
+            ),
+        )
+    )
+
+
+ORACLE_ROLLING_UNIQUE_USERS_HLL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM pairs),
+cover AS (
+  SELECT d.day AS wday, p.user_id
+  FROM pairs p JOIN days d ON d.day - p.day BETWEEN 0 AND 6
+)
+SELECT wday AS day,
+       count(DISTINCT user_id) AS u7_users,
+       TRUE AS hll_within_5pct
+FROM cover GROUP BY 1
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohort matrix: users grouped by their first
     active week; for each (cohort, weeks-since-cohort) cell, how many

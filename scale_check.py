@@ -588,6 +588,64 @@ def main() -> None:
             "identical": True,
         }
 
+    # 21c) mergeable HLL uniques at 20M events / 100k users / 120 days:
+    #      the raw scan builds ONE sketch row per day (map-side
+    #      combinable, fixed 2^12 registers per task); the trailing-7d
+    #      rollup then unions <=7 tiny rows per window — history never
+    #      rescanned. Compare vs the exact sliding distinct (pairs
+    #      exploded onto covering windows) and assert every window's
+    #      estimate inside the 5% audit bound.
+    def hll_rolling_uniques_20m():
+        from pyspark.sql import Window
+
+        ev = spark.range(20_000_000).select(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                F.pmod(F.xxhash64("id"), F.lit(120)).cast("int"),
+            ).alias("day"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)).alias("user_id"),
+        )
+        t0 = time.perf_counter()
+        daily = ev.groupBy("day").agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        ).persist()
+        n_days = daily.count()
+        t_build = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cover = F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday")
+        est = {
+            r.wday: r.est
+            for r in daily.select(cover, "sk")
+            .groupBy("wday")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()
+        }
+        t_union = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        exact = {
+            r.wday: r.u
+            for r in ev.distinct()
+            .select(cover, "user_id")
+            .groupBy("wday")
+            .agg(F.count_distinct("user_id").alias("u"))
+            .collect()
+        }
+        t_exact = round(time.perf_counter() - t0, 2)
+        daily.unpersist()
+        worst = max(
+            abs(est[d] - exact[d]) / exact[d] for d in exact if d in est
+        )
+        assert worst <= 0.05, worst
+        return {
+            "days": n_days,
+            "sketch_build_s": t_build,
+            "window_union_s": t_union,
+            "exact_sliding_s": t_exact,
+            "worst_rel_err": round(worst, 4),
+        }
+
     # 22) SemDeDup at 100k vectors: offline-fit centroids (hash sample
     #     quantized to micro-units) injected, 128 learned clusters,
     #     within-cluster pairs only (~100k*390/2 = 20M candidate pairs
@@ -1120,6 +1178,7 @@ def main() -> None:
     timed("percentile_exact_bounds_10m", percentile_exact_10m)
     timed("percentile_approx_bounds_10m", percentile_approx_10m)
     timed("percentile_ranked_bounds_10m", percentile_ranked_10m)
+    timed("hll_rolling_uniques_20m", hll_rolling_uniques_20m)
     timed("exact_substring_removal_500k_docs", substring_removal_500k)
     timed("dsir_importance_2m_docs", dsir_2m)
     timed("perplexity_buckets_2m_docs", ppl_buckets_2m)
