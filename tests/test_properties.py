@@ -546,3 +546,44 @@ def test_prefix_filter_equals_brute_force(spark, sets, t):
         if j >= t:
             expected.add((ia, ib, j))
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e9,
+                max_value=1e9,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.integers(min_value=-3, max_value=3).map(float),  # ties
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_percentile_paths_match_python_reference(spark, values, p):
+    """Both exact percentile paths — the value-buffering aggregate and
+    the rank-based O(1)-state twin — equal a pure-Python
+    percentile_cont (Spark's symmetric interpolation
+    (hi-pos)*v_lo + (pos-lo)*v_hi) bit-for-bit, for arbitrary data
+    incl. heavy ties and any percentile in [0, 1]."""
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.percentile import (
+        grouped_percentile_bounds_ranked,
+    )
+
+    s = sorted(values)
+    pos = p * (len(s) - 1)
+    lo, hi = math.floor(pos), math.ceil(pos)
+    expected = s[lo] if hi == lo else (hi - pos) * s[lo] + (pos - lo) * s[hi]
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    agg = df.agg(F.percentile("v", F.lit(p))).collect()[0][0]
+    ranked = grouped_percentile_bounds_ranked(df, "v", [], p, p).collect()[0]
+    assert agg == expected
+    assert ranked["p_lo"] == expected and ranked["p_hi"] == expected
