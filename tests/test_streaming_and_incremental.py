@@ -1307,3 +1307,93 @@ def test_streaming_decontaminate_epoch_replay_idempotent(spark, sf_dir, tmpdir):
             .parquet(out)
         )
     assert spark.read.parquet(out).count() == 30
+
+
+def test_streaming_hll_uniques_incremental_and_replay_safe(spark, sf_dir, tmpdir):
+    """Two-wave availableNow runs build the sketch state incrementally
+    (second run reads only new files via the checkpoint); estimates
+    track the exact per-day distinct within the lgK=12 bound; and
+    re-merging a replayed batch (the at-least-once seam) changes no
+    estimate — HLL registers take max, so replay is a no-op."""
+    from hse_etl_ochirov_aldar_spark.streaming.daily import (
+        hll_daily_state_merge,
+        hll_uniques_estimates,
+        streaming_hll_uniques,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ev = ev.select("event_id", "ts", "user_id", "event_type", "value",
+                   F.lit(None).cast("string").alias("props"))
+    waves = [
+        ev.where(F.pmod(F.col("event_id"), 2) == i).cache() for i in (0, 1)
+    ]
+    src = f"{tmpdir}/events_src"
+    state = f"{tmpdir}/hll_state"
+    ckpt = f"{tmpdir}/ckpt"
+
+    for i, wave in enumerate(waves):
+        wave.write.mode("append").parquet(src)
+        q = streaming_hll_uniques(spark, src, state, ckpt)
+        q.awaitTermination(120)
+        # after wave 0 the state must already cover exactly wave 0
+        if i == 0:
+            est0 = {
+                str(r.day): r.n_users_est
+                for r in hll_uniques_estimates(spark, state).collect()
+            }
+            exact0 = {
+                str(r.day): r.n
+                for r in waves[0]
+                .select(F.col("ts").cast("date").alias("day"), "user_id")
+                .groupBy("day")
+                .agg(F.count_distinct("user_id").alias("n"))
+                .collect()
+            }
+            assert set(est0) == set(exact0)
+
+    est = {
+        str(r.day): r.n_users_est
+        for r in hll_uniques_estimates(spark, state).collect()
+    }
+    exact = {
+        str(r.day): r.n
+        for r in ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
+
+    # trailing-7-day reader: never touches raw data, must cover the
+    # union of the window's users within the same bound
+    exact7 = {
+        str(r.wday): r.n
+        for r in ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("wday"),
+            "user_id",
+        )
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in hll_uniques_estimates(spark, state, window_days=7).collect():
+        n = exact7[str(r.day)]
+        assert abs(r.n_users_est - n) <= max(2, 0.05 * n), (str(r.day), r.n_users_est, n)
+
+    # replay: merge wave 1 AGAIN directly (simulating a foreachBatch
+    # retry after a crash-after-write) — estimates must not move
+    days1 = waves[1].select(F.col("ts").cast("date").alias("day"), "user_id")
+    hll_daily_state_merge(spark, days1, state)
+    replayed = {
+        str(r.day): r.n_users_est
+        for r in hll_uniques_estimates(spark, state).collect()
+    }
+    assert replayed == est
+    for w in waves:
+        w.unpersist()
