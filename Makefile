@@ -4,7 +4,7 @@
 # FULL-catalog signal at gate scale — run it each round and record the
 # result in PERF.md ("sf0.01 oracle sweep" section).
 
-.PHONY: test sweep lint-oracles bench bench-accept
+.PHONY: test sweep lint-oracles bench bench-accept scale catalog plan-audit
 
 test:
 	python -m pytest tests/ -x -q
@@ -41,3 +41,8 @@ scale:
 # Regenerate the README catalog table (pass BENCH=path to fill timings).
 catalog:
 	python tools/catalog_table.py $(BENCH)
+
+# Catalog-wide physical-plan invariants (writes PLAN_AUDIT.md,
+# non-zero exit on any unexpected flag).
+plan-audit:
+	python tools/plan_audit.py
