@@ -842,6 +842,41 @@ FROM events
 GROUP BY event_type
 """
 
+def q_variant_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_extract_agg through Spark 4 VARIANT instead of a fixed
+    from_json schema: ``try_parse_json`` builds the binary variant
+    once, ``try_variant_get`` extracts typed paths — all JVM-side
+    expressions (plan-checked: no Python).
+
+    Why it earns a separate entry: from_json re-parses the STRING per
+    referenced field and needs the schema up front; VARIANT parses
+    once into a shredded binary (Parquet writes it columnarized in
+    Spark 4), so at 100 TB repeated extractions and schema-drifting
+    props columns pay one parse, and unknown keys are NULL rather
+    than a schema migration. Same aggregate contract as
+    json_extract_agg — the two entries must stay value-identical
+    (same oracle modulo alias), which pins variant path semantics to
+    the schema'd parse."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    parsed = ev.withColumn("k", k)
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            avg_units_expr("sum_k", "n_events", 0, 2).alias("avg_k"),
+            "max_k",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q10b/J3: lateral-unnest analogue — explode + per-group top-k words.
 # Reference: LATERAL UNNEST(pages_visited), build_analytical_marts.py:57-58.
