@@ -848,12 +848,16 @@ def q_variant_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, ``try_variant_get`` extracts typed paths — all JVM-side
     expressions (plan-checked: no Python).
 
-    Why it earns a separate entry: from_json re-parses the STRING per
-    referenced field and needs the schema up front; VARIANT parses
-    once into a shredded binary (Parquet writes it columnarized in
-    Spark 4), so at 100 TB repeated extractions and schema-drifting
-    props columns pay one parse, and unknown keys are NULL rather
-    than a schema migration. Same aggregate contract as
+    Why it earns a separate entry (measured, PERF.md finding 35, 10M
+    rows × 5-key JSON): schema'd from_json is the fastest when the
+    schema is known and stable (2.26s warm — ONE parse; codegen
+    subexpression elimination covers the repeated struct refs, so the
+    CollapseProject re-inline pitfall does NOT bite it); VARIANT costs
+    ~1.4× that (3.27s) but needs NO up-front schema — drifting /
+    heterogeneous props columns extract with per-path NULLs instead of
+    a schema migration, and Spark 4 Parquet shreds the binary
+    columnarized; per-field get_json_object is the real 100 TB trap
+    (7.4s — one full parse PER field). Same aggregate contract as
     json_extract_agg — the two entries must stay value-identical
     (same oracle modulo alias), which pins variant path semantics to
     the schema'd parse."""
