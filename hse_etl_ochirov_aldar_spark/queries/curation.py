@@ -4181,6 +4181,90 @@ ORDER BY c.l_returnflag
 """
 
 
+def q_weighted_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_median_price generalized to a quantile BAND (p25 / p50
+    / p90 of price by traded quantity) — "90% of physical volume
+    trades at or below this price". One census, one window cumsum over
+    distinct prices, then ALL THREE lower weighted quantiles read off
+    the same cumulative frame as conditional mins: quantile p = n/d is
+    the smallest price with d·cum ≥ n·total, pure BIGINT cross-
+    multiplication (no float p·total rounding seam between engines).
+    Adding a quantile costs one more aggregate expression, not another
+    pass. Shuffle stays distinct-prices-sized; the per-flag window
+    runs over the census, never line rows (weighted_median_price's
+    scale contract, reference J1/A2 lineage)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        units("l_extendedprice").alias("__pu"),
+        units("l_quantity", 0).alias("__qty"),
+    )
+    census = li.groupBy("l_returnflag", "__pu").agg(
+        F.sum("__qty").alias("__w")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("__pu")
+    cum = census.withColumn("__cw", F.sum("__w").over(w))
+    totals = census.groupBy("l_returnflag").agg(
+        F.sum("__w").alias("total_qty")
+    )
+    j = cum.join(F.broadcast(totals), "l_returnflag")
+
+    def _wq(num: int, den: int):
+        return F.min(
+            F.when(
+                den * F.col("__cw") >= num * F.col("total_qty"),
+                F.col("__pu"),
+            )
+        )
+
+    return (
+        j.groupBy("l_returnflag", "total_qty")
+        .agg(
+            _wq(1, 4).alias("__p25"),
+            _wq(1, 2).alias("__p50"),
+            _wq(9, 10).alias("__p90"),
+        )
+        .select(
+            "l_returnflag",
+            "total_qty",
+            as_value("__p25").alias("wp25_price"),
+            as_value("__p50").alias("wp50_price"),
+            as_value("__p90").alias("wp90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_WEIGHTED_QUANTILE_BANDS = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pu,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+),
+census AS (
+  SELECT l_returnflag, pu, CAST(sum(qty) AS BIGINT) AS w
+  FROM li GROUP BY l_returnflag, pu
+),
+cum AS (
+  SELECT l_returnflag, pu, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY pu
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+  FROM census
+),
+tot AS (
+  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_qty
+  FROM census GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, t.total_qty,
+       CAST(min(CASE WHEN 4 * c.cw >= 1 * t.total_qty THEN c.pu END) AS DOUBLE) / 100.0 AS wp25_price,
+       CAST(min(CASE WHEN 2 * c.cw >= 1 * t.total_qty THEN c.pu END) AS DOUBLE) / 100.0 AS wp50_price,
+       CAST(min(CASE WHEN 10 * c.cw >= 9 * t.total_qty THEN c.pu END) AS DOUBLE) / 100.0 AS wp90_price
+FROM cum c JOIN tot t USING (l_returnflag)
+GROUP BY c.l_returnflag, t.total_qty
+ORDER BY c.l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Mann-Whitney U location-shift test (exact midranks).
 # ---------------------------------------------------------------------------
