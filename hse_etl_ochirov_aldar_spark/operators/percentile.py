@@ -210,10 +210,22 @@ def grouped_percentile_bounds_ranked(
     """
     gcols = list(group_cols)
     vals = df.select(*gcols, value_col).where(F.col(value_col).isNotNull())
+    # Tie-block salt: range partitioning assigns EQUAL keys to one
+    # partition, so a hot duplicated value (20% of rows identical)
+    # would land in a single task. Salting the range key splits tie
+    # blocks across adjacent partitions; lexicographic ranges keep the
+    # per-group value order monotone across partition ids, and rows
+    # inside a tie block are interchangeable for value-at-rank, so the
+    # salt CANNOT change any bound (monotonically_increasing_id's
+    # retry nondeterminism is therefore harmless here — it only moves
+    # identical values between adjacent ranks).
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(64)).alias("__salt")
     ranged = (
-        vals.repartitionByRange(*gcols, value_col)
+        vals.select("*", salt)
+        .repartitionByRange(*gcols, value_col, "__salt")
         .sortWithinPartitions(*gcols, value_col)
         .withColumn("__pid", F.spark_partition_id())
+        .drop("__salt")
         .persist()
     )
     # Materialization barrier: range boundaries are sampled, so the

@@ -588,6 +588,44 @@ def main() -> None:
             "identical": True,
         }
 
+    # 21b-skew) ranked percentile under a degenerate tie block: ONE
+    #     value owns 30% of 10M rows. Range partitioning can't split
+    #     equal keys, so without the internal salt the hot value's 3M
+    #     rows would land in a single task; the salt spreads the tie
+    #     block across adjacent partitions. Identity vs the buffer
+    #     aggregate asserted (ties are interchangeable at a rank).
+    def percentile_ranked_skew_10m():
+        from hse_etl_ochirov_aldar_spark.operators.percentile import (
+            grouped_percentile_bounds_ranked,
+        )
+
+        skewed = spark.range(10_000_000).select(
+            F.pmod(F.xxhash64("id", F.lit(5)), F.lit(4)).alias("grp"),
+            F.when(F.pmod(F.xxhash64("id", F.lit(6)), F.lit(10)) < 3, F.lit(42.0))
+            .otherwise(F.pmod(F.xxhash64("id"), 1_000_000) / 100.0)
+            .alias("value"),
+        )
+        t0 = time.perf_counter()
+        rk = {
+            r.grp: (r.p_lo, r.p_hi)
+            for r in grouped_percentile_bounds_ranked(
+                skewed, "value", ["grp"]
+            ).collect()
+        }
+        t_ranked = round(time.perf_counter() - t0, 2)
+        buf = {
+            r.grp: (r.p_lo, r.p_hi)
+            for r in skewed.groupBy("grp")
+            .agg(
+                F.percentile("value", F.lit(0.05)).alias("p_lo"),
+                F.percentile("value", F.lit(0.95)).alias("p_hi"),
+            )
+            .collect()
+        }
+        assert rk == buf
+        spark.catalog.clearCache()
+        return {"ranked_s": t_ranked, "identical": True}
+
     # 21c) mergeable HLL uniques at 20M events / 100k users / 120 days:
     #      the raw scan builds ONE sketch row per day (map-side
     #      combinable, fixed 2^12 registers per task); the trailing-7d
@@ -1179,6 +1217,7 @@ def main() -> None:
     timed("percentile_approx_bounds_10m", percentile_approx_10m)
     timed("percentile_ranked_bounds_10m", percentile_ranked_10m)
     timed("hll_rolling_uniques_20m", hll_rolling_uniques_20m)
+    timed("percentile_ranked_skew_10m", percentile_ranked_skew_10m)
     timed("exact_substring_removal_500k_docs", substring_removal_500k)
     timed("dsir_importance_2m_docs", dsir_2m)
     timed("perplexity_buckets_2m_docs", ppl_buckets_2m)
