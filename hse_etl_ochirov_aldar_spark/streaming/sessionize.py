@@ -244,3 +244,106 @@ def sessionize_native(
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
+
+
+def _make_tws_processor(gap_seconds: int):
+    """transformWithStateInPandas processor twin of _make_sessionizer —
+    same fold, same state tuple, same emit-on-close contract, written
+    against Spark 4's replacement stateful API (named value-state
+    handles + timer surface instead of the per-group GroupState
+    object). The StatefulProcessor subclass is function-local so the
+    base-class import stays off the module import path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._session = handle.getValueState("session", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            batch = pd.concat(list(rows)).sort_values("ts_us")
+            prior = self._session.get() if self._session.exists() else None
+            if prior is not None:
+                start_us, last_us, n, cents = prior
+            else:
+                start_us, last_us, n, cents = None, None, 0, 0
+            closed: list[tuple] = []
+            for us, val in zip(batch["ts_us"], batch["value"]):
+                us = int(us)
+                if last_us is not None and us - last_us > gap_us:
+                    closed.append(
+                        (key[0], start_us, last_us, n, cents / 100.0)
+                    )
+                    start_us, n, cents = None, 0, 0
+                if start_us is None:
+                    start_us = us
+                last_us = us
+                n += 1
+                if val == val and val is not None:
+                    cents += int(float(val) * 100.0 + 0.5)
+            self._session.update((start_us, last_us, n, cents))
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=[
+                        "user_id",
+                        "start_us",
+                        "end_us",
+                        "n_events",
+                        "total_value",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def sessionize_stream_tws(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """sessionize_stream on ``transformWithStateInPandas`` — Spark 4's
+    successor to ``applyInPandasWithState`` (SPARK-49046 lineage): the
+    processor object owns named state handles (getValueState) instead
+    of receiving one opaque GroupState, which is what production
+    pipelines migrate to for multi-state operators, TTL, and timers.
+    Fold, state tuple, and emit-on-close contract are IDENTICAL to
+    sessionize_stream; the processor-level contract test pins the TWS
+    fold to the applyInPandasWithState fold on the same batches via
+    injected fake state (tests/test_streaming_and_incremental.py).
+    Timestamps cross the Arrow boundary as epoch-micro LONGS both
+    ways, same as the older twin (DST-proof gap math).
+
+    ENVIRONMENT GATE (the codec-seam pattern): executing TWS requires
+    (a) the RocksDB state store provider and (b) ``google.protobuf``
+    in the Python env — Spark's TWS state protocol is protobuf-framed
+    (pyspark/sql/streaming/proto/StateMessage_pb2). The end-to-end
+    equivalence test skip-marks itself when protobuf is absent (this
+    container lacks it); the fold itself is exercised everywhere via
+    the fake-state contract test."""
+    prepared = events_stream.select(
+        "user_id",
+        _epoch_micros(events_stream, "ts").alias("ts_us"),
+        "value",
+    )
+    sessions = prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_tws_processor(gap_seconds),
+        outputStructType=_SESSION_US_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    return sessions.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+        "total_value",
+    )

@@ -1397,3 +1397,167 @@ def test_streaming_hll_uniques_incremental_and_replay_safe(spark, sf_dir, tmpdir
     assert replayed == est
     for w in waves:
         w.unpersist()
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_processor_fold_matches_apply_in_pandas_fold(spark):
+    """Executable everywhere: drive the transformWithStateInPandas
+    processor's fold directly with injected fake state handles and
+    assert it emits exactly what the applyInPandasWithState fold emits
+    on the same batches, leaving identical state — the two streaming
+    sessionizers are one algorithm behind two engine APIs."""
+    import pandas as pd
+
+    from hse_etl_ochirov_aldar_spark.streaming.sessionize import (
+        _make_sessionizer,
+        _make_tws_processor,
+    )
+
+    batches = [
+        pd.DataFrame(
+            {"ts_us": [0, 10_000_000, 9_000_000_000], "value": [1.0, 2.5, None]}
+        ),
+        pd.DataFrame(
+            {"ts_us": [9_050_000_000, 20_000_000_000], "value": [4.0, 0.5]}
+        ),
+    ]
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    class FakeGroupState:
+        def __init__(self):
+            self.v = None
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    proc = _make_tws_processor(gap_seconds=1800)
+    handle = FakeHandle()
+    proc.init(handle)
+    old_fold = _make_sessionizer(gap_seconds=1800)
+    gs = FakeGroupState()
+
+    for batch in batches:
+        tws_out = list(proc.handleInputRows((7,), iter([batch.copy()]), None))
+        old_out = list(old_fold((7,), iter([batch.copy()]), gs))
+        tws_rows = [tuple(r) for df in tws_out for r in df.itertuples(index=False)]
+        old_rows = [tuple(r) for df in old_out for r in df.itertuples(index=False)]
+        assert tws_rows == old_rows
+        assert handle.state.v == gs.v  # identical state tuple after each batch
+    assert handle.state.v is not None
+    # three sessions total: two closed across the batches, one open in state
+    assert handle.state.v[2] > 0
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas execution needs google.protobuf "
+    "(Spark's TWS state protocol); not installed in this container",
+)
+def test_tws_sessionize_equals_apply_in_pandas_and_batch(spark, sf_dir, tmpdir):
+    """The transformWithStateInPandas sessionizer (Spark 4 stateful
+    API) must emit exactly the same closed sessions as the
+    applyInPandasWithState twin and the batch sessionizer minus each
+    user's open tail session — one contract, three implementations.
+    Requires the RocksDB state store provider + protobuf (see the
+    sessionize_stream_tws docstring gate)."""
+    from pyspark.sql import types as T
+    from pyspark.sql import Window
+    from hse_etl_ochirov_aldar_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream_tws,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    src = f"{tmpdir}/tws_src"
+    ev.repartition(1).sortWithinPartitions("ts").write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    # TWS runs only on the RocksDB state store; scope the provider to
+    # this query and restore the session default afterwards.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            sessionize_stream_tws(stream, gap_seconds=7200)
+            .writeStream.format("memory")
+            .queryName("t_tws_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/tws_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    streamed = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events,
+         r.total_value)
+        for r in spark.table("t_tws_sessions").collect()
+    }
+
+    batch = sessionize_batch(ev, gap_seconds=7200)
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    closed_batch = (
+        batch.withColumn("_rn", F.row_number().over(w_last)).where(F.col("_rn") > 1)
+    )
+    expected = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events,
+         r.total_value)
+        for r in closed_batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
