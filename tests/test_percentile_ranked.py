@@ -150,3 +150,22 @@ def test_strategy_validation(spark):
         grouped_percentile_trim(df, "v", ["grp"], strategy="nope")
     with pytest.raises(ValueError, match="conflict"):
         global_percentile_bounds(df, "v", approx=True, strategy="rank")
+
+
+def test_ranked_bounds_empty_and_all_null_input(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert grouped_percentile_bounds_ranked(empty, "v", ["grp"]).count() == 0
+    nulls = spark.createDataFrame([("a", None), ("b", None)], schema)
+    assert grouped_percentile_bounds_ranked(nulls, "v", ["grp"]).count() == 0
+    assert (
+        grouped_percentile_trim(nulls, "v", ["grp"], strategy="rank").count()
+        == 0
+    )

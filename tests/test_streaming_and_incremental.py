@@ -1561,3 +1561,34 @@ def test_tws_sessionize_equals_apply_in_pandas_and_batch(spark, sf_dir, tmpdir):
     }
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_hll_state_merge_recovers_from_leftover_staging(spark, tmpdir):
+    """A merge that died after writing its staging dir but before the
+    swap must not corrupt the next merge: the staging path is
+    mode=overwrite so garbage (or a complete-but-unswapped result) is
+    simply replaced, and the swap installs the fresh merge."""
+    from hse_etl_ochirov_aldar_spark.streaming.daily import (
+        hll_daily_state_merge,
+        hll_uniques_estimates,
+    )
+    import datetime as dt
+
+    state = f"{tmpdir}/hll_state"
+    d0 = dt.date(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [(d0, i) for i in range(500)], "day date, user_id long"
+    )
+    hll_daily_state_merge(spark, b1, state)
+    # simulate a crashed merge: stale garbage where staging goes
+    import os
+
+    os.makedirs(state + "__stage", exist_ok=True)
+    with open(state + "__stage/garbage.txt", "w") as f:
+        f.write("not parquet")
+    b2 = spark.createDataFrame(
+        [(d0, i) for i in range(400, 900)], "day date, user_id long"
+    )
+    hll_daily_state_merge(spark, b2, state)
+    est = {str(r.day): r.n_users_est for r in hll_uniques_estimates(spark, state).collect()}
+    assert abs(est[str(d0)] - 900) <= max(2, 0.05 * 900)
