@@ -207,6 +207,10 @@ def grouped_percentile_bounds_ranked(
     row of such a group).  Cost: two big-data exchanges (range + the
     window's hash) vs the aggregate's one partial+final — pay it only
     when the value domain is unbounded; correctness is identical.
+    The census/offsets frame (≤ partitions + groups rows) rides a
+    broadcast; at extreme group cardinality (millions of groups) drop
+    the ``F.broadcast`` hint and let AQE choose, the same caveat as
+    the bounds join in :func:`grouped_percentile_trim`.
     """
     gcols = list(group_cols)
     vals = df.select(*gcols, value_col).where(F.col(value_col).isNotNull())
