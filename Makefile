@@ -4,7 +4,7 @@
 # FULL-catalog signal at gate scale — run it each round and record the
 # result in PERF.md ("sf0.01 oracle sweep" section).
 
-.PHONY: test sweep lint-oracles bench bench-accept scale catalog plan-audit
+.PHONY: test sweep lint-oracles bench bench-accept scale catalog plan-audit plan-audit-exec
 
 test:
 	python -m pytest tests/ -x -q
@@ -46,3 +46,9 @@ catalog:
 # non-zero exit on any unexpected flag).
 plan-audit:
 	python tools/plan_audit.py
+
+# Same invariants over EVERY executed SQL plan, not just final-plan
+# strings: runs each entry through the noop sink and audits all
+# executions from the SQLAppStatusStore (slower; r10 verdict task #4).
+plan-audit-exec:
+	python tools/plan_audit.py --exec

@@ -103,7 +103,7 @@ def streaming_cdc_apply(
     marker is the usual non-transactional two-store gap).
     Returns the StreamingQuery.
     """
-    from ..sources.sinks import _hadoop_fs, _swap_into
+    from ..sources.sinks import _hadoop_fs, _swap_into, recover_swap
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
@@ -114,6 +114,9 @@ def streaming_cdc_apply(
         if fs.exists(marker):
             return
         out_cols = [c for c in batch.columns if c not in (ver_col, op_col)]
+        staging = snapshot_path.rstrip("/") + "__cdc_staging"
+        # adopt the surviving snapshot if a prior apply died mid-swap
+        recover_swap(spark, staging, snapshot_path)
         try:
             snap = spark.read.parquet(snapshot_path)
         except Exception as exc:
@@ -121,7 +124,6 @@ def streaming_cdc_apply(
                 raise
             snap = batch.select(*out_cols).limit(0)
         nxt = cdc_apply(snap, batch, list(key_cols), ver_col, op_col)
-        staging = snapshot_path.rstrip("/") + "__cdc_staging"
         nxt.write.mode("overwrite").parquet(staging)
         _swap_into(spark, staging, snapshot_path)
         fs.mkdirs(marker)

@@ -164,11 +164,52 @@ def _bounded_group_counts(
             f"{group_col!r} has more than {max_groups} distinct groups: "
             f"per-group quotas collect one row per group to the driver, "
             f"which is meant for mixture keys (domain, language, "
-            f"cluster), not high-cardinality keys. Re-key the quota on "
-            f"a coarser column, or raise max_groups explicitly if the "
-            f"driver can genuinely hold the group table"
+            f"cluster), not high-cardinality keys. Pass "
+            f"strategy='join' for the driver-free scalable path, "
+            f"re-key the quota on a coarser column, or raise "
+            f"max_groups explicitly if the driver can genuinely hold "
+            f"the group table"
         )
     return {r[0]: r[1] for r in rows if r[0] is not None}
+
+
+def _exact_isqrt(n):
+    """Exact integer sqrt of a BIGINT count as a Column — the engine-
+    side twin of Python ``math.isqrt``. ``floor(sqrt(double(n)))`` can
+    be off by one in either direction once the double rounds (still
+    exact for counts < 2^50, but the correction costs nothing); one
+    bump up then one bump down pins it for all BIGINT counts, so join-
+    strategy quotas equal the driver-collect quotas bit-for-bit.
+    The correction squares ride DECIMAL(38,0): r ≤ isqrt(2^63) ≈
+    3.04e9, so r² ≤ ~9.3e18 — exact in 38 digits, while a BIGINT
+    square would WRAP for n near 2^63 and flip both corrections."""
+
+    def _d(c):
+        return c.cast("decimal(38,0)")
+
+    r = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    r = F.when(_d(r + 1) * _d(r + 1) <= _d(n), r + 1).otherwise(r)
+    return F.when(_d(r) * _d(r) > _d(n), r - 1).otherwise(r)
+
+
+def _quota_join_sample(
+    df: DataFrame, group_col: str, key_col: str, quotas: DataFrame
+) -> DataFrame:
+    """Shared join-strategy tail: attach per-group ``__quota`` rows by
+    equi-join (NO driver collect, NO broadcast hint — the strategy
+    exists for millions of groups, and AQE still picks broadcast when
+    the quota frame turns out small), then the same md5-hash-order
+    rank draw as the collect strategy. The quota join and the rank
+    window shuffle on the same key, so the exchange is reused."""
+    win = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, 1_000_000_007), F.col(key_col)
+    )
+    return (
+        df.join(quotas, group_col)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
 
 
 def temperature_mixture_sample(
@@ -177,6 +218,7 @@ def temperature_mixture_sample(
     key_col: str,
     total: int,
     max_groups: int = MAX_QUOTA_GROUPS,
+    strategy: str = "collect",
 ) -> DataFrame:
     """Temperature-weighted mixture sampling (alpha = 0.5): draw ~``total``
     rows with per-group quotas proportional to sqrt(group size) — the
@@ -195,7 +237,40 @@ def temperature_mixture_sample(
     high-cardinality keys (_bounded_group_counts). Selection within a
     group is hash-order rank (deterministic, partitioning-independent);
     one shuffle on ``group_col``.
+
+    ``strategy="join"`` (r10 verdict task #3) is the scalable path the
+    guard points at: quotas are computed as a DataFrame — per-group
+    counts, exact integer sqrt (:func:`_exact_isqrt`), the weight sum
+    attached via a broadcast 1-row crossJoin, ``total * w div s`` in
+    BIGINTs — and attached by equi-join, so NOTHING reaches the
+    driver and group cardinality is unbounded (1M-group scale check
+    in scale_check.py). Same md5-rank draw; quotas are bit-identical
+    to the collect strategy (integer arithmetic both sides), so
+    membership is too (pin-tested).
     """
+    if strategy == "join":
+        counts_df = (
+            df.where(F.col(group_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w_df = counts_df.select(
+            group_col, _exact_isqrt(F.col("__n")).alias("__w")
+        )
+        s_df = w_df.agg(F.sum("__w").alias("__s"))
+        quotas = (
+            w_df.crossJoin(F.broadcast(s_df))
+            .select(
+                group_col,
+                F.expr(
+                    f"CAST({int(total)} AS BIGINT) * __w div __s"
+                ).alias("__quota"),
+            )
+            .where(F.col("__quota") > 0)
+        )
+        return _quota_join_sample(df, group_col, key_col, quotas)
+    if strategy != "collect":
+        raise ValueError(f"unknown strategy {strategy!r} (collect|join)")
     counts = _bounded_group_counts(df, group_col, max_groups)
     w = {g: math.isqrt(n) for g, n in counts.items()}
     s = sum(w.values())
@@ -374,6 +449,7 @@ def distribution_matched_sample(
     key_col: str,
     total: int,
     max_groups: int = MAX_QUOTA_GROUPS,
+    strategy: str = "collect",
 ) -> DataFrame:
     """Sample ~``total`` rows of ``df`` so that ``group_col``'s
     distribution matches the TARGET corpus's distribution — the
@@ -398,7 +474,33 @@ def distribution_matched_sample(
     splits oversized groups. NULL-group rows in df are dropped like
     any other quota-0 group ("match the NULL slice" is not a
     meaningful target).
+
+    ``strategy="join"`` removes the driver collect entirely (r10
+    verdict task #3): target counts and their 1-row total stay
+    DataFrames, ``total * t_g div t_total`` is computed per group in
+    BIGINTs, and quotas attach by equi-join — unbounded group
+    cardinality, bit-identical membership to the collect strategy.
     """
+    if strategy == "join":
+        tcounts_df = (
+            target.where(F.col(group_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__tn"))
+        )
+        tt_df = tcounts_df.agg(F.sum("__tn").alias("__tt"))
+        quotas = (
+            tcounts_df.crossJoin(F.broadcast(tt_df))
+            .select(
+                group_col,
+                F.expr(
+                    f"CAST({int(total)} AS BIGINT) * __tn div __tt"
+                ).alias("__quota"),
+            )
+            .where(F.col("__quota") > 0)
+        )
+        return _quota_join_sample(df, group_col, key_col, quotas)
+    if strategy != "collect":
+        raise ValueError(f"unknown strategy {strategy!r} (collect|join)")
     tcounts = _bounded_group_counts(target, group_col, max_groups)
     t_total = sum(tcounts.values())
     if t_total == 0:

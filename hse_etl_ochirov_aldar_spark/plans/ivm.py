@@ -32,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.sinks import _hadoop_fs, _swap_into
+from ..sources.sinks import _hadoop_fs, _swap_into, recover_swap
 
 
 def aggregate_delta(
@@ -77,6 +77,11 @@ def maintain_additive_mart(
     aggregate the delta, add it to the existing mart (first call
     bootstraps), atomically swap. O(delta + mart) per refresh."""
     delta_agg = aggregate_delta(delta, group_cols, sum_cols, weight_col)
+    staging = mart_path.rstrip("/") + "__ivm_staging"
+    # adopt the surviving copy if a prior refresh died mid-swap —
+    # otherwise this run bootstraps from one delta and the staging
+    # overwrite below destroys the only remaining mart copy
+    recover_swap(spark, staging, mart_path)
     try:
         current = spark.read.parquet(mart_path)
         exists = True
@@ -89,7 +94,6 @@ def maintain_additive_mart(
         if exists
         else delta_agg.where(F.col("n_rows") != 0)
     )
-    staging = mart_path.rstrip("/") + "__ivm_staging"
     out.write.mode("overwrite").parquet(staging)
     _swap_into(spark, staging, mart_path)
 

@@ -463,6 +463,28 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME temperature mixture sample computed by the driver-free
+    join strategy (r10 verdict task #3): quotas stay a DataFrame —
+    per-group counts, exact integer sqrt in-plan (_exact_isqrt), the
+    weight sum via a broadcast 1-row crossJoin, ``200 * w div s`` in
+    BIGINTs — attached by equi-join, then the identical md5-rank draw.
+    No driver collect anywhere, so group cardinality is unbounded
+    (the collect strategy's max_groups guard points here). Sharing
+    ORACLE_MIXTURE_SAMPLE with the collect entry IS the correctness
+    claim: both strategies must produce bit-identical membership."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = temperature_mixture_sample(
+        docs, "source", "doc_id", total=200, strategy="join"
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
 ORACLE_MIXTURE_SAMPLE = f"""
 WITH counts AS (
   SELECT source, count(*) AS n FROM documents GROUP BY source
@@ -2010,11 +2032,18 @@ def q_rolling_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-7-day distinct (distinct (day,user) pairs exploded onto
     the ≤7 calendar windows they cover — a distributed sliding
     distinct, no correlated per-day rescan) and emits
-    ``hll_within_5pct`` = 20·|est − exact| ≤ exact in pure BIGINTs
-    (lgK=12 RSE ≈ 1.6%, so 5% ≈ 3σ; sketches are deterministic for a
-    given input, so the flag is hash-stable). The oracle reproduces
-    day / exact / TRUE — if the sketch ever drifted past the bound,
-    the driver's value-hash goes red."""
+    ``hll_within_8pct`` = 25·|est − exact| ≤ 2·exact in pure BIGINTs.
+    Bound calibration (r10 ADVICE): lgK=12 RSE ≈ 1.6%, so 8% ≈ 5σ —
+    wide enough that no dataset's hash placement can trip the shared
+    value-hash oracle (a 3σ/5% bound was a probabilistic guarantee
+    masquerading as a hard assertion: with many windows per sweep one
+    unlucky window would make the entry permanently red with no code
+    bug). The TIGHT 3σ/5% bound is asserted in the entry's own test
+    (tests/test_streaming_and_incremental.py) where a failure reads
+    as "sketch accuracy regressed", not as an oracle mismatch.
+    Sketches are deterministic for a given input, so the flag is
+    hash-stable; the oracle reproduces day / exact / TRUE — if the
+    sketch ever drifted past 5σ, the driver's value-hash goes red."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     days_user = ev.select(F.col("ts").cast("date").alias("day"), "user_id")
     daily_sk = days_user.groupBy("day").agg(
@@ -2043,9 +2072,10 @@ def q_rolling_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("wday").alias("day"),
             "u7_users",
-            (20 * F.abs(F.col("__est") - F.col("u7_users")) <= F.col("u7_users")).alias(
-                "hll_within_5pct"
-            ),
+            (
+                25 * F.abs(F.col("__est") - F.col("u7_users"))
+                <= 2 * F.col("u7_users")
+            ).alias("hll_within_8pct"),
         )
     )
 
@@ -2062,7 +2092,7 @@ cover AS (
 )
 SELECT wday AS day,
        count(DISTINCT user_id) AS u7_users,
-       TRUE AS hll_within_5pct
+       TRUE AS hll_within_8pct
 FROM cover GROUP BY 1
 """
 

@@ -45,13 +45,53 @@ def _checked_rename(fs, src, dst) -> None:
 
 
 def _swap_into(spark: SparkSession, staging: str, target: str) -> None:
-    """Replace ``target`` with ``staging`` by FS rename — one metadata
-    operation instead of a second full Spark write of the same rows."""
+    """Replace ``target`` with ``staging`` by FS renames — one metadata
+    operation instead of a second full Spark write of the same rows.
+
+    Crash-safe ordering (r10): the old target is renamed ASIDE
+    (``target + "__old"``), never deleted before the staging copy is
+    in place — at every instant at least one complete copy of the
+    data sits at a known path (target, target__old, or a staging dir
+    with Spark's ``_SUCCESS`` marker). The delete-then-rename form
+    had a window where a crash left ONLY the staging dir, which the
+    next run's ``mode=overwrite`` would destroy after bootstrapping
+    state from a single batch. Read-modify-write state mergers call
+    :func:`recover_swap` on entry to adopt the surviving copy."""
     fs, jtarget = _hadoop_fs(spark, target)
     _, jstaging = _hadoop_fs(spark, staging)
+    _, jold = _hadoop_fs(spark, target + "__old")
+    if fs.exists(jold):
+        fs.delete(jold, True)
     if fs.exists(jtarget):
-        fs.delete(jtarget, True)
+        _checked_rename(fs, jtarget, jold)
     _checked_rename(fs, jstaging, jtarget)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+
+
+def recover_swap(spark: SparkSession, staging: str, target: str) -> None:
+    """Adopt the surviving copy of a dataset after a crash mid-swap.
+
+    No-op when ``target`` exists. Otherwise a previous
+    :func:`_swap_into` died between its renames; exactly one complete
+    copy survives: a staging dir carrying Spark's ``_SUCCESS`` marker
+    (the NEWER, already-merged copy — adopt it) or the
+    ``target__old`` dir (the previous copy — restore it). Every
+    read-modify-write state merger (HLL sketch state, additive-mart
+    IVM, CDC snapshot) calls this before reading state, so the
+    recovery is automatic on the next run, not an operator runbook."""
+    fs, jtarget = _hadoop_fs(spark, target)
+    if fs.exists(jtarget):
+        return
+    _, jstaging = _hadoop_fs(spark, staging)
+    _, jok = _hadoop_fs(spark, staging.rstrip("/") + "/_SUCCESS")
+    _, jold = _hadoop_fs(spark, target + "__old")
+    if fs.exists(jstaging) and fs.exists(jok):
+        _checked_rename(fs, jstaging, jtarget)
+        if fs.exists(jold):
+            fs.delete(jold, True)
+    elif fs.exists(jold):
+        _checked_rename(fs, jold, jtarget)
 
 
 def write_overwrite(df: DataFrame, path: str) -> None:

@@ -166,11 +166,19 @@ def hll_daily_state_merge(
     at-least-once seam is exactly-once for sketch state, with no epoch
     bookkeeping (pinned in tests/test_streaming_and_incremental.py).
     """
-    from ..sources.sinks import _hadoop_fs, _swap_into
+    from ..sources.sinks import _hadoop_fs, _swap_into, recover_swap
 
     batch_sk = batch.groupBy(key_col).agg(
         F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("sk")
     )
+    staging = state_path + "__stage"
+    # Crash-mid-swap recovery (r10 ADVICE): if a prior merge died
+    # between _swap_into's renames, the only complete copy of the
+    # sketch history may sit in staging/target__old while the target
+    # is missing — without this, the merge would rebuild state from
+    # just the current batch and the staging overwrite below would
+    # destroy the surviving history.
+    recover_swap(spark, staging, state_path)
     fs, jpath = _hadoop_fs(spark, state_path)
     if fs.exists(jpath):
         merged = (
@@ -181,7 +189,6 @@ def hll_daily_state_merge(
         )
     else:
         merged = batch_sk
-    staging = state_path + "__stage"
     merged.write.mode("overwrite").parquet(staging)
     _swap_into(spark, staging, state_path)
 

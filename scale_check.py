@@ -1240,6 +1240,83 @@ def main() -> None:
     timed("span_screen_skew_500k", span_screen_skew_500k)
     timed("line_dedup_skew_300k", line_dedup_skew_300k)
     timed("minhash_skew_300k", minhash_skew_300k)
+
+    # 30) join-strategy quota sampling at 1M GROUPS (r10 verdict task
+    #     #3): the regime the collect strategy's guard refuses — quotas
+    #     stay a DataFrame (exact in-plan isqrt, BIGINT div), attach by
+    #     equi-join, nothing reaches the driver. Correctness cross-check
+    #     at 50k groups (collect path with a raised guard must select
+    #     the IDENTICAL rows); the 1M-group run proves the scale path.
+    def quota_join_1m_groups():
+        from hse_etl_ochirov_aldar_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        df = spark.range(5_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("g"),
+            F.col("id").alias("k"),
+        )
+        t0 = time.perf_counter()
+        n_join = temperature_mixture_sample(
+            df, "g", "k", total=2_000_000, strategy="join"
+        ).count()
+        t_1m = round(time.perf_counter() - t0, 2)
+
+        small = spark.range(500_000).select(
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(50_000)).alias("g"),
+            F.col("id").alias("k"),
+        )
+        a = temperature_mixture_sample(
+            small, "g", "k", total=100_000, strategy="join"
+        ).agg(F.sum("k").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+        b = temperature_mixture_sample(
+            small, "g", "k", total=100_000, max_groups=50_000
+        ).agg(F.sum("k").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+        assert (a.s, a.n) == (b.s, b.n), (a, b)
+        return {"groups_1m_s": t_1m, "n_sampled": n_join,
+                "identical_50k_groups": True}
+
+    # 31) ranked percentile bounds at 300k groups — past the census
+    #     broadcast threshold (100k rows), so the offsets join runs
+    #     WITHOUT the broadcast hint (AQE chooses); identity vs the
+    #     buffer aggregate still exact (r10 verdict task #2).
+    def percentile_ranked_300k_groups():
+        from hse_etl_ochirov_aldar_spark.operators.percentile import (
+            grouped_percentile_bounds_ranked,
+        )
+
+        df = spark.range(6_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(300_000)).alias("grp"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), 1_000_000) / 100.0).alias(
+                "value"
+            ),
+        )
+        t0 = time.perf_counter()
+        rk = grouped_percentile_bounds_ranked(df, "value", ["grp"])
+        n = rk.count()
+        t_ranked = round(time.perf_counter() - t0, 2)
+        bad = (
+            rk.select("grp", F.col("p_lo").alias("r_lo"), F.col("p_hi").alias("r_hi"))
+            .join(
+                df.groupBy("grp").agg(
+                    F.percentile("value", F.lit(0.05)).alias("b_lo"),
+                    F.percentile("value", F.lit(0.95)).alias("b_hi"),
+                ),
+                "grp",
+                "full",
+            )
+            .where(
+                (~F.col("r_lo").eqNullSafe(F.col("b_lo")))
+                | (~F.col("r_hi").eqNullSafe(F.col("b_hi")))
+            )
+            .count()
+        )
+        assert bad == 0
+        spark.catalog.clearCache()
+        return {"ranked_s": t_ranked, "n_groups": n, "identical": True}
+
+    timed("quota_join_1m_groups", quota_join_1m_groups)
+    timed("percentile_ranked_300k_groups", percentile_ranked_300k_groups)
     spark.stop()
 
 

@@ -734,3 +734,97 @@ def test_quota_group_guard_raises_on_high_cardinality(spark):
         df, "lang", "doc_id", total=30, max_groups=100
     )
     assert 0 < out.count() <= 30
+
+
+def test_join_strategy_quotas_bit_identical_to_collect(spark, sf_dir):
+    """r10 verdict task #3: strategy='join' computes quotas in-plan
+    (exact isqrt + BIGINT div) and must select EXACTLY the same rows
+    as the driver-collect strategy on both quota samplers."""
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        distribution_matched_sample,
+        temperature_mixture_sample,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        r.doc_id
+        for r in temperature_mixture_sample(
+            docs, "source", "doc_id", total=200
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in temperature_mixture_sample(
+            docs, "source", "doc_id", total=200, strategy="join"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+    target = docs.where(F.length("text") > 100)
+    c = {
+        r.doc_id
+        for r in distribution_matched_sample(
+            docs, target, "source", "doc_id", 150
+        ).collect()
+    }
+    d = {
+        r.doc_id
+        for r in distribution_matched_sample(
+            docs, target, "source", "doc_id", 150, strategy="join"
+        ).collect()
+    }
+    assert c == d and len(c) > 0
+
+
+def test_join_strategy_handles_groups_beyond_collect_guard(spark):
+    """The join strategy is the path the guard's error points at: on a
+    key whose cardinality trips the collect guard it must still run,
+    and agree with the collect path run under a raised guard."""
+    import pytest
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 5_000).cast("string").alias("g"),
+        F.col("id").alias("k"),
+    )
+    with pytest.raises(ValueError, match="strategy='join'"):
+        temperature_mixture_sample(df, "g", "k", total=10_000, max_groups=1_000)
+    joined = {
+        r.k
+        for r in temperature_mixture_sample(
+            df, "g", "k", total=10_000, strategy="join"
+        ).collect()
+    }
+    collected = {
+        r.k
+        for r in temperature_mixture_sample(
+            df, "g", "k", total=10_000, max_groups=10_000
+        ).collect()
+    }
+    assert joined == collected and len(joined) > 0
+
+
+def test_exact_isqrt_column_matches_math_isqrt(spark):
+    """_exact_isqrt must equal math.isqrt on perfect squares, their
+    neighbors, and huge BIGINTs where double sqrt rounds."""
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import _exact_isqrt
+
+    vals = []
+    for base in [0, 1, 2, 3, 10, 999, 10**6, 10**12, 2**49, 2**50 - 1]:
+        vals += [base, base + 1, max(0, base - 1)]
+    for r in [10**6, 10**7, 3037000499]:  # isqrt(2^63-1) = 3037000499
+        vals += [r * r - 1, r * r, r * r + 1]
+    vals = sorted(set(v for v in vals if 0 <= v < 2**63))
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {
+        r.n: r.s
+        for r in df.select("n", _exact_isqrt(F.col("n")).alias("s")).collect()
+    }
+    for v in vals:
+        assert got[v] == math.isqrt(v), (v, got[v], math.isqrt(v))

@@ -169,3 +169,101 @@ def test_ranked_bounds_empty_and_all_null_input(spark):
         grouped_percentile_trim(nulls, "v", ["grp"], strategy="rank").count()
         == 0
     )
+
+
+def test_global_clamp_strategy_rank_all_null_row_preserving(spark):
+    """r10 ADVICE: the GLOBAL rank path pads its empty bounds frame to
+    one (NULL, NULL) row, so percentile_clamp stays row-preserving on
+    an all-NULL value column — identical to the buffer aggregate's
+    NULL-bounds row, instead of crossJoin-dropping every row."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.percentile import (
+        percentile_clamp,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    nulls = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", None)], schema
+    )
+    got_rank = percentile_clamp(nulls, "v", strategy="rank")
+    got_buffer = percentile_clamp(nulls, "v", strategy="buffer")
+    assert sorted((r.k, r.v) for r in got_rank.collect()) == sorted(
+        (r.k, r.v) for r in got_buffer.collect()
+    )
+    assert got_rank.count() == 3
+    # non-degenerate input: pad is a no-op, clamp still matches buffer
+    mixed = spark.createDataFrame(
+        [("a", 1.0), ("b", None), ("c", 100.0), ("d", 5.0)], schema
+    )
+    r = {(x.k, x.v) for x in percentile_clamp(mixed, "v", lower=0.25, upper=0.75, strategy="rank").collect()}
+    b = {(x.k, x.v) for x in percentile_clamp(mixed, "v", lower=0.25, upper=0.75, strategy="buffer").collect()}
+    assert r == b and len(r) == 4
+
+
+def test_ranked_bounds_high_cardinality_self_degrades(spark):
+    """r10 verdict task #2: ≥100k groups exceed the census broadcast
+    threshold — the hint is dropped (no driver OOM path) and the
+    bounds stay bit-identical to the buffer aggregate."""
+    n_groups = 120_000
+    df = (
+        spark.range(n_groups * 3)
+        .select(
+            (F.col("id") % n_groups).alias("grp"),
+            (
+                F.when(F.col("id") % 3 == 0, F.col("id") * 3.5)
+                .when(F.col("id") % 3 == 1, -F.col("id") / 7.0)
+                .otherwise(F.col("id") * 1.0)
+            ).alias("v"),
+        )
+        .repartition(16)
+    )
+    ranked = grouped_percentile_bounds_ranked(df, "v", ["grp"], 0.05, 0.95)
+    buffer = df.groupBy("grp").agg(
+        F.percentile("v", F.lit(0.05)).alias("p_lo"),
+        F.percentile("v", F.lit(0.95)).alias("p_hi"),
+    )
+    rk = ranked.select(
+        "grp",
+        F.col("p_lo").alias("r_lo"),
+        F.col("p_hi").alias("r_hi"),
+    )
+    bf = buffer.select(
+        "grp",
+        F.col("p_lo").alias("b_lo"),
+        F.col("p_hi").alias("b_hi"),
+    )
+    bad = (
+        rk.join(bf, "grp", "full")
+        .where(
+            (~F.col("r_lo").eqNullSafe(F.col("b_lo")))
+            | (~F.col("r_hi").eqNullSafe(F.col("b_hi")))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert rk.count() == n_groups
+
+
+def test_ranked_bounds_releases_input_cache(spark):
+    """r10 ADVICE: the persisted repartitioned input must be released
+    before returning — only the tiny localCheckpoint of the bounds may
+    stay cached (bounds-sized, never input-sized)."""
+    df = spark.range(200_000).select(
+        (F.col("id") % 50).alias("grp"),
+        (F.col("id") * 7 % 997).cast("double").alias("v"),
+    )
+    jmap_before = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {k for k in jmap_before.keySet().toArray()}
+    out = grouped_percentile_bounds_ranked(df, "v", ["grp"])
+    assert out.count() == 50
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if k in before:
+            continue
+        assert jmap.get(k).count() <= 50, "input-sized RDD left cached"

@@ -1592,3 +1592,131 @@ def test_hll_state_merge_recovers_from_leftover_staging(spark, tmpdir):
     hll_daily_state_merge(spark, b2, state)
     est = {str(r.day): r.n_users_est for r in hll_uniques_estimates(spark, state).collect()}
     assert abs(est[str(d0)] - 900) <= max(2, 0.05 * 900)
+
+
+def test_hll_state_merge_recovers_from_crash_mid_swap(spark, tmpdir):
+    """Crash BETWEEN _swap_into's renames (r10 ADVICE): the target is
+    missing and the only copy of the merged history is a complete
+    staging dir (Spark _SUCCESS marker). The next merge must adopt it
+    — not rebuild state from the current batch and then destroy the
+    survivor with the staging overwrite."""
+    from hse_etl_ochirov_aldar_spark.streaming.daily import (
+        hll_daily_state_merge,
+        hll_uniques_estimates,
+    )
+    import datetime as dt
+    import os
+
+    state = f"{tmpdir}/hll_state"
+    d0 = dt.date(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [(d0, i) for i in range(600)], "day date, user_id long"
+    )
+    hll_daily_state_merge(spark, b1, state)
+    # simulate: a merge completed its staging write, then crashed with
+    # the target already moved aside — staging is the ONLY full copy
+    os.rename(state, state + "__stage")
+    assert os.path.exists(state + "__stage/_SUCCESS")
+    b2 = spark.createDataFrame(
+        [(d0, i) for i in range(600, 900)], "day date, user_id long"
+    )
+    hll_daily_state_merge(spark, b2, state)
+    est = {
+        str(r.day): r.n_users_est
+        for r in hll_uniques_estimates(spark, state).collect()
+    }
+    assert abs(est[str(d0)] - 900) <= max(2, 0.05 * 900)
+    assert not os.path.exists(state + "__stage")
+
+
+def test_hll_state_merge_recovers_from_old_aside(spark, tmpdir):
+    """Crash AFTER the target moved aside but with an INCOMPLETE
+    staging (no _SUCCESS): recovery restores the __old copy — history
+    survives, the garbage staging is overwritten by the next merge."""
+    from hse_etl_ochirov_aldar_spark.streaming.daily import (
+        hll_daily_state_merge,
+        hll_uniques_estimates,
+    )
+    import datetime as dt
+    import os
+
+    state = f"{tmpdir}/hll_state"
+    d0 = dt.date(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [(d0, i) for i in range(600)], "day date, user_id long"
+    )
+    hll_daily_state_merge(spark, b1, state)
+    os.rename(state, state + "__old")
+    os.makedirs(state + "__stage", exist_ok=True)
+    with open(state + "__stage/part-garbage", "w") as f:
+        f.write("not parquet, no _SUCCESS")
+    b2 = spark.createDataFrame(
+        [(d0, i) for i in range(600, 900)], "day date, user_id long"
+    )
+    hll_daily_state_merge(spark, b2, state)
+    est = {
+        str(r.day): r.n_users_est
+        for r in hll_uniques_estimates(spark, state).collect()
+    }
+    assert abs(est[str(d0)] - 900) <= max(2, 0.05 * 900)
+    assert not os.path.exists(state + "__old")
+
+
+def test_ivm_mart_recovers_from_crash_mid_swap(spark, tmpdir):
+    """Same crash-mid-swap seam for the additive-mart refresh: a
+    complete orphaned staging dir is adopted, so the next delta adds
+    to the merged history instead of bootstrapping from scratch."""
+    from hse_etl_ochirov_aldar_spark.plans.ivm import maintain_additive_mart
+    import os
+
+    mart = f"{tmpdir}/mart"
+    d1 = spark.createDataFrame([("a", 10.0), ("b", 5.0)], ["k", "v"])
+    maintain_additive_mart(spark, mart, d1, ["k"], ["v"])
+    os.rename(mart, mart + "__ivm_staging")
+    d2 = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    maintain_additive_mart(spark, mart, d2, ["k"], ["v"])
+    rows = {(r.k, r.sum_v, r.n_rows) for r in spark.read.parquet(mart).collect()}
+    assert rows == {("a", 11.0, 2), ("b", 5.0, 1)}
+
+
+def test_rolling_hll_accuracy_tight_bound(spark):
+    """The TIGHT 3σ (5%) accuracy check for the rolling-HLL entry,
+    moved OUT of the shared-oracle value hash (r10 ADVICE: there it
+    turned a probabilistic guarantee into a hard hash assertion). A
+    failure here reads as "sketch accuracy regressed on this data",
+    and the catalog entry keeps its 5σ hash-stable audit flag."""
+    from hse_etl_ochirov_aldar_spark.queries.curation import (
+        q_rolling_unique_users_hll,
+    )
+
+    rows = q_rolling_unique_users_hll(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "entry returned no windows"
+    assert all(r.hll_within_8pct for r in rows)
+    # recompute the raw relative error at 3σ via the entry's own
+    # internals: re-derive estimate vs exact from the audit columns is
+    # not possible (the flag quantizes), so re-run the sketch side
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("ts").isNotNull()
+    )
+    days_user = ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+    daily_sk = days_user.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    cover = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+    ).alias("wday")
+    est = {
+        r.wday: r.est
+        for r in daily_sk.select(cover, "sk")
+        .groupBy("wday")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    for r in rows:
+        assert 20 * abs(est[r.day] - r.u7_users) <= r.u7_users, (
+            r.day,
+            est[r.day],
+            r.u7_users,
+        )
