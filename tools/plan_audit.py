@@ -48,6 +48,11 @@ ARROW_ALLOWED = {
     "mixed_media_features",
     "multimodal_features",
     "semantic_dedup",
+    # surfaced by the r10 --exec depth: the SRP signature kernel
+    # (arrow default since r9, bit-identity-pinned vs the JVM HOF
+    # fold) runs inside the staged band-row write — an intermediate
+    # job — so the final-plan audit never saw it.
+    "srp_lsh_near_pairs",
 }
 
 

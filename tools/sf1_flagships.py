@@ -77,6 +77,12 @@ FLAGSHIPS = [
     # exactly that term.
     "part_kcore",
     "srp_lsh_near_pairs",
+    # r10 (VERDICT r9 task #6): the two new >1.5s entries. The ranked
+    # trim reads events (10x users, identical per-user series); the
+    # weighted bands read lineitem (10x baskets, identical measures) —
+    # both upsampled faithfully above, so the ratios read data scaling.
+    "grouped_percentile_trim_ranked",
+    "weighted_quantile_bands",
 ]
 
 _TABLES = ("documents", "embeddings", "lineitem", "customer", "orders", "events")
@@ -228,6 +234,13 @@ def main() -> None:
     from hse_etl_ochirov_aldar_spark.queries import QUERIES
     from hse_etl_ochirov_aldar_spark.session import get_spark
 
+    # optional substring filters (scale_check.py convention): run only
+    # flagships whose name contains any argv substring
+    filters = sys.argv[1:]
+    flagships = [
+        n for n in FLAGSHIPS if not filters or any(s in n for s in filters)
+    ]
+
     spark = get_spark(app_name="sf1-flagships")
     spark.sparkContext.setLogLevel("ERROR")
     build_sf1(spark)
@@ -238,7 +251,7 @@ def main() -> None:
 
     results = {}
     for sf_label, sf_dir in (("sf0.1", SF01), ("sf1.0", SF1)):
-        for name in FLAGSHIPS:
+        for name in flagships:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = QUERIES[name](spark, sf_dir).count()
@@ -248,7 +261,7 @@ def main() -> None:
                               "seconds": dt, "rows": n}))
     print("\n| query | sf0.1 s | sf1.0 s | ratio (10x data) |")
     print("|---|---|---|---|")
-    for name in FLAGSHIPS:
+    for name in flagships:
         a, _ = results[name]["sf0.1"]
         b, _ = results[name]["sf1.0"]
         print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
