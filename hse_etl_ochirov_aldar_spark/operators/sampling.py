@@ -290,6 +290,72 @@ def temperature_mixture_sample(
     )
 
 
+def token_budget_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cost_col: str,
+    total_budget: int,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling with TOKEN budgets instead
+    of row quotas: each group gets a budget in cost units (tokens,
+    chars, bytes) proportional to sqrt of its total mass — alpha=0.5
+    down-weighting of dominant domains — and contributes its md5-hash-
+    order prefix of documents until the budget fills. Training mixtures
+    are specified in tokens, not documents; a row-quota sampler
+    systematically over-draws from short-doc domains at a fixed token
+    target.
+
+    Greedy boundary rule (shared with pack_sequences): a doc is kept
+    iff the cost accumulated BEFORE it is still under budget, so each
+    group overshoots by at most its one boundary doc and a group with
+    any budget contributes at least one doc. Exactness contract:
+    budgets are pure BIGINT arithmetic — ``total_budget *
+    isqrt(mass_g) div sum(isqrt(mass_h))`` with the in-plan exact
+    isqrt — and the prefix test compares BIGINT window sums, so any
+    engine recomputes identical membership.
+
+    Scale shape (100 TB): join-strategy only — masses, weights, and
+    budgets stay DataFrames (the 1-row weight total rides a broadcast
+    crossJoin), attached by equi-join; NOTHING reaches the driver and
+    group cardinality is unbounded. One shuffle on ``group_col``
+    shared by the budget join and the prefix-sum window.
+    """
+    masses = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(F.col(cost_col).cast("long")).alias("__mass"))
+    )
+    w_df = masses.select(group_col, _exact_isqrt(F.col("__mass")).alias("__w"))
+    s_df = w_df.agg(F.sum("__w").alias("__s"))
+    budgets = (
+        w_df.crossJoin(F.broadcast(s_df))
+        .select(
+            group_col,
+            F.expr(
+                f"CAST({int(total_budget)} AS BIGINT) * __w div __s"
+            ).alias("__budget"),
+        )
+        .where(F.col("__budget") > 0)
+    )
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(key_col, 1_000_000_007), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.join(budgets, group_col)
+        .withColumn(
+            "__cum",
+            F.coalesce(
+                F.sum(F.col(cost_col).cast("long")).over(win), F.lit(0)
+            ),
+        )
+        .where(F.col("__cum") < F.col("__budget"))
+        .drop("__cum", "__budget")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -485,6 +485,75 @@ def q_mixture_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted temperature mixture (r10): per-source budgets in
+    CHAR units proportional to sqrt of source mass (alpha=0.5), filled
+    by the md5-hash-order doc prefix with the pack_sequences boundary
+    rule (operators/sampling.token_budget_mixture_sample). Training
+    mixtures are specified in tokens, not documents — the row-quota
+    samplers over-draw short-doc domains at a fixed token target; this
+    is the mass-correct form. Everything is BIGINT (in-plan exact
+    isqrt, div budgets, window prefix sums), so the oracle recomputes
+    identical membership. The total budget is a third of corpus chars
+    — the one driver-side scalar (1-row agg, the partition-values
+    class); quotas/budgets themselves never leave the plan. Report:
+    per-source docs kept, chars kept, membership checksum."""
+    from ..operators.sampling import token_budget_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).first()[0] // 3
+    s = token_budget_mixture_sample(docs, "source", "doc_id", "n_chars", total)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TOKEN_BUDGET_MIXTURE = f"""
+WITH masses AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS m
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+r0 AS (
+  SELECT source, m, CAST(floor(sqrt(m)) AS BIGINT) AS r FROM masses
+),
+r1 AS (
+  SELECT source, m,
+         r + CASE WHEN (r+1)*(r+1) <= m THEN 1 ELSE 0 END AS r FROM r0
+),
+w AS (
+  SELECT source, r - CASE WHEN r*r > m THEN 1 ELSE 0 END AS wt FROM r1
+),
+budget AS (
+  SELECT source,
+         ((SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) // 3)
+           * wt // (SELECT sum(wt) FROM w) AS b
+  FROM w
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY {_oracle_hash32("CAST(doc_id AS VARCHAR)")} % 1000000007,
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+  FROM documents WHERE source IS NOT NULL
+)
+SELECT rk.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(rk.n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(rk.doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked rk JOIN budget USING (source)
+WHERE COALESCE(rk.cum, 0) < budget.b AND budget.b > 0
+GROUP BY rk.source
+ORDER BY rk.source
+"""
+
+
 ORACLE_MIXTURE_SAMPLE = f"""
 WITH counts AS (
   SELECT source, count(*) AS n FROM documents GROUP BY source

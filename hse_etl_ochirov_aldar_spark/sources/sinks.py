@@ -187,6 +187,11 @@ def upsert_keep_newest(
     production path for atomic upsert is Delta/Iceberg MERGE, as noted.
     """
     fs, jpath = _hadoop_fs(spark, path)
+    # adopt the surviving copy if a previous non-partitioned upsert
+    # died mid-swap — otherwise this run reads target_exists=False,
+    # merges from just the batch, and the staging overwrite (plus
+    # _swap_into's old-dir cleanup) destroys the last full copy
+    recover_swap(spark, path.rstrip("/") + "__staging", path)
     target_exists = fs.exists(jpath)
     if partition_col is not None:
         touched = [
@@ -222,8 +227,9 @@ def upsert_keep_newest(
         .drop("__rn")
     )
     # Parquet can't overwrite a path while reading it — write-to-new-
-    # then-rename. A leftover staging dir from a crashed run is
-    # harmlessly overwritten here before any target mutation. Staging
+    # then-rename. A leftover staging dir from a crashed PRE-swap run
+    # is harmlessly overwritten here (a mid-swap crash was already
+    # adopted by recover_swap above, before the target read). Staging
     # is deleted ONLY on success: after a failed rename (target
     # already deleted) it holds the sole surviving copy of the merged
     # data, so a finally-block delete would turn a recoverable crash
@@ -282,6 +288,10 @@ def compact_parquet(
     """
     import math
 
+    # a compaction that died mid-swap left the (identical-content)
+    # compacted copy in staging and no target — adopt it so the read
+    # below sees the table instead of failing on a missing path
+    recover_swap(spark, path.rstrip("/") + "__compacting", path)
     fs, jpath = _hadoop_fs(spark, path)
     size_bytes = fs.getContentSummary(jpath).getLength()
     df = spark.read.parquet(path)

@@ -828,3 +828,46 @@ def test_exact_isqrt_column_matches_math_isqrt(spark):
     }
     for v in vals:
         assert got[v] == math.isqrt(v), (v, got[v], math.isqrt(v))
+
+
+def test_token_budget_mixture_boundary_and_determinism(spark, sf_dir):
+    """token_budget_mixture_sample: each group's kept prefix obeys the
+    greedy boundary rule — cost before the last kept doc is under
+    budget, and dropping the boundary doc would leave the budget
+    unfilled (overshoot <= one doc). Membership is identical under a
+    different input partitioning."""
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        _exact_isqrt,
+        token_budget_mixture_sample,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).first()[0] // 3
+    kept = token_budget_mixture_sample(docs, "source", "doc_id", "n_chars", total)
+    k = kept.groupBy("source").agg(
+        F.sum("n_chars").alias("used"), F.max("n_chars").alias("max_doc")
+    )
+    masses = (
+        docs.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("m"))
+    )
+    w = masses.select("source", _exact_isqrt(F.col("m")).alias("wt"))
+    s = w.agg(F.sum("wt")).first()[0]
+    budgets = {
+        r.source: total * r.wt // s for r in w.collect()
+    }
+    for r in k.collect():
+        b = budgets[r.source]
+        # under-budget before the boundary doc; can't be a whole doc short
+        assert r.used - r.max_doc < b, (r.source, r.used, b)
+    # determinism across partitioning
+    a = {r.doc_id for r in kept.collect()}
+    b2 = {
+        r.doc_id
+        for r in token_budget_mixture_sample(
+            docs.repartition(17, "lang"), "source", "doc_id", "n_chars", total
+        ).collect()
+    }
+    assert a == b2 and len(a) > 0

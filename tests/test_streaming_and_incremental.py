@@ -126,19 +126,48 @@ def test_overwrite_window_does_not_mutate_session_conf(spark, tmpdir):
     assert rows == {("2024-03", 7)}
 
 
-def test_upsert_recovers_from_leftover_staging(spark, tmpdir):
-    """A staging dir left by a crashed previous run must not leak into
-    the next upsert's result, and staging is cleaned up afterwards."""
+def test_upsert_leftover_staging_contract(spark, tmpdir):
+    """Leftover staging semantics (changed by the r10 crash-recovery
+    work): a COMPLETE staging dir with NO target is indistinguishable
+    from a crash between a finished merge write and its swap — its
+    data phase completed, so recovery ADOPTS it (at-least-once; a
+    retried batch dedups through keep-newest). With the target intact
+    the leftover is pre-swap garbage and is overwritten as before.
+    Either way staging is cleaned up afterwards."""
     import os
 
+    # no target: complete staging is adopted, then merged with the batch
     path = f"{tmpdir}/u2"
     staging = path + "__staging"
     spark.createDataFrame([("z", 9, 99.0)], ["k", "ver", "val"]).write.parquet(staging)
     first = spark.createDataFrame([("a", 1, 10.0)], ["k", "ver", "val"])
     upsert_keep_newest(spark, first, path, ["k"], "ver")
     rows = {(r.k, r.ver, r.val) for r in spark.read.parquet(path).collect()}
-    assert rows == {("a", 1, 10.0)}
+    assert rows == {("a", 1, 10.0), ("z", 9, 99.0)}
     assert not os.path.exists(staging)
+
+    # target intact: the leftover staging is discarded, never merged
+    path3 = f"{tmpdir}/u3"
+    upsert_keep_newest(
+        spark,
+        spark.createDataFrame([("a", 1, 10.0)], ["k", "ver", "val"]),
+        path3,
+        ["k"],
+        "ver",
+    )
+    spark.createDataFrame([("q", 5, 50.0)], ["k", "ver", "val"]).write.parquet(
+        path3 + "__staging"
+    )
+    upsert_keep_newest(
+        spark,
+        spark.createDataFrame([("b", 1, 20.0)], ["k", "ver", "val"]),
+        path3,
+        ["k"],
+        "ver",
+    )
+    rows3 = {(r.k, r.ver, r.val) for r in spark.read.parquet(path3).collect()}
+    assert rows3 == {("a", 1, 10.0), ("b", 1, 20.0)}
+    assert not os.path.exists(path3 + "__staging")
 
 
 def test_upsert_propagates_target_read_errors(spark, tmpdir):
@@ -1720,3 +1749,41 @@ def test_rolling_hll_accuracy_tight_bound(spark):
             est[r.day],
             r.u7_users,
         )
+
+
+def test_upsert_recovers_from_crash_mid_swap(spark, tmpdir):
+    """Non-partitioned upsert crash-mid-swap: target gone, merged copy
+    complete in staging — the next upsert must adopt it, not rebuild
+    the table from one batch."""
+    from hse_etl_ochirov_aldar_spark.sources.sinks import upsert_keep_newest
+    import os
+
+    path = f"{tmpdir}/t"
+    b1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0)], ["k", "ver", "val"]
+    )
+    upsert_keep_newest(spark, b1, path, ["k"], "ver")
+    os.rename(path, path + "__staging")
+    b2 = spark.createDataFrame([("b", 2, 25.0)], ["k", "ver", "val"])
+    upsert_keep_newest(spark, b2, path, ["k"], "ver")
+    rows = {(r.k, r.ver, r.val) for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 1, 10.0), ("b", 2, 25.0)}
+
+
+def test_compact_recovers_from_crash_mid_swap(spark, tmpdir):
+    """Compaction crash-mid-swap leaves the identical-content compacted
+    copy in staging; the next compact adopts it instead of failing on
+    the missing target path."""
+    from hse_etl_ochirov_aldar_spark.sources.sinks import compact_parquet
+    import os
+
+    path = f"{tmpdir}/t"
+    spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(
+        8
+    ).write.parquet(path)
+    compact_parquet(spark, path)
+    os.rename(path, path + "__compacting")
+    n = compact_parquet(spark, path)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "__compacting")
