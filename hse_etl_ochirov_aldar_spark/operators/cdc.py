@@ -136,3 +136,102 @@ def streaming_cdc_apply(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cdc_apply_versioned(
+    spark,
+    root: str,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    ver_col: str = "ver",
+    op_col: str = "op",
+    epoch: int | None = None,
+    keep_versions: int = 2,
+) -> int | None:
+    """EXACTLY-ONCE CDC batch apply into a versioned snapshot: the
+    batch epoch rides INSIDE the atomic commit marker (the
+    plans/ivm.maintain_additive_mart_versioned protocol), so the
+    epoch-directory variant's residual window — a crash between the
+    snapshot swap and the marker mkdir replays an 'I' whose key a
+    later batch deleted — does not exist: publication and replay-guard
+    are one rename. Returns the committed version, or None when
+    ``epoch`` is already committed (replay)."""
+    from ..sources.sinks import (
+        _commit_payload,
+        _gc_data_dirs,
+        _hadoop_fs,
+        _publish_commit,
+        _versioned_data_dir,
+        current_version,
+    )
+
+    cur = current_version(spark, root)
+    committed_epoch = None
+    if cur is not None:
+        payload = _commit_payload(spark, root, cur) or ""
+        for line in payload.splitlines():
+            if line.startswith("epoch="):
+                committed_epoch = int(line[len("epoch="):])
+    if (
+        epoch is not None
+        and committed_epoch is not None
+        and epoch <= committed_epoch
+    ):
+        return None
+
+    out_cols = [c for c in batch.columns if c not in (ver_col, op_col)]
+    if cur is None:
+        snap = batch.select(*out_cols).limit(0)
+        nxt = 1
+    else:
+        snap = spark.read.parquet(_versioned_data_dir(root, cur))
+        nxt = cur + 1
+    result = cdc_apply(snap, batch, list(key_cols), ver_col, op_col)
+    data_dir = _versioned_data_dir(root, nxt)
+    fs, jdata = _hadoop_fs(spark, data_dir)
+    if fs.exists(jdata):  # orphan of a crashed writer
+        fs.delete(jdata, True)
+    result.write.parquet(data_dir)
+    payload = f"v{nxt:08d}\n"
+    if epoch is not None:
+        payload += f"epoch={epoch}\n"
+    _publish_commit(spark, root, nxt, payload)
+    _gc_data_dirs(spark, root, nxt - keep_versions)
+    return nxt
+
+
+def streaming_cdc_apply_versioned(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    ver_col: str = "ver",
+    op_col: str = "op",
+    trigger_available_now: bool = True,
+):
+    """The EXACTLY-ONCE form of :func:`streaming_cdc_apply`: each
+    micro-batch applies through :func:`cdc_apply_versioned` with its
+    epoch recorded atomically with the snapshot publication. Readers
+    use sinks.read_versioned(root) and never observe a partial apply;
+    replays (same epoch id) are no-ops with no residual crash window.
+    Returns the StreamingQuery."""
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        cdc_apply_versioned(
+            batch.sparkSession,
+            root,
+            batch,
+            list(key_cols),
+            ver_col,
+            op_col,
+            epoch=epoch,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

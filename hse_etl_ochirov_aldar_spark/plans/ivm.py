@@ -117,8 +117,11 @@ def streaming_additive_mart(
     directory beside the mart makes replays no-ops: the marker is
     written AFTER the mart swap, so the only residual double-apply
     window is a crash between swap and marker — the same window every
-    non-transactional two-store commit has; closing it fully needs the
-    versioned sink's atomic-commit log. Returns the StreamingQuery."""
+    non-transactional two-store commit has.
+    :func:`streaming_additive_mart_versioned` closes that window by
+    recording the epoch INSIDE the atomic commit; prefer it when the
+    extra full-snapshot write per refresh is acceptable. Returns the
+    StreamingQuery."""
 
     def _refresh(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
@@ -132,6 +135,122 @@ def streaming_additive_mart(
             spark, mart_path, batch, group_cols, sum_cols, weight_col
         )
         fs.mkdirs(marker_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_additive_mart_versioned(
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    weight_col: str | None = None,
+    epoch: int | None = None,
+    keep_versions: int = 2,
+    _crash_before_commit: bool = False,
+) -> int | None:
+    """EXACTLY-ONCE additive-mart refresh: one delta batch applied into
+    the versioned table at ``root``, with the batch EPOCH recorded
+    INSIDE the atomic commit marker — publication and replay-guard are
+    one filesystem rename, so the epoch-directory variant's residual
+    "crash between swap and marker double-applies the batch" window
+    (streaming_additive_mart docstring) does not exist here.
+
+    Protocol (sinks.versioned_upsert's single-writer commit log):
+    read the CURRENT committed snapshot (+ its committed epoch from
+    the marker payload); if ``epoch`` <= the committed epoch the batch
+    is a replay — return None without touching anything; otherwise
+    combine, write the merged mart to the next invisible data dir, and
+    publish data + epoch with one ``_log/<n>.commit`` rename. A crash
+    before the rename leaves an orphan data dir: the replayed batch
+    recomputes from the last COMMITTED snapshot (orphans are invisible
+    and reclaimed), so the merge applies exactly once no matter where
+    the crash lands. Returns the committed version, or None on replay.
+    """
+    from ..sources.sinks import (
+        _commit_payload,
+        _gc_data_dirs,
+        _hadoop_fs,
+        _publish_commit,
+        _versioned_data_dir,
+        current_version,
+    )
+
+    cur = current_version(spark, root)
+    committed_epoch = None
+    if cur is not None:
+        payload = _commit_payload(spark, root, cur) or ""
+        for line in payload.splitlines():
+            if line.startswith("epoch="):
+                committed_epoch = int(line[len("epoch="):])
+    if (
+        epoch is not None
+        and committed_epoch is not None
+        and epoch <= committed_epoch
+    ):
+        return None  # replayed batch: its effect is already committed
+
+    delta_agg = aggregate_delta(delta, group_cols, sum_cols, weight_col)
+    if cur is None:
+        out = delta_agg.where(F.col("n_rows") != 0)
+        nxt = 1
+    else:
+        mart = spark.read.parquet(_versioned_data_dir(root, cur))
+        out = combine_marts(mart, delta_agg, group_cols)
+        nxt = cur + 1
+    data_dir = _versioned_data_dir(root, nxt)
+    fs, jdata = _hadoop_fs(spark, data_dir)
+    if fs.exists(jdata):  # orphan of a crashed writer at this version
+        fs.delete(jdata, True)
+    out.write.parquet(data_dir)
+    if _crash_before_commit:  # test hook: die with data written, unpublished
+        raise RuntimeError("simulated crash before commit rename")
+    payload = f"v{nxt:08d}\n"
+    if epoch is not None:
+        payload += f"epoch={epoch}\n"
+    _publish_commit(spark, root, nxt, payload)
+    _gc_data_dirs(spark, root, nxt - keep_versions)
+    return nxt
+
+
+def streaming_additive_mart_versioned(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    weight_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """The EXACTLY-ONCE form of :func:`streaming_additive_mart`:
+    foreachBatch feeds :func:`maintain_additive_mart_versioned` with
+    the micro-batch epoch, which the commit marker records atomically
+    with the data publication — Structured Streaming replays a batch
+    under the SAME epoch id, the versioned refresh sees
+    epoch <= committed and no-ops, and there is no window in which the
+    mart is updated but the guard is not (the two-store gap the
+    epoch-directory variant documents). Readers use
+    sinks.read_versioned(root) and never observe a partial refresh.
+    Returns the StreamingQuery."""
+
+    def _refresh(batch: DataFrame, epoch: int) -> None:
+        maintain_additive_mart_versioned(
+            batch.sparkSession,
+            root,
+            batch,
+            group_cols,
+            sum_cols,
+            weight_col,
+            epoch=epoch,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_refresh)

@@ -336,6 +336,73 @@ def _versioned_data_dir(root: str, version: int) -> str:
     return f"{root.rstrip('/')}/v{version:08d}"
 
 
+def _publish_commit(
+    spark: SparkSession, root: str, version: int, payload: str
+) -> None:
+    """Publish version ``version`` by atomically renaming
+    ``_log/<v>.commit.tmp`` -> ``_log/<v>.commit`` carrying
+    ``payload``. Rename-to-a-NEW-NAME is atomic on HDFS/local (and an
+    S3 marker PUT is atomic), so readers resolve either the old or the
+    new version, never a mix. Raises if the commit already exists
+    (single-writer contract)."""
+    log_dir = _versioned_log_dir(root)
+    fs, jlog = _hadoop_fs(spark, log_dir)
+    fs.mkdirs(jlog)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(jlog, f"{version:08d}.commit.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(jlog, f"{version:08d}.commit")
+    out = fs.create(tmp, True)
+    out.write(bytearray(payload, "utf-8"))
+    out.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"commit {version} already exists under {log_dir}: concurrent "
+            "writer (this sink is single-writer; use Delta/Iceberg for OCC)"
+        )
+
+
+def _commit_payload(spark: SparkSession, root: str, version: int) -> str | None:
+    """Content of a committed marker (tiny), or None if uncommitted —
+    how the exactly-once streaming mart reads back the epoch its last
+    commit atomically recorded."""
+    fs, jpath = _hadoop_fs(
+        spark, _versioned_log_dir(root) + f"/{version:08d}.commit"
+    )
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        chunks = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            chunks.append(b)
+        return bytes(chunks).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _gc_data_dirs(spark: SparkSession, root: str, cutoff: int) -> None:
+    """Reclaim data dirs for versions <= cutoff by ONE listing of the
+    live dirs, not exists-probes from v1: after steady-state GC only
+    ~keep_versions dirs remain, so each commit's GC is O(keep), not
+    O(total versions ever written) — the difference between a
+    per-micro-batch streaming sink that stays flat and one that
+    degrades O(N^2) over its lifetime. Commit markers stay (tiny, the
+    time-travel log — the Delta log idiom)."""
+    fs, jroot = _hadoop_fs(spark, root)
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) <= cutoff
+        ):
+            fs.delete(status.getPath(), True)
+
+
 def current_version(spark: SparkSession, root: str) -> int | None:
     """Highest COMMITTED version of a versioned table, or None.
 
@@ -490,39 +557,8 @@ def versioned_upsert(
         fs.delete(jdata, True)
     result.write.parquet(data_dir)
 
-    log_dir = _versioned_log_dir(root)
-    _, jlog = _hadoop_fs(spark, log_dir)
-    fs.mkdirs(jlog)
-    jvm = spark._jvm
-    tmp = jvm.org.apache.hadoop.fs.Path(jlog, f"{nxt:08d}.commit.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(jlog, f"{nxt:08d}.commit")
-    out = fs.create(tmp, True)
-    out.write(bytearray(f"v{nxt:08d}\n", "utf-8"))
-    out.close()
     if _crash_before_commit:  # test hook: die with data written, unpublished
         raise RuntimeError("simulated crash before commit rename")
-    if not fs.rename(tmp, final):
-        fs.delete(tmp, False)
-        raise RuntimeError(
-            f"commit {nxt} already exists under {log_dir}: concurrent writer "
-            "(this sink is single-writer; use Delta/Iceberg for OCC)"
-        )
-
-    # GC by ONE listing of the live data dirs, not exists-probes from
-    # v1: after steady-state GC only ~keep_versions dirs remain, so
-    # each commit's GC is O(keep), not O(total versions ever written)
-    # — the difference between a per-micro-batch streaming sink that
-    # stays flat and one that degrades O(N^2) over its lifetime.
-    # Commit markers stay (tiny, the time-travel log — the Delta log
-    # idiom); only data dirs are reclaimed.
-    cutoff = nxt - keep_versions
-    _, jroot = _hadoop_fs(spark, root)
-    for status in fs.listStatus(jroot):
-        name = status.getPath().getName()
-        if (
-            name.startswith("v")
-            and name[1:].isdigit()
-            and int(name[1:]) <= cutoff
-        ):
-            fs.delete(status.getPath(), True)
+    _publish_commit(spark, root, nxt, f"v{nxt:08d}\n")
+    _gc_data_dirs(spark, root, nxt - keep_versions)
     return nxt

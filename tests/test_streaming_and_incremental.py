@@ -1787,3 +1787,144 @@ def test_compact_recovers_from_crash_mid_swap(spark, tmpdir):
     assert n >= 1
     assert spark.read.parquet(path).count() == 1000
     assert not os.path.exists(path + "__compacting")
+
+
+def test_versioned_mart_exactly_once_epochs(spark, tmpdir):
+    """maintain_additive_mart_versioned: epochs recorded inside the
+    atomic commit — a replayed epoch is a no-op, a crash before the
+    commit rename leaves the committed snapshot untouched and the
+    replay applies the batch exactly once."""
+    import pytest
+
+    from hse_etl_ochirov_aldar_spark.plans.ivm import (
+        maintain_additive_mart_versioned,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.sinks import read_versioned
+
+    root = f"{tmpdir}/vmart"
+    d1 = spark.createDataFrame([("a", 10.0), ("b", 5.0)], ["k", "v"])
+    d2 = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+
+    v1 = maintain_additive_mart_versioned(
+        spark, root, d1, ["k"], ["v"], epoch=0
+    )
+    assert v1 == 1
+    # replay of epoch 0: no-op, version unchanged
+    assert (
+        maintain_additive_mart_versioned(spark, root, d1, ["k"], ["v"], epoch=0)
+        is None
+    )
+    v2 = maintain_additive_mart_versioned(
+        spark, root, d2, ["k"], ["v"], epoch=1
+    )
+    assert v2 == 2
+    got = {
+        (r.k, r.sum_v, r.n_rows) for r in read_versioned(spark, root).collect()
+    }
+    assert got == {("a", 11.0, 2), ("b", 5.0, 1)}
+
+    # crash BEFORE the commit rename: data dir written, nothing
+    # published — readers still see v2; the replay applies exactly once
+    d3 = spark.createDataFrame([("b", 2.0)], ["k", "v"])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maintain_additive_mart_versioned(
+            spark, root, d3, ["k"], ["v"], epoch=2, _crash_before_commit=True
+        )
+    got_after_crash = {
+        (r.k, r.sum_v, r.n_rows) for r in read_versioned(spark, root).collect()
+    }
+    assert got_after_crash == got
+    v3 = maintain_additive_mart_versioned(
+        spark, root, d3, ["k"], ["v"], epoch=2
+    )
+    assert v3 == 3
+    got3 = {
+        (r.k, r.sum_v, r.n_rows) for r in read_versioned(spark, root).collect()
+    }
+    assert got3 == {("a", 11.0, 2), ("b", 7.0, 2)}
+    # and the double-apply that the epoch-dir variant cannot rule out:
+    # replaying epoch 2 after its commit is a no-op here
+    assert (
+        maintain_additive_mart_versioned(spark, root, d3, ["k"], ["v"], epoch=2)
+        is None
+    )
+
+
+def test_streaming_versioned_mart_equals_batch_aggregate(spark, sf_dir, tmpdir):
+    """The exactly-once streaming mart after an availableNow pass over
+    the events feed equals one full batch aggregate, and a SECOND run
+    over the same checkpoint (no new files) changes nothing."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.plans.ivm import (
+        streaming_additive_mart_versioned,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.sinks import read_versioned
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "value")
+    )
+    src = f"{tmpdir}/vivm_src"
+    ev.repartition(4).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_additive_mart_versioned(
+            stream, f"{tmpdir}/vivm_root", f"{tmpdir}/vivm_ckpt",
+            ["user_id"], ["value"],
+        )
+        q.awaitTermination()
+
+    run()
+    want = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    got = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6))
+        for r in read_versioned(spark, f"{tmpdir}/vivm_root").collect()
+    }
+    assert got == want
+    run()  # restart on the same checkpoint: no new files, no change
+    got2 = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6))
+        for r in read_versioned(spark, f"{tmpdir}/vivm_root").collect()
+    }
+    assert got2 == want
+
+
+def test_streaming_cdc_versioned_exactly_once(spark, tmpdir):
+    """cdc_apply_versioned: the delete-resurrection replay the
+    epoch-dir variant cannot fully rule out is impossible — replaying
+    an earlier epoch whose 'I' was later deleted is a committed-epoch
+    no-op, and readers only ever see committed snapshots."""
+    from hse_etl_ochirov_aldar_spark.operators.cdc import cdc_apply_versioned
+    from hse_etl_ochirov_aldar_spark.sources.sinks import read_versioned
+
+    root = f"{tmpdir}/vcdc"
+    cols = ["k", "val", "ver", "op"]
+    b0 = spark.createDataFrame([("x", 1.0, 1, "I"), ("y", 2.0, 1, "I")], cols)
+    b1 = spark.createDataFrame([("x", None, 2, "D"), ("z", 3.0, 2, "I")], cols)
+
+    assert cdc_apply_versioned(spark, root, b0, ["k"], epoch=0) == 1
+    assert cdc_apply_versioned(spark, root, b1, ["k"], epoch=1) == 2
+    snap = {(r.k, r.val) for r in read_versioned(spark, root).collect()}
+    assert snap == {("y", 2.0), ("z", 3.0)}
+    # replay of epoch 0 after epoch 1: must NOT resurrect the deleted 'x'
+    assert cdc_apply_versioned(spark, root, b0, ["k"], epoch=0) is None
+    snap2 = {(r.k, r.val) for r in read_versioned(spark, root).collect()}
+    assert snap2 == snap
