@@ -485,6 +485,51 @@ def q_mixture_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking (r10): every document explodes into 200-char
+    windows at stride 150 (50-char overlap) via the row-local
+    operators/chunking.chunk_text — no shuffle, no Python, whole-stage
+    codegen end to end; (doc_id, chunk_idx) is a stable engine-
+    portable key. Report: per-source docs chunked, chunk count, chunk
+    chars, and a BIGINT md5 checksum over every chunk's text — the
+    checksum pins the exact chunk CONTENT (boundaries included), not
+    just the counts, so an off-by-one window would go red."""
+    from ..operators.chunking import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_text(docs, "text", size=200, stride=150)
+    md5_int = F.conv(
+        F.substring(F.md5(F.col("chunk_text")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk_text")).alias("sum_chunk_chars"),
+            F.sum(md5_int).alias("chunk_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH ch AS (
+  SELECT doc_id, source,
+         substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk_text
+  FROM documents,
+       generate_series(0, CAST((len(text) - 1) // 150 AS BIGINT)) AS t(i)
+  WHERE len(text) > 0
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(len(chunk_text)) AS BIGINT) AS sum_chunk_chars,
+       CAST(sum({_oracle_hash32("chunk_text")}) AS BIGINT) AS chunk_checksum
+FROM ch GROUP BY source ORDER BY source
+"""
+
+
 def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted temperature mixture (r10): per-source budgets in
     CHAR units proportional to sqrt of source mass (alpha=0.5), filled

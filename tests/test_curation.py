@@ -871,3 +871,35 @@ def test_token_budget_mixture_boundary_and_determinism(spark, sf_dir):
         ).collect()
     }
     assert a == b2 and len(a) > 0
+
+
+def test_chunk_text_windows_and_edges(spark):
+    """chunk_text: overlapping windows reconstruct the document, the
+    final chunk is the short tail, empty/NULL texts yield no chunks
+    (the descending-sequence guard), and single-window docs chunk
+    whole."""
+    from hse_etl_ochirov_aldar_spark.operators.chunking import chunk_text
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(1000))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short"), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    ch = chunk_text(df, "text", size=512, stride=384)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_text) for r in ch.collect())
+    )
+    by_doc = {}
+    for d, i, s, t in rows:
+        by_doc.setdefault(d, []).append((i, s, t))
+    assert sorted(by_doc) == [1, 2]
+    assert [(i, s) for i, s, _ in by_doc[1]] == [(0, 0), (1, 384), (2, 768)]
+    assert by_doc[1][0][2] == text[0:512]
+    assert by_doc[1][1][2] == text[384:896]
+    assert by_doc[1][2][2] == text[768:1000]  # short tail
+    # overlap region agrees between consecutive chunks
+    assert by_doc[1][0][2][384:] == by_doc[1][1][2][: 512 - 384]
+    assert by_doc[2] == [(0, 0, "short")]
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_text(df, "text", size=0, stride=10)
