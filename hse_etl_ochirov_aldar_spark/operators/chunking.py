@@ -8,7 +8,12 @@ stable across re-index runs, so downstream embeddings/dedup keyed on
 
 No reference analogue (the reference's ETL copies documents whole,
 SURVEY §2.8); extends the engine for LLM-corpus preparation alongside
-operators/sampling.py.
+operators/sampling.py. The TOKEN-window twin is
+operators/normalize.chunk_documents (whitespace-token windows over a
+split array); this module chunks in CHARACTER units — the contract
+embedding APIs and context-length character limits are specified in —
+without tokenizing at all, so it also applies to whitespace-free
+scripts where token windows degenerate.
 
 Scale shape (100 TB): chunking is ROW-LOCAL — a sequence + explode
 per document, no shuffle, no state; output partitioning inherits the

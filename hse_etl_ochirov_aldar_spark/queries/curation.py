@@ -485,8 +485,9 @@ def q_mixture_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG-prep chunking (r10): every document explodes into 200-char
+def q_chunk_documents_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking in CHARACTER units (r10): every document
+    explodes into 200-char
     windows at stride 150 (50-char overlap) via the row-local
     operators/chunking.chunk_text — no shuffle, no Python, whole-stage
     codegen end to end; (doc_id, chunk_idx) is a stable engine-
@@ -513,13 +514,16 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CHUNK_DOCUMENTS = f"""
-WITH ch AS (
+ORACLE_CHUNK_DOCUMENTS_CHARS = f"""
+WITH starts AS (
+  SELECT doc_id, source, text,
+         unnest(range(0, CAST((len(text) - 1) // 150 + 1 AS BIGINT))) AS i
+  FROM documents WHERE len(text) > 0
+),
+ch AS (
   SELECT doc_id, source,
          substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk_text
-  FROM documents,
-       generate_series(0, CAST((len(text) - 1) // 150 AS BIGINT)) AS t(i)
-  WHERE len(text) > 0
+  FROM starts
 )
 SELECT source,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

@@ -160,3 +160,41 @@ def test_percentile_audit_verdicts_all_true(spark, sf_dir):
     rows = QUERIES["clean_percentile_trim_approx"](spark, sf_dir).collect()
     assert [r["metric"] for r in rows] == ["kept_fraction", "p05_rank", "p95_rank"]
     assert all(r["ok"] for r in rows)
+
+
+def test_registry_literals_have_no_duplicate_keys():
+    """Python dict literals silently keep the LAST duplicate key, so a
+    new entry registered under an already-taken name would shadow the
+    old one (or be shadowed) without any error — caught in r10 when a
+    new chunking entry collided with the existing chunk_documents.
+    Parse the registry SOURCE and reject duplicate literal keys in
+    QUERIES/ORACLES and duplicate names in BENCH_QUERIES."""
+    import ast
+    import collections
+    from pathlib import Path
+
+    import hse_etl_ochirov_aldar_spark.queries as q
+
+    tree = ast.parse(Path(q.__file__).read_text())
+    checked = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            name, value = node.target.id, node.value
+        elif (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+        ):
+            name, value = node.targets[0].id, node.value
+        else:
+            continue
+        if name in ("QUERIES", "ORACLES") and isinstance(value, ast.Dict):
+            keys = [k.value for k in value.keys if isinstance(k, ast.Constant)]
+        elif name == "BENCH_QUERIES" and isinstance(value, ast.List):
+            keys = [e.value for e in value.elts if isinstance(e, ast.Constant)]
+        else:
+            continue
+        checked.add(name)
+        dupes = [k for k, n in collections.Counter(keys).items() if n > 1]
+        assert not dupes, f"duplicate keys in {name}: {dupes}"
+    assert checked == {"QUERIES", "ORACLES", "BENCH_QUERIES"}, checked
