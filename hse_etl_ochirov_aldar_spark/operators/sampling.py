@@ -82,9 +82,15 @@ def leakage_safe_split(
     un-clustered rows fall back to their own id (left join + coalesce
     — identical to hash_split for them). One extra join against the
     cluster map, which is pair-graph-sized (orders of magnitude
-    smaller than the corpus) and broadcastable at any realistic dup
-    rate; assignment stays a pure function of (key, cluster graph),
-    recomputable by any engine.
+    smaller than the corpus); assignment stays a pure function of
+    (key, cluster graph), recomputable by any engine.
+
+    Join strategy (r10): NO explicit broadcast hint — at laptop scale
+    AQE converts the join to broadcast at runtime anyway (the map is
+    tiny), while at 100 TB a high-dup corpus's cluster map is
+    corpus-fraction-sized and a forced broadcast would OOM the
+    driver; letting AQE measure the build side makes the operator
+    self-degrading, the same policy as the ranked-percentile census.
     """
     # unique internal name: a bare '_rep' collides (AMBIGUOUS_REFERENCE)
     # when the input frame already carries one, e.g. retained dedup-
@@ -96,7 +102,7 @@ def leakage_safe_split(
     reps = cluster_map.select(
         F.col("id").alias(key_col), F.col("rep").alias(rep_col)
     )
-    joined = df.join(F.broadcast(reps), key_col, "left")
+    joined = df.join(reps, key_col, "left")
     split_key = F.coalesce(F.col(rep_col), F.col(key_col))
     return joined.withColumn("split", split_assign(split_key, weights)).drop(
         rep_col
