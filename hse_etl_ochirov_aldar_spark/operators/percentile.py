@@ -199,6 +199,52 @@ def grouped_percentile_trim(
 RANKED_CENSUS_BROADCAST_MAX_ROWS = 100_000
 
 
+def grouped_percentile_clamp(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    strategy: str = "buffer",
+) -> DataFrame:
+    """Per-GROUP winsorize: clamp each row's value into ITS group's
+    [p_lo, p_hi] band — grouped_percentile_trim's row-preserving twin,
+    for aggregates that must keep every observation while flattening
+    per-category tails (the grouped analogue of
+    :func:`percentile_clamp`, same NULL-preservation contract).
+
+    The bounds join is LEFT on the group keys: with
+    ``strategy="rank"`` a group whose values are all NULL produces no
+    bounds row at all, and an inner join would silently drop the
+    group's rows from a row-preserving operator (the same divergence
+    the global rank path pads away); under the left join those rows
+    see NULL bounds and pass through unchanged — identical to the
+    buffer aggregate's NULL-bounds row. Same self-degrading hint
+    policy as the trim."""
+    if strategy == "rank":
+        bounds = grouped_percentile_bounds_ranked(
+            df, value_col, group_cols, lower, upper
+        )
+        if bounds.count() > RANKED_CENSUS_BROADCAST_MAX_ROWS:
+            bounds_j = bounds
+        else:
+            bounds_j = F.broadcast(bounds)
+    elif strategy == "buffer":
+        bounds = df.groupBy(*group_cols).agg(
+            F.percentile(F.col(value_col), F.lit(lower)).alias("p_lo"),
+            F.percentile(F.col(value_col), F.lit(upper)).alias("p_hi"),
+        )
+        bounds_j = F.broadcast(bounds)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (buffer|rank)")
+    out = df.join(bounds_j, group_cols, "left")
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col(value_col))),
+    )
+    return out.withColumn(value_col, clamped).drop("p_lo", "p_hi")
+
+
 def grouped_percentile_bounds_ranked(
     df: DataFrame,
     value_col: str,

@@ -378,6 +378,41 @@ FROM w GROUP BY event_type
 """
 
 
+def q_grouped_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP winsorize (r10): each event type's values clamp into
+    that type's own [p5, p95] band — grouped_percentile_trim's
+    row-preserving twin (operators/percentile.grouped_percentile_clamp;
+    LEFT bounds join so even an all-NULL group keeps its rows), then
+    exact-unit sums per type. Every observation kept, each category's
+    tails flattened against its own distribution instead of the global
+    band (q_winsorized_event_stats)."""
+    from ..operators.percentile import grouped_percentile_clamp
+
+    base = _events_base(spark, sf_dir)
+    w = grouped_percentile_clamp(base, "value", ["event_type"])
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        as_value(units_sum("value")).alias("sum_value"),
+    )
+
+
+ORACLE_GROUPED_WINSORIZED_STATS = f"""
+WITH base AS ({_ORACLE_EVENTS_BASE}),
+p AS (SELECT event_type,
+             quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi
+      FROM base GROUP BY event_type),
+w AS (SELECT base.event_type,
+             greatest(p.p_lo, least(p.p_hi, value)) AS value
+      FROM base JOIN p USING (event_type))
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_value
+FROM w GROUP BY event_type
+"""
+
+
 def q_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q2: AVG by day over the trimmed clean layer (A1 + F4)."""
     return daily_avg(q_clean_percentile_trim(spark, sf_dir))

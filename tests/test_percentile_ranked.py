@@ -267,3 +267,24 @@ def test_ranked_bounds_releases_input_cache(spark):
         if k in before:
             continue
         assert jmap.get(k).count() <= 50, "input-sized RDD left cached"
+
+
+def test_grouped_clamp_rank_buffer_identical_and_row_preserving(spark):
+    """grouped_percentile_clamp: strategy='rank' equals 'buffer' row
+    for row (LEFT bounds join keeps all-NULL groups), and row count is
+    always preserved."""
+    from hse_etl_ochirov_aldar_spark.operators.percentile import (
+        grouped_percentile_clamp,
+    )
+
+    df = _mixed_frame(spark, 7)
+    n = df.count()
+    a = grouped_percentile_clamp(df, "v", ["grp"], strategy="buffer")
+    b = grouped_percentile_clamp(df, "v", ["grp"], strategy="rank")
+    assert a.count() == n and b.count() == n
+    ka = sorted(((r.grp, r.v) for r in a.collect()), key=str)
+    kb = sorted(((r.grp, r.v) for r in b.collect()), key=str)
+    assert ka == kb
+    # all-NULL group rows survive with NULL values under both
+    assert sum(1 for g, v in ka if g == "only_nulls") == 4
+    assert all(v is None for g, v in ka if g == "only_nulls")
