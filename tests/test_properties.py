@@ -587,3 +587,78 @@ def test_percentile_paths_match_python_reference(spark, values, p):
     ranked = grouped_percentile_bounds_ranked(df, "v", [], p, p).collect()[0]
     assert agg == expected
     assert ranked["p_lo"] == expected and ranked["p_hi"] == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefg", min_size=1, max_size=3),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    total=st.integers(min_value=0, max_value=200),
+)
+def test_temperature_quota_membership_recomputable_outside_spark(
+    spark, groups, total
+):
+    """The quota samplers' portability contract, property-pinned: the
+    selected set is a pure function of (keys, group sizes, total) that
+    a PYTHON reimplementation (math.isqrt quotas + md5-rank order)
+    reproduces key-for-key — and the collect and join strategies both
+    equal it. If any engine-side piece (the in-plan isqrt, the BIGINT
+    div, the md5 rank, a window tie-break) drifted, membership would
+    move and this catches it."""
+    import hashlib
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = []
+    k = 0
+    for g, n in groups:
+        for _ in range(n):
+            rows.append((g, k))
+            k += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "g string, k long").repartition(5)
+
+    # driver-free reference implementation, pure Python
+    sizes = {}
+    for g, _n in groups:
+        sizes[g] = sizes.get(g, 0) + _n
+    sizes = {g: n for g, n in sizes.items() if n > 0}
+    w = {g: math.isqrt(n) for g, n in sizes.items()}
+    s = sum(w.values())
+    expected = set()
+    if s:
+        quotas = {g: total * wg // s for g, wg in w.items()}
+
+        def rank_key(key):
+            h = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+            return (h % 1_000_000_007, key)
+
+        by_g = {}
+        for g, key in rows:
+            by_g.setdefault(g, []).append(key)
+        for g, keys in by_g.items():
+            for key in sorted(keys, key=rank_key)[: quotas.get(g, 0)]:
+                expected.add(key)
+
+    got_collect = {
+        r.k for r in temperature_mixture_sample(df, "g", "k", total).collect()
+    }
+    got_join = {
+        r.k
+        for r in temperature_mixture_sample(
+            df, "g", "k", total, strategy="join"
+        ).collect()
+    }
+    assert got_collect == expected
+    assert got_join == expected

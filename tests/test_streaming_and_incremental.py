@@ -1928,3 +1928,52 @@ def test_streaming_cdc_versioned_exactly_once(spark, tmpdir):
     assert cdc_apply_versioned(spark, root, b0, ["k"], epoch=0) is None
     snap2 = {(r.k, r.val) for r in read_versioned(spark, root).collect()}
     assert snap2 == snap
+
+
+def test_chunk_text_is_streaming_composable(spark, tmpdir):
+    """chunk_text is stateless row-local algebra, so the SAME call
+    works unchanged on a readStream — chunking composes with streaming
+    ingest (the RAG-index maintenance path) without a batch detour.
+    The streamed chunk set must equal the batch chunk set."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.chunking import chunk_text
+
+    docs = spark.createDataFrame(
+        [(i, "xy" * (37 + 13 * i)) for i in range(20)] + [(99, "")],
+        ["doc_id", "text"],
+    )
+    src = f"{tmpdir}/chunk_src"
+    docs.repartition(3).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        chunk_text(stream, "text", size=64, stride=48)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .writeStream.format("memory")
+        .queryName("t_stream_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in spark.table("t_stream_chunks").collect()
+    }
+    batch = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_text(docs, "text", size=64, stride=48)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 20
