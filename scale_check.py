@@ -1315,8 +1315,56 @@ def main() -> None:
         spark.catalog.clearCache()
         return {"ranked_s": t_ranked, "n_groups": n, "identical": True}
 
+    # 32) quota sampling under a DEGENERATE hot group: one group owns
+    #     50% of 5M rows. The old single-window rank would drag all
+    #     2.5M rows through ONE reducer (window partitions are the one
+    #     thing AQE cannot split); the r10 skew_safe=True two-stage rank
+    #     bounds every task. A/B on identical data: same membership
+    #     checksum; locally the single window WINS (one task sorting
+    #     2.5M rows is cheap; the two-stage pays a 2nd shuffle+sort),
+    #     which is exactly why skew_safe is an opt-in, not the default
+    #     — its regime is executor-breaking group sizes on a cluster.
+    def quota_skew_hot_group_5m():
+        from pyspark.sql import Window
+
+        from hse_etl_ochirov_aldar_spark.operators.sampling import (
+            hash_bucket,
+            quota_sample,
+        )
+
+        df = spark.range(5_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("g"), (F.col("id") % 997).cast("string")))
+            .alias("g"),
+            F.col("id").alias("k"),
+        )
+        t0 = time.perf_counter()
+        two = quota_sample(df, "g", 1000, "k", skew_safe=True).agg(
+            F.sum("k").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        t_two = round(time.perf_counter() - t0, 2)
+        w = Window.partitionBy("g").orderBy(
+            hash_bucket("k", 1_000_000_007), F.col("k")
+        )
+        t0 = time.perf_counter()
+        one = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= 1000)
+            .agg(F.sum("k").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        t_one = round(time.perf_counter() - t0, 2)
+        assert (two.s, two.n) == (one.s, one.n), (two, one)
+        return {
+            "two_stage_s": t_two,
+            "single_window_s": t_one,
+            "identical_draw": True,
+            "n_sampled": two.n,
+        }
+
     timed("quota_join_1m_groups", quota_join_1m_groups)
     timed("percentile_ranked_300k_groups", percentile_ranked_300k_groups)
+    timed("quota_skew_hot_group_5m", quota_skew_hot_group_5m)
     spark.stop()
 
 

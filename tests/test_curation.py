@@ -929,3 +929,69 @@ def test_quota_sample_by_config_table(spark):
     a = {r.k for r in quota_sample_by(df, "g", "k", uniform).collect()}
     b = {r.k for r in quota_sample(df, "g", 7, "k").collect()}
     assert a == b and len(a) == 28
+
+
+def test_two_stage_rank_and_prefix_equal_single_window(spark):
+    """The salted two-stage draws must equal the naive single-window
+    definitions EXACTLY — including _hash_prefix_take's subtle case
+    where a stage-1-dropped row precedes a surviving row in global
+    hash order (the survivors-only prefix would undercount and wrongly
+    keep it). Randomized frames with zero costs, hot groups, and tiny
+    salts to force cross-salt interactions."""
+    import random
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        _hash_prefix_take,
+        _hash_rank_take,
+        hash_bucket,
+    )
+    from pyspark.sql import Window
+
+    rng = random.Random(42)
+    rows = []
+    k = 0
+    for g, n in [("hot", 400), ("a", 17), ("b", 3), ("c", 60)]:
+        for _ in range(n):
+            rows.append((g, k, rng.choice([0, 0, 1, 2, 5, 40])))
+            k += 1
+    df = spark.createDataFrame(rows, "g string, k long, cost long").repartition(7)
+
+    for quota in (0, 1, 5, 37):
+        got = {
+            r.k
+            for r in _hash_rank_take(
+                df.withColumn("__quota", F.lit(quota)), "g", "k", n_salt=3,
+                skew_safe=True,
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy(hash_bucket("k", 1_000_000_007), F.col("k"))
+        want = {
+            r.k
+            for r in df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= quota)
+            .collect()
+        }
+        assert got == want, (quota, len(got), len(want))
+
+    for budget in (0, 1, 7, 50, 10_000):
+        got = {
+            r.k
+            for r in _hash_prefix_take(
+                df.withColumn("__budget", F.lit(budget)), "g", "k", "cost",
+                n_salt=3, skew_safe=True,
+            ).collect()
+        }
+        wp = (
+            Window.partitionBy("g")
+            .orderBy(hash_bucket("k", 1_000_000_007), F.col("k"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        want = {
+            r.k
+            for r in df.withColumn(
+                "__cum", F.coalesce(F.sum("cost").over(wp), F.lit(0))
+            )
+            .where(F.col("__cum") < budget)
+            .collect()
+        }
+        assert got == want, (budget, len(got), len(want))
