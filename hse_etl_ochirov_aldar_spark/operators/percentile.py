@@ -371,7 +371,16 @@ def grouped_percentile_bounds_ranked(
     def _interp(p: float, lo_v: str, hi_v: str) -> Column:
         pos = _pos(p)
         lo, hi = F.floor(pos), F.ceil(pos)
-        return F.when(hi == lo, F.col(lo_v)).otherwise(
+        # Spark's Percentile short-circuits BOTH when the two bracketing
+        # ranks coincide AND when the two bracketing VALUES are equal
+        # (its counts-map stores one entry per distinct value, so tied
+        # endpoints never reach the interpolation formula). Without the
+        # value-equality branch the symmetric product form returns e.g.
+        # 3.0000000000000004 for values=[3.0, 3.0], p≈0.2465 — one ulp
+        # off the aggregate (r10 verdict finding).
+        return F.when(
+            (hi == lo) | (F.col(lo_v) == F.col(hi_v)), F.col(lo_v)
+        ).otherwise(
             (hi.cast("double") - pos) * F.col(lo_v)
             + (pos - lo.cast("double")) * F.col(hi_v)
         )

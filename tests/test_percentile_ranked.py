@@ -73,6 +73,70 @@ def test_ranked_bounds_bit_identical_to_aggregate(spark, seed, lower, upper):
     # float == above: bit-identity, not approx
 
 
+def test_ranked_bounds_bit_identical_on_heavy_ties(spark):
+    """r11 verdict task #1 fixture: groups where the bracketing VALUES
+    are equal (incl. the persisted falsifying example values=[3.0,3.0]
+    at p≈0.2465). Spark's aggregate short-circuits tied endpoints to
+    the tied value; the ranked twin's product form used to return a
+    one-ulp neighbour (3.0000000000000004). Also pins that a row
+    sitting exactly on a tied bound trims/clamps identically under
+    both strategies."""
+    from hse_etl_ochirov_aldar_spark.operators.percentile import (
+        grouped_percentile_clamp,
+    )
+
+    rng = random.Random(41)
+    rows = [("dup2", 3.0), ("dup2", 3.0)]  # the falsifying example
+    rows += [("dup9", 7.25)] * 9  # all-tied larger group
+    for g in range(12):
+        base = rng.uniform(-10.0, 10.0)
+        rows += [(f"t{g}", base)] * rng.choice([2, 3, 5, 50])
+        rows += [
+            (f"t{g}", base + i + 1.0) for i in range(rng.choice([0, 1, 4]))
+        ]
+    df = spark.createDataFrame(rows, "grp string, v double").repartition(8)
+    for lower, upper in [
+        (0.2464683648547908, 0.901),  # the hypothesis-drawn p
+        (0.0, 1.0),
+        (0.5, 0.5),
+        (1.0 / 3.0, 2.0 / 3.0),
+    ]:
+        buffer = {
+            r["grp"]: (r["p_lo"], r["p_hi"])
+            for r in df.groupBy("grp")
+            .agg(
+                F.percentile("v", F.lit(lower)).alias("p_lo"),
+                F.percentile("v", F.lit(upper)).alias("p_hi"),
+            )
+            .collect()
+        }
+        ranked = {
+            r["grp"]: (r["p_lo"], r["p_hi"])
+            for r in grouped_percentile_bounds_ranked(
+                df, "v", ["grp"], lower, upper
+            ).collect()
+        }
+        assert ranked == buffer  # float ==: bit-identity, not approx
+    # boundary rows through the full operators: trim + clamp
+    t_buf = sorted(map(tuple, grouped_percentile_trim(df, "v", ["grp"]).collect()))
+    t_rk = sorted(
+        map(
+            tuple,
+            grouped_percentile_trim(df, "v", ["grp"], strategy="rank").collect(),
+        )
+    )
+    assert t_buf == t_rk and len(t_buf) > 0
+    c_buf = sorted(
+        ((r.grp, r.v) for r in grouped_percentile_clamp(df, "v", ["grp"], strategy="buffer").collect()),
+        key=str,
+    )
+    c_rk = sorted(
+        ((r.grp, r.v) for r in grouped_percentile_clamp(df, "v", ["grp"], strategy="rank").collect()),
+        key=str,
+    )
+    assert c_buf == c_rk and len(c_buf) == len(rows)
+
+
 def test_ranked_bounds_on_integral_column(spark):
     rng = random.Random(7)
     rows = [(f"g{i % 9}", rng.randint(-1000, 1000)) for i in range(5000)]

@@ -568,7 +568,8 @@ def test_prefix_filter_equals_brute_force(spark, sets, t):
 def test_percentile_paths_match_python_reference(spark, values, p):
     """Both exact percentile paths — the value-buffering aggregate and
     the rank-based O(1)-state twin — equal a pure-Python
-    percentile_cont (Spark's symmetric interpolation
+    percentile_cont (Spark's interpolation: short-circuit to v_lo when
+    ranks coincide OR v_lo == v_hi, else the symmetric product form
     (hi-pos)*v_lo + (pos-lo)*v_hi) bit-for-bit, for arbitrary data
     incl. heavy ties and any percentile in [0, 1]."""
     import math
@@ -580,13 +581,82 @@ def test_percentile_paths_match_python_reference(spark, values, p):
     s = sorted(values)
     pos = p * (len(s) - 1)
     lo, hi = math.floor(pos), math.ceil(pos)
-    expected = s[lo] if hi == lo else (hi - pos) * s[lo] + (pos - lo) * s[hi]
+    # Spark's Percentile short-circuits when the bracketing RANKS
+    # coincide AND when the bracketing VALUES are equal (its counts map
+    # holds one entry per distinct value, so tied endpoints never reach
+    # the product form). The symmetric form without the s[lo]==s[hi]
+    # branch returns 3.0000000000000004 for values=[3.0,3.0], p≈0.2465
+    # — the r10-verdict falsifying example persisted in .hypothesis/.
+    if hi == lo or s[lo] == s[hi]:
+        expected = s[lo]
+    else:
+        expected = (hi - pos) * s[lo] + (pos - lo) * s[hi]
 
     df = spark.createDataFrame([(v,) for v in values], "v double")
     agg = df.agg(F.percentile("v", F.lit(p))).collect()[0][0]
     ranked = grouped_percentile_bounds_ranked(df, "v", [], p, p).collect()[0]
     assert agg == expected
     assert ranked["p_lo"] == expected and ranked["p_hi"] == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-2, max_value=2).map(float),  # tie-heavy
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_percentile_agg_equals_ranked_directly(spark, values, pa, pb):
+    """Direct agg == ranked bit-equality, NO Python reference between
+    them (r11 verdict task #2): the r10 ulp bug survived because both
+    paths were compared to a third implementation that happened to
+    share the ranked path's formula theory. This test would have
+    caught it regardless of whose theory was right. Tie-heavy data,
+    two independent percentiles, and percentile_clamp boundary rows
+    folded in: a value sitting exactly on a tied bound must be kept /
+    clamped identically under strategy='rank' and strategy='buffer'."""
+    from hse_etl_ochirov_aldar_spark.operators.percentile import (
+        grouped_percentile_bounds_ranked,
+        percentile_clamp,
+    )
+
+    lower, upper = sorted((pa, pb))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "k long, v double"
+    )
+    agg = df.agg(
+        F.percentile("v", F.lit(lower)).alias("p_lo"),
+        F.percentile("v", F.lit(upper)).alias("p_hi"),
+    ).collect()[0]
+    rk = grouped_percentile_bounds_ranked(
+        df, "v", [], lower, upper
+    ).collect()[0]
+    assert rk["p_lo"] == agg["p_lo"]  # bit-identity, not approx
+    assert rk["p_hi"] == agg["p_hi"]
+    clamp_b = {
+        (r.k, r.v)
+        for r in percentile_clamp(
+            df, "v", lower=lower, upper=upper, strategy="buffer"
+        ).collect()
+    }
+    clamp_r = {
+        (r.k, r.v)
+        for r in percentile_clamp(
+            df, "v", lower=lower, upper=upper, strategy="rank"
+        ).collect()
+    }
+    assert clamp_r == clamp_b and len(clamp_r) == len(values)
 
 
 @settings(**_SETTINGS)
