@@ -77,9 +77,18 @@ def guard_regressions(
     t > RATIO_BAR * base*drift AND t - base*drift > ABS_BAR — the
     ratio alone over-flags sub-second queries (reference values are
     per-query minima, so ±0.3s scheduler noise reads as 1.5x).
+
+    The drift factor is CLAMPED at >= 1.0 for flagging (r11 verdict
+    task #3): drift normalization exists to forgive a SLOWER host, but
+    on a faster host (drift < 1) it shrank every base and manufactured
+    regressions out of flat raw timings — two rounds running, the only
+    driver flags were this illusion (PERF finding 36;
+    length_matched_sample). A fast host can only make queries look
+    better, never worse, so raw ratios are the honest comparison
+    there.
     """
     flags: dict[str, dict] = {}
-    d = drift or 1.0
+    d = max(drift, 1.0) if drift else 1.0
     for name, t in timings.items():
         base = primary.get(name)
         source = "reference"

@@ -111,12 +111,17 @@ def streaming_cdc_apply(
         marker = spark._jvm.org.apache.hadoop.fs.Path(
             snapshot_path.rstrip("/") + "__epochs", str(epoch)
         )
+        staging = snapshot_path.rstrip("/") + "__cdc_staging"
+        # adopt the surviving snapshot if a prior apply died mid-swap —
+        # BEFORE the marker early-return (r10 ADVICE): a REPLAYED epoch
+        # arriving after a different epoch crashed mid-swap used to
+        # no-op here and leave the snapshot path missing until the next
+        # new epoch, failing readers even though a complete copy sat in
+        # staging/__old. Any batch, replay included, now repairs first.
+        recover_swap(spark, staging, snapshot_path)
         if fs.exists(marker):
             return
         out_cols = [c for c in batch.columns if c not in (ver_col, op_col)]
-        staging = snapshot_path.rstrip("/") + "__cdc_staging"
-        # adopt the surviving snapshot if a prior apply died mid-swap
-        recover_swap(spark, staging, snapshot_path)
         try:
             snap = spark.read.parquet(snapshot_path)
         except Exception as exc:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -198,7 +198,56 @@ def _exact_isqrt(n):
     return F.when(_d(r) * _d(r) > _d(n), r - 1).otherwise(r)
 
 
+def _quota_div_expr(total: int, w: str, s: str) -> Column:
+    """``total * w div s`` with Python-int exactness on the engine
+    side (r10 ADVICE, medium): the plain BIGINT product wraps
+    Java-style once ``total * w >= 2^63`` with ansi off — exactly the
+    100 TB token-budget regime (~3e13-char budgets x isqrt weights up
+    to ~1e7), where the old form returned garbage (often negative)
+    quotas with no error while the collect strategy's Python ints
+    stayed exact. The product rides DECIMAL(38,0) (max magnitude here
+    2^63 x 2^63 ≈ 8.5e37 — exact in 38 digits, the _exact_isqrt
+    trick), ``div`` is Spark's integral divide (exact truncation ==
+    floor for the non-negative operands quotas always are), and the
+    result lands back in BIGINT (w <= s always, so quotient <= total
+    fits). Measured: total=3e13, w=2.1e9, s=5.1e9 -> BIGINT form
+    -323503352, DECIMAL form == Python ``//`` bit-for-bit."""
+    return F.expr(
+        f"CAST(CAST({int(total)} AS DECIMAL(38,0)) * {w} div {s} AS BIGINT)"
+    )
+
+
 QUOTA_RANK_SALT = 64
+
+# Auto skew_safe threshold (r11 verdict task #6, in finding-37 terms):
+# below this many rows per group, one task sorting the whole group is
+# fine (gate-scale A/B: a single task sorts 2.5M candidate rows in
+# ~2.4s; ExternalSorter spills past memory, so ~10M narrow rows is
+# still comfortably one-task territory) and the single window is ~2x
+# cheaper than the two-stage form. Above it, a hot group's slice
+# funnels through ONE reducer — window partitions are the one thing
+# AQE cannot split — so the salted two-stage rank/prefix (bounded
+# tasks: <= n_salt x quota candidates regardless of group size) takes
+# over. Membership is identical either way (pin-tested), so routing
+# per group changes cost only, never the sample.
+SKEW_SAFE_GROUP_ROWS = 10_000_000
+
+
+def _with_group_sizes(df: DataFrame, group_col: str) -> DataFrame:
+    """Attach each row's group size as ``__gn`` — the auto-skew_safe
+    routing signal (r11 verdict task #6), computed IN-PLAN: a
+    map-side-combinable census (group-count-sized shuffle) joined back
+    null-safely. eqNullSafe keeps NULL-group rows — they are a real
+    group to the window samplers, and an inner null-dropping join would
+    silently change membership. The census build side is tiny, so AQE
+    broadcasts it; joins (unlike windows) are also AQE-skew-splittable,
+    so the hot group cannot funnel here."""
+    census = df.groupBy(F.col(group_col).alias("__gk")).agg(
+        F.count(F.lit(1)).alias("__gn")
+    )
+    return df.join(
+        census, F.col(group_col).eqNullSafe(F.col("__gk"))
+    ).drop("__gk")
 
 
 def _hash_rank_take(
@@ -206,7 +255,7 @@ def _hash_rank_take(
     group_col: str,
     key_col: str,
     n_salt: int = QUOTA_RANK_SALT,
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Keep the rows whose GLOBAL per-group md5-hash-order rank is
     within the row's ``__quota`` — computed as a two-stage salted rank
@@ -226,21 +275,27 @@ def _hash_rank_take(
     order key (hash, key) is the same total order both times.
     Expects ``__quota`` on the rows; drops it and the rank columns.
 
-    ``skew_safe`` is an OPT-IN (finding-30 discipline — measured, not
-    assumed): the two-stage form pays a second shuffle+sort of the
-    candidate set, and at gate scale that roughly doubles the
-    sampler's cost (scale_check quota_skew_hot_group_5m: 10.5s vs
-    2.4s on local[32], where one task sorting 2.5M rows is cheap).
-    Flip it on when a group can reach executor-breaking size — the
-    regime where the single window funnels that group's entire slice
-    of the corpus through one reducer."""
+    ``skew_safe``: ``None`` (default, r11 verdict task #6) salts
+    CONDITIONALLY per group from an in-plan census
+    (:func:`_with_group_sizes`): groups above
+    :data:`SKEW_SAFE_GROUP_ROWS` rows draw a real salt, the rest salt
+    0 — which makes stage 1 LITERALLY the single window for them
+    (partitioning by (group, 0) == (group)), so below the threshold
+    auto pays only the census and a quota-bounded stage-2 re-rank,
+    never the full two-stage tax (finding 37's 8.8s-vs-1.25s). The
+    two-stage correctness argument is per-group and holds for ANY
+    salt assignment, so membership is identical across all three
+    modes (pin-tested). Explicit ``True``/``False`` overrides for
+    callers who already know their skew (finding-30 discipline;
+    collect-strategy callers resolve auto from their already-
+    collected counts for free)."""
     h = hash_bucket(key_col, 1_000_000_007)
-    if not skew_safe:
+    if skew_safe is False:
         w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= F.col("__quota"))
-            .drop("__rn", "__quota")
+            .drop("__rn", "__quota", "__gn")
         )
     salt = F.pmod(
         F.conv(
@@ -250,6 +305,17 @@ def _hash_rank_take(
         ).cast("long"),
         F.lit(n_salt),
     )
+    if skew_safe is None:
+        # callers that already know group sizes thread them in as
+        # ``__gn`` (the join strategies compute per-group counts anyway)
+        # so auto costs them NOTHING; only count-blind callers pay the
+        # census pass (measured min-of-2 at gate scale: ~1.9s over a 5M
+        # frame — the price of learning the skew, NOT the two-stage tax)
+        if "__gn" not in df.columns:
+            df = _with_group_sizes(df, group_col)
+        salt = F.when(
+            F.col("__gn") > SKEW_SAFE_GROUP_ROWS, salt
+        ).otherwise(F.lit(0))
     w1 = Window.partitionBy(group_col, "__qsalt").orderBy(h, F.col(key_col))
     w2 = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     return (
@@ -258,7 +324,7 @@ def _hash_rank_take(
         .where(F.col("__r1") <= F.col("__quota"))
         .withColumn("__rn", F.row_number().over(w2))
         .where(F.col("__rn") <= F.col("__quota"))
-        .drop("__qsalt", "__r1", "__rn", "__quota")
+        .drop("__qsalt", "__r1", "__rn", "__quota", "__gn")
     )
 
 
@@ -268,7 +334,7 @@ def _hash_prefix_take(
     key_col: str,
     cost_col: str,
     n_salt: int = QUOTA_RANK_SALT,
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Keep the rows whose GLOBAL per-group md5-hash-order EXCLUSIVE
     prefix cost stays under the row's ``__budget`` — the token-budget
@@ -289,10 +355,15 @@ def _hash_prefix_take(
     survivors at or past it, after which survivors-only prefixes ARE
     the true prefixes and the budget test is exact.
 
-    ``skew_safe`` opt-in for the same measured reason as
-    :func:`_hash_rank_take` — default is the single prefix window."""
+    ``skew_safe``: same tri-state as :func:`_hash_rank_take` — ``None``
+    (default) salts conditionally per group from the in-plan census
+    (row count, the quantity the window task actually sorts; salt 0
+    below the threshold makes stage 1 the single prefix window for
+    that group), explicit bools override. The stage-1/stage-2 proof is
+    per-group and salt-assignment-independent, so membership never
+    moves."""
     h = hash_bucket(key_col, 1_000_000_007)
-    if not skew_safe:
+    if skew_safe is False:
         w = (
             Window.partitionBy(group_col)
             .orderBy(h, F.col(key_col))
@@ -306,7 +377,7 @@ def _hash_prefix_take(
                 ),
             )
             .where(F.col("__cum") < F.col("__budget"))
-            .drop("__cum", "__budget")
+            .drop("__cum", "__budget", "__gn")
         )
     ord_key = F.struct(h.alias("h"), F.col(key_col).alias("k"))
     salt = F.pmod(
@@ -317,6 +388,12 @@ def _hash_prefix_take(
         ).cast("long"),
         F.lit(n_salt),
     )
+    if skew_safe is None:
+        if "__gn" not in df.columns:
+            df = _with_group_sizes(df, group_col)
+        salt = F.when(
+            F.col("__gn") > SKEW_SAFE_GROUP_ROWS, salt
+        ).otherwise(F.lit(0))
     w1 = (
         Window.partitionBy(group_col, "__qsalt")
         .orderBy(h, F.col(key_col))
@@ -326,9 +403,13 @@ def _hash_prefix_take(
         "__c1",
         F.coalesce(F.sum(F.col(cost_col).cast("long")).over(w1), F.lit(0)),
     )
+    # the drop0 join must be NULL-SAFE on the group key (r11): NULL is
+    # a real group to the windows, but a name-list join would never
+    # match its drop0 row, silently skipping the dropped-predecessor
+    # discard and over-keeping NULL-group rows.
     drop0 = (
         base.where(F.col("__c1") >= F.col("__budget"))
-        .groupBy(group_col)
+        .groupBy(F.col(group_col).alias("__dk"))
         .agg(F.min(ord_key).alias("__drop0"))
     )
     w2 = (
@@ -338,7 +419,8 @@ def _hash_prefix_take(
     )
     return (
         base.where(F.col("__c1") < F.col("__budget"))
-        .join(drop0, group_col, "left")
+        .join(drop0, F.col(group_col).eqNullSafe(F.col("__dk")), "left")
+        .drop("__dk")
         .where(F.col("__drop0").isNull() | (ord_key < F.col("__drop0")))
         .withColumn(
             "__cum",
@@ -347,7 +429,7 @@ def _hash_prefix_take(
             ),
         )
         .where(F.col("__cum") < F.col("__budget"))
-        .drop("__qsalt", "__c1", "__drop0", "__cum", "__budget")
+        .drop("__qsalt", "__c1", "__drop0", "__cum", "__budget", "__gn")
     )
 
 
@@ -356,7 +438,7 @@ def _quota_join_sample(
     group_col: str,
     key_col: str,
     quotas: DataFrame,
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Shared join-strategy tail: attach per-group ``__quota`` rows by
     equi-join (NO driver collect, NO broadcast hint — the strategy
@@ -377,7 +459,7 @@ def temperature_mixture_sample(
     total: int,
     max_groups: int = MAX_QUOTA_GROUPS,
     strategy: str = "collect",
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Temperature-weighted mixture sampling (alpha = 0.5): draw ~``total``
     rows with per-group quotas proportional to sqrt(group size) — the
@@ -414,16 +496,18 @@ def temperature_mixture_sample(
             .agg(F.count(F.lit(1)).alias("__n"))
         )
         w_df = counts_df.select(
-            group_col, _exact_isqrt(F.col("__n")).alias("__w")
+            group_col, "__n", _exact_isqrt(F.col("__n")).alias("__w")
         )
         s_df = w_df.agg(F.sum("__w").alias("__s"))
         quotas = (
             w_df.crossJoin(F.broadcast(s_df))
             .select(
                 group_col,
-                F.expr(
-                    f"CAST({int(total)} AS BIGINT) * __w div __s"
-                ).alias("__quota"),
+                # thread the group size through: the auto-skew_safe
+                # draw can then salt conditionally with ZERO extra
+                # scans (it would otherwise census the corpus itself)
+                F.col("__n").alias("__gn"),
+                _quota_div_expr(total, "__w", "__s").alias("__quota"),
             )
             .where(F.col("__quota") > 0)
         )
@@ -433,6 +517,10 @@ def temperature_mixture_sample(
     if strategy != "collect":
         raise ValueError(f"unknown strategy {strategy!r} (collect|join)")
     counts = _bounded_group_counts(df, group_col, max_groups)
+    if skew_safe is None:
+        # the counts are already on the driver — resolve auto for free
+        # instead of paying _group_size_routed's census pass
+        skew_safe = max(counts.values(), default=0) > SKEW_SAFE_GROUP_ROWS
     w = {g: math.isqrt(n) for g, n in counts.items()}
     s = sum(w.values())
     if s == 0:
@@ -457,7 +545,7 @@ def token_budget_mixture_sample(
     key_col: str,
     cost_col: str,
     total_budget: int,
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Temperature-weighted mixture sampling with TOKEN budgets instead
     of row quotas: each group gets a budget in cost units (tokens,
@@ -486,17 +574,21 @@ def token_budget_mixture_sample(
     masses = (
         df.where(F.col(group_col).isNotNull())
         .groupBy(group_col)
-        .agg(F.sum(F.col(cost_col).cast("long")).alias("__mass"))
+        .agg(
+            F.sum(F.col(cost_col).cast("long")).alias("__mass"),
+            F.count(F.lit(1)).alias("__n"),
+        )
     )
-    w_df = masses.select(group_col, _exact_isqrt(F.col("__mass")).alias("__w"))
+    w_df = masses.select(
+        group_col, "__n", _exact_isqrt(F.col("__mass")).alias("__w")
+    )
     s_df = w_df.agg(F.sum("__w").alias("__s"))
     budgets = (
         w_df.crossJoin(F.broadcast(s_df))
         .select(
             group_col,
-            F.expr(
-                f"CAST({int(total_budget)} AS BIGINT) * __w div __s"
-            ).alias("__budget"),
+            F.col("__n").alias("__gn"),  # free auto-skew_safe signal
+            _quota_div_expr(total_budget, "__w", "__s").alias("__budget"),
         )
         .where(F.col("__budget") > 0)
     )
@@ -512,7 +604,7 @@ def quota_sample_by(
     key_col: str,
     quotas: DataFrame,
     quota_col: str = "quota",
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Per-group caps from a CONFIG TABLE: ``quotas`` carries one row
     per group (``group_col``, ``quota_col``) — the editable mixture
@@ -534,7 +626,7 @@ def quota_sample(
     group_col: str,
     quota: int,
     key_col: str,
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """At most ``quota`` rows per group, chosen by hash order of the key
     — a deterministic uniform sample without replacement per group (the
@@ -549,7 +641,11 @@ def quota_sample(
     reducer. ``skew_safe=True`` switches to the salted two-stage
     :func:`_hash_rank_take` (every task bounded by n_salt x quota
     candidates regardless of group size) at a measured ~2x local
-    cost; identical membership either way (pin-tested).
+    cost; identical membership either way (pin-tested). Default
+    ``None`` (r11): an in-plan per-group census routes only the
+    groups above :data:`SKEW_SAFE_GROUP_ROWS` through the two-stage
+    path — callers no longer need to know their skew, and small-group
+    corpora never pay the two-stage tax.
     """
     return _hash_rank_take(
         df.withColumn("__quota", F.lit(int(quota))),
@@ -692,7 +788,7 @@ def distribution_matched_sample(
     total: int,
     max_groups: int = MAX_QUOTA_GROUPS,
     strategy: str = "collect",
-    skew_safe: bool = False,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Sample ~``total`` rows of ``df`` so that ``group_col``'s
     distribution matches the TARGET corpus's distribution — the
@@ -735,9 +831,7 @@ def distribution_matched_sample(
             tcounts_df.crossJoin(F.broadcast(tt_df))
             .select(
                 group_col,
-                F.expr(
-                    f"CAST({int(total)} AS BIGINT) * __tn div __tt"
-                ).alias("__quota"),
+                _quota_div_expr(total, "__tn", "__tt").alias("__quota"),
             )
             .where(F.col("__quota") > 0)
         )

@@ -129,6 +129,15 @@ def streaming_additive_mart(
         marker_path = spark._jvm.org.apache.hadoop.fs.Path(
             mart_path.rstrip("/") + "__epochs", str(epoch)
         )
+        # repair a mid-swap crash BEFORE the replay no-op (r10 ADVICE,
+        # same fix as cdc.streaming_cdc_apply): a replayed
+        # marker-present epoch arriving after a DIFFERENT epoch died
+        # mid-swap would otherwise return here with the mart path
+        # missing, failing readers until the next new epoch even
+        # though a complete copy survives in staging/__old.
+        recover_swap(
+            spark, mart_path.rstrip("/") + "__ivm_staging", mart_path
+        )
         if fs.exists(marker_path):
             return  # replayed batch: already applied
         maintain_additive_mart(

@@ -429,6 +429,29 @@ def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_quota_sample_skewsafe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME per-domain quota sample computed by the salted
+    TWO-STAGE rank (r11 verdict task #5: quota_sample(...,
+    skew_safe=True) — stage 1 windows over (group, salt) so a hot
+    domain spreads across 64 tasks, stage 2 re-ranks the bounded
+    survivors). Sharing ORACLE_DOMAIN_QUOTA_SAMPLE with the
+    single-window entry IS the correctness claim: the two-stage plan
+    must produce bit-identical membership, and this entry puts that
+    plan under the driver's own checking (until now it was visible
+    only to pin tests)."""
+    from ..operators.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = quota_sample(docs, "source", 15, "doc_id", skew_safe=True)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
 ORACLE_DOMAIN_QUOTA_SAMPLE = f"""
 WITH ranked AS (
   SELECT source, doc_id, text,

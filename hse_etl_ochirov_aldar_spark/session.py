@@ -26,8 +26,15 @@ def get_spark(
     app_name: str = "hse-etl-spark-engine",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with the engine's defaults."""
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``extra_conf``: caller-specific configs applied last (e.g. the plan
+    auditor raises ``spark.sql.ui.retainedExecutions`` so the status
+    store cannot evict plans mid-audit). Only effective when this call
+    CREATES the session — getOrCreate cannot retrofit static confs onto
+    an existing one, so pass it from the process's first builder."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
@@ -51,4 +58,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

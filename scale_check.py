@@ -1322,8 +1322,10 @@ def main() -> None:
     #     bounds every task. A/B on identical data: same membership
     #     checksum; locally the single window WINS (one task sorting
     #     2.5M rows is cheap; the two-stage pays a 2nd shuffle+sort),
-    #     which is exactly why skew_safe is an opt-in, not the default
-    #     — its regime is executor-breaking group sizes on a cluster.
+    #     which is exactly why explicit skew_safe=True is reserved for
+    #     executor-breaking group sizes — and why the r11 auto default
+    #     (skew_safe=None) routes per group by a 10M-row threshold
+    #     instead of flipping the whole draw (check 33 below).
     def quota_skew_hot_group_5m():
         from pyspark.sql import Window
 
@@ -1362,9 +1364,81 @@ def main() -> None:
             "n_sampled": two.n,
         }
 
+    # 33) r11 auto skew_safe routing, both sides of the documented
+    #     SKEW_SAFE_GROUP_ROWS=10M threshold:
+    #     (a) BELOW — max group 2.5M: the hot slice of the routed plan
+    #         is provably EMPTY (zero groups above threshold), so auto
+    #         pays only the census on top of the single window — never
+    #         the 8.8s-vs-1.25s two-stage tax (finding 37).
+    #     (b) ABOVE — one 12M-row group: auto routes it through the
+    #         salted two-stage rank; membership equals the naive
+    #         single-window draw exactly (checksum + count).
+    def quota_auto_route_threshold():
+        from hse_etl_ochirov_aldar_spark.operators.sampling import (
+            SKEW_SAFE_GROUP_ROWS,
+            quota_sample,
+        )
+
+        # (a) below threshold: same 5M frame as check 32
+        df = spark.range(5_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("g"), (F.col("id") % 997).cast("string")))
+            .alias("g"),
+            F.col("id").alias("k"),
+        )
+        n_over = (
+            df.groupBy("g")
+            .count()
+            .where(F.col("count") > SKEW_SAFE_GROUP_ROWS)
+            .count()
+        )
+        assert n_over == 0  # the hot branch salts zero groups
+
+        def min2(frame_fn):
+            """min-of-2 with a checksum: first execution pays
+            whole-stage codegen, which at this scale is bigger than
+            the auto-vs-single delta itself (bench.py precedent)."""
+            best, out = None, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = frame_fn().agg(
+                    F.sum("k").alias("s"), F.count(F.lit(1)).alias("n")
+                ).collect()[0]
+                dt = round(time.perf_counter() - t0, 2)
+                best = dt if best is None else min(best, dt)
+            return best, out
+
+        t_auto, auto = min2(lambda: quota_sample(df, "g", 1000, "k"))
+        t_single, single = min2(
+            lambda: quota_sample(df, "g", 1000, "k", skew_safe=False)
+        )
+        assert (auto.s, auto.n) == (single.s, single.n)
+
+        # (b) above threshold: one 12M-row group + 997 small ones
+        big = spark.range(16_000_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit("mega"))
+            .otherwise(F.concat(F.lit("g"), (F.col("id") % 997).cast("string")))
+            .alias("g"),
+            F.col("id").alias("k"),
+        )
+        t_auto_b, auto_b = min2(lambda: quota_sample(big, "g", 1000, "k"))
+        t_single_b, single_b = min2(
+            lambda: quota_sample(big, "g", 1000, "k", skew_safe=False)
+        )
+        assert (auto_b.s, auto_b.n) == (single_b.s, single_b.n)
+        return {
+            "below_auto_s": t_auto,
+            "below_single_s": t_single,
+            "below_groups_salted_hot": n_over,
+            "above_auto_s": t_auto_b,
+            "above_single_s": t_single_b,
+            "identical_draw": True,
+        }
+
     timed("quota_join_1m_groups", quota_join_1m_groups)
     timed("percentile_ranked_300k_groups", percentile_ranked_300k_groups)
     timed("quota_skew_hot_group_5m", quota_skew_hot_group_5m)
+    timed("quota_auto_route_threshold", quota_auto_route_threshold)
     spark.stop()
 
 

@@ -61,6 +61,41 @@ def test_drift_normalization_suppresses_uniform_host_slowdown():
     assert guard_regressions(timings, PRIMARY, SECONDARY, d) == {}
 
 
+def test_fast_host_drift_is_clamped_no_false_flags():
+    """r11 verdict task #3: a drift-0.7 host (every query ~30% faster
+    than the reference) with FLAT raw timings must produce zero flags
+    — drift < 1 used to shrink every base and manufacture regressions
+    out of the normalization itself (finding 36;
+    length_matched_sample). Raw-flat means nothing regressed."""
+    timings = {"q_old_a": 0.7, "q_old_b": 1.4, "q_old_c": 2.8,
+               "q_new": 2.1}
+    d = machine_drift(timings, PRIMARY)
+    assert d == 0.7
+    assert guard_regressions(timings, PRIMARY, SECONDARY, d) == {}
+
+
+def test_fast_host_real_raw_regression_still_flags():
+    """Clamping must not blind the guard: on the same drift-0.7 host a
+    query whose RAW timing doubled vs its reference still flags."""
+    timings = {"q_old_a": 0.7, "q_old_b": 1.4, "q_old_c": 8.0}
+    d = machine_drift(timings, PRIMARY)
+    assert d == 0.7
+    flags = guard_regressions(timings, PRIMARY, SECONDARY, d)
+    assert set(flags) == {"q_old_c"}
+    assert flags["q_old_c"]["ratio_vs_drift"] == 2.0  # vs clamped base
+
+
+def test_slow_host_drift_still_forgives():
+    """The clamp is one-sided: drift > 1 (slower host) keeps
+    normalizing as before (test_drift_normalization... covers the
+    suppress case); the flag math must still use the full drift."""
+    timings = {"q_old_a": 2.0, "q_old_b": 4.0, "q_old_c": 16.01}
+    d = machine_drift(timings, PRIMARY)
+    assert d == 2.0
+    flags = guard_regressions(timings, PRIMARY, SECONDARY, d)
+    assert set(flags) == {"q_old_c"}
+
+
 def test_absolute_bar_protects_subsecond_entries():
     # q_new_small: 0.3 -> 0.9 is 3x but only +0.6s absolute -> no flag
     timings = {"q_old_a": 1.0, "q_new_small": 0.9}

@@ -995,3 +995,148 @@ def test_two_stage_rank_and_prefix_equal_single_window(spark):
             .collect()
         }
         assert got == want, (budget, len(got), len(want))
+
+
+def test_auto_skew_safe_routes_by_group_size_membership_identical(
+    spark, monkeypatch
+):
+    """r11 verdict task #6: skew_safe=None routes per group from an
+    in-plan census — hot groups take the two-stage path, small groups
+    the single window — and membership is identical to both explicit
+    modes. NULL-group rows must survive the census join (eqNullSafe):
+    they are a real group to the samplers, and an inner join would
+    silently drop them."""
+    import random
+
+    from hse_etl_ochirov_aldar_spark.operators import sampling as S
+
+    rng = random.Random(9)
+    rows = []
+    k = 0
+    for g, n in [("hot", 300), ("a", 20), ("b", 4), (None, 12)]:
+        for _ in range(n):
+            rows.append((g, k, rng.choice([0, 1, 3, 25])))
+            k += 1
+    df = spark.createDataFrame(
+        rows, "g string, k long, cost long"
+    ).repartition(6)
+    # threshold between the small groups and the hot one: routing is real
+    monkeypatch.setattr(S, "SKEW_SAFE_GROUP_ROWS", 50)
+
+    for quota in (3, 17):
+        by_mode = {
+            mode: {
+                r.k
+                for r in S.quota_sample(
+                    df, "g", quota, "k", skew_safe=mode
+                ).collect()
+            }
+            for mode in (None, True, False)
+        }
+        assert by_mode[None] == by_mode[True] == by_mode[False]
+        # NULL group sampled like any other (12 rows > some quotas)
+        null_kept = {
+            r.k
+            for r in S.quota_sample(df, "g", quota, "k").collect()
+            if r.g is None
+        }
+        assert len(null_kept) == min(quota, 12)
+
+    for budget in (10, 200):
+        got = {
+            mode: {
+                r.k
+                for r in S._hash_prefix_take(
+                    df.withColumn("__budget", F.lit(budget)),
+                    "g",
+                    "k",
+                    "cost",
+                    n_salt=3,
+                    skew_safe=mode,
+                ).collect()
+            }
+            for mode in (None, True, False)
+        }
+        assert got[None] == got[True] == got[False]
+
+
+def test_quota_div_expr_exact_in_bigint_wrap_regime(spark):
+    """r10 ADVICE (medium): total * w div s used to ride BIGINT and
+    wrap Java-style for products >= 2^63 — the 100 TB token-budget
+    regime — silently diverging from the collect strategy's Python
+    ints. The DECIMAL(38,0) form must equal Python // bit-for-bit
+    across the wrap boundary."""
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        _quota_div_expr,
+    )
+
+    cases = [
+        # (total, w, s): products straddling 2^63 and the old garbage zone
+        (30_000_000_000_000, 2_121_320_343, 5_121_320_343),
+        (9_200_000_000_000_000_000, 3_037_000_499, 4_037_000_499),
+        (200, 7, 19),  # small regime unchanged
+        (1_000_000_007, 999_999_937, 1_000_000_000),
+        (2**62, 2**31, 2**33),
+    ]
+    df = spark.createDataFrame(
+        [(w, s) for _, w, s in cases], "__w long, __s long"
+    )
+    got = df.select(
+        "__w",
+        "__s",
+        *[
+            _quota_div_expr(t, "__w", "__s").alias(f"q{i}")
+            for i, (t, _, _) in enumerate(cases)
+        ],
+    ).collect()
+    by_ws = {(r["__w"], r["__s"]): r for r in got}
+    for i, (total, w, s) in enumerate(cases):
+        assert by_ws[(w, s)][f"q{i}"] == total * w // s, (total, w, s)
+
+
+def test_token_budget_mixture_exact_at_huge_costs(spark):
+    """End-to-end pin for the overflow fix: per-doc costs near 1e18
+    push group masses (and total_budget * isqrt(mass)) far past 2^63.
+    The kept set must be the md5-hash-order greedy prefix under
+    budgets computed with PYTHON arbitrary-precision ints — the
+    documented engine-portability contract, previously violated in
+    exactly this regime."""
+    import math
+
+    from hse_etl_ochirov_aldar_spark.operators.sampling import (
+        hash_bucket,
+        token_budget_mixture_sample,
+    )
+
+    rows = [
+        ("big", k, 900_000_000_000_000_000) for k in range(5)
+    ] + [("small", k, 450_000_000_000_000_000) for k in range(100, 104)]
+    df = spark.createDataFrame(rows, "g string, k long, cost long")
+    total_budget = 4_000_000_000_000_000_000  # 4e18: products ~1e28
+    kept = {
+        r.k
+        for r in token_budget_mixture_sample(
+            df, "g", "k", "cost", total_budget
+        ).collect()
+    }
+    # Python reference: exact budgets + greedy prefix in md5-hash order
+    order = {
+        r.k: r.h
+        for r in df.select(
+            "k", hash_bucket(F.col("k"), 1_000_000_007).alias("h")
+        ).collect()
+    }
+    masses = {"big": 5 * 900_000_000_000_000_000,
+              "small": 4 * 450_000_000_000_000_000}
+    s = sum(math.isqrt(m) for m in masses.values())
+    want = set()
+    for g, m in masses.items():
+        budget = total_budget * math.isqrt(m) // s
+        acc = 0
+        for gg, k, c in sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (order[r[1]], r[1])
+        ):
+            if acc < budget:
+                want.add(k)
+            acc += c
+    assert kept == want and len(kept) > 0

@@ -1205,6 +1205,88 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmpdir):
     assert got == {(1, "a2", 11), (3, "c", 30)}
 
 
+def test_streaming_cdc_replayed_epoch_repairs_crashed_swap(spark, tmpdir):
+    """r10 ADVICE: a REPLAYED (marker-present) epoch arriving after a
+    different epoch crashed mid-swap must repair the snapshot before
+    its no-op return — the old order checked the marker first, so the
+    replay left the snapshot path missing (readers fail) even though a
+    complete copy sat in staging."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.cdc import streaming_cdc_apply
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("ver", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = f"{tmpdir}/cdc_rsrc"
+    spark.createDataFrame([(1, 10, 1, "I"), (2, 20, 1, "I")], schema).write.parquet(src)
+    snap = f"{tmpdir}/cdc_rsnap"
+    stream = spark.readStream.schema(schema).parquet(src)
+    streaming_cdc_apply(stream, snap, f"{tmpdir}/cdc_rckpt1", ["k"]).awaitTermination()
+    want = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    assert want == {(1, 10), (2, 20)}
+    # a later epoch dies mid-swap: target gone, full copy in staging
+    os.rename(snap, snap + "__cdc_staging")
+    # fresh checkpoint replays epoch 0, whose marker already exists
+    shutil.rmtree(f"{tmpdir}/cdc_rckpt1")
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    streaming_cdc_apply(stream2, snap, f"{tmpdir}/cdc_rckpt2", ["k"]).awaitTermination()
+    # the replay itself must have restored the snapshot (no new epoch ran)
+    got = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    assert got == want
+    assert not os.path.exists(snap + "__cdc_staging")
+
+
+def test_streaming_ivm_replayed_epoch_repairs_crashed_swap(spark, tmpdir):
+    """Same marker-ordering fix for the additive mart: the replayed
+    epoch repairs the mid-swap crash, and stays a no-op for the merge
+    itself (no double-count)."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.plans.ivm import streaming_additive_mart
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = f"{tmpdir}/ivm_rsrc"
+    spark.createDataFrame([("a", 10.0), ("b", 5.0)], schema).write.parquet(src)
+    mart = f"{tmpdir}/ivm_rmart"
+    stream = spark.readStream.schema(schema).parquet(src)
+    streaming_additive_mart(
+        stream, mart, f"{tmpdir}/ivm_rckpt1", ["k"], ["value"]
+    ).awaitTermination()
+    want = {
+        (r.k, r.n_rows, r.sum_value)
+        for r in spark.read.parquet(mart).collect()
+    }
+    os.rename(mart, mart + "__ivm_staging")
+    shutil.rmtree(f"{tmpdir}/ivm_rckpt1")
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    streaming_additive_mart(
+        stream2, mart, f"{tmpdir}/ivm_rckpt2", ["k"], ["value"]
+    ).awaitTermination()
+    got = {
+        (r.k, r.n_rows, r.sum_value)
+        for r in spark.read.parquet(mart).collect()
+    }
+    assert got == want  # repaired AND not double-counted
+    assert not os.path.exists(mart + "__ivm_staging")
+
+
 def test_partition_scoped_upsert_preserves_null_partition(spark, tmpdir):
     """NULL partition values: `col IN (..., NULL)` is never true in
     SQL, so without an explicit isNull branch the existing

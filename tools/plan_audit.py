@@ -80,7 +80,16 @@ def main() -> int:
     exec_mode = "--exec" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark(
-        app_name="plan-audit", master="local[8]", shuffle_partitions=8
+        app_name="plan-audit",
+        master="local[8]",
+        shuffle_partitions=8,
+        # the status store retains only spark.sql.ui.retainedExecutions
+        # entries (default 1000) and evicts oldest-first — across 211
+        # entries' accumulated history an execution-heavy entry could
+        # have plans evicted BEFORE draining, silently under-counting
+        # jobs while still reporting full coverage (r10 ADVICE). Raise
+        # the cap far past any real run and assert no eviction below.
+        extra_conf={"spark.sql.ui.retainedExecutions": "100000"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     store = spark._jsparkSession.sharedState().statusStore()
@@ -92,6 +101,13 @@ def main() -> int:
 
     def _drain_after(watermark: int) -> list[str]:
         lst = store.executionsList()
+        if lst.size() and lst.apply(0).executionId() > watermark + 1:
+            raise RuntimeError(
+                f"status store evicted executions below id "
+                f"{lst.apply(0).executionId()} (watermark {watermark}): "
+                f"the audit would under-count jobs — raise "
+                f"spark.sql.ui.retainedExecutions"
+            )
         plans = []
         for i in range(lst.size()):
             e = lst.apply(i)
