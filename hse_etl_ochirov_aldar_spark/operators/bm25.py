@@ -20,11 +20,14 @@ expression
 
 where idf_micro = round(ln((N+1)/(df_t+0.5)) * 1e6) snaps the one
 transcendental to micro-units. Every engine computes the identical
-BIGINT, so rankings and value hashes match exactly. Overflow bound:
-idf_micro*22*L*tf must stay under 2^63 — safe to ~1e10 corpus tokens
-with tf <= ~400; beyond that, shard the corpus or switch the final
-product to DOUBLE (ranking is insensitive to the last bits; the
-integer form is the *verification* contract, not a scale requirement).
+BIGINT, so rankings and value hashes match exactly. Overflow headroom
+(r11, the finding-39 DECIMAL discipline): numerator and denominator
+ride DECIMAL(38,0) — idf_micro(<=4e7) * 22 * L(1e15 tokens = a
+100 TB corpus) * tf(1e6) ≈ 9e29 and 10*L*tf ≈ 1e22 are both exact in
+38 digits, and the quotient (~2.2*idf_micro) always fits BIGINT — so
+the exact-integer verification contract now holds at any realistic
+corpus size (the old pure-BIGINT form wrapped past ~1e10 corpus
+tokens and needed a sharding caveat).
 
 Scale shape (100 TB corpus, small query set):
   1. dl is row-local (size of the token array) — no shuffle;
@@ -46,6 +49,25 @@ from pyspark.sql import functions as F
 from ..functions.text import whitespace_tokens
 
 MICRO = 1_000_000
+
+
+def bm25_score_expr():
+    """The per-(doc, term) BM25 score in micro-units as a Column over
+    rows carrying idf_micro/corpus_len/tf/dl/n_docs — the pure-integer
+    rewrite from the module doc, with every subterm riding
+    DECIMAL(38,0) from its FIRST factor (finding-39 discipline:
+    9*dl*n_docs alone reaches ~9e21 at corpus scale, so a BIGINT
+    subterm would wrap before the decimal addition). Exposed as a
+    helper so the wrap-regime exactness is unit-testable against
+    Python bigints, not just asserted."""
+    return F.expr(
+        "CAST((CAST(idf_micro AS DECIMAL(38,0)) * 22"
+        "      * corpus_len * tf)"
+        " div (CAST(10 AS DECIMAL(38,0)) * corpus_len * tf"
+        "      + CAST(3 AS DECIMAL(38,0)) * corpus_len"
+        "      + CAST(9 AS DECIMAL(38,0)) * dl * n_docs)"
+        " AS BIGINT)"
+    )
 
 
 def bm25_topk(
@@ -114,11 +136,7 @@ def bm25_topk(
         .select(
             "query_id",
             "id",
-            F.expr(
-                "(idf_micro * 22 * corpus_len * tf)"
-                " div (10 * corpus_len * tf + 3 * corpus_len"
-                "      + 9 * dl * n_docs)"
-            ).alias("term_score_micro"),
+            bm25_score_expr().alias("term_score_micro"),
         )
         .groupBy("query_id", "id")
         .agg(F.sum("term_score_micro").alias("score_micro"))

@@ -2106,18 +2106,28 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ranked.agg(
         F.count(F.lit(1)).alias("n"), F.sum("rev_u").alias("tot")
     )
+    # integer-headroom audit (r11, finding-39 discipline): i*rev_u and
+    # the 10000-scaled numerators wrap BIGINT once n_customers x money
+    # units pass ~1e18 — well inside 100 TB territory — so every
+    # product rides DECIMAL(38,0) (sum(i*rev_u) <= n*tot ~ 1e31, exact
+    # in 38 digits); quotients are bp values that always fit BIGINT.
+    # DuckDB's oracle already computes these exactly via HUGEINT, so
+    # below the wrap point values are unchanged on both sides.
     return ranked.crossJoin(F.broadcast(tot)).agg(
         F.max("n").alias("n_customers"),
         F.expr(
-            "CAST((10000 * (2 * sum(i * rev_u) - (max(n) + 1) * max(tot)))"
-            " div (max(n) * max(tot)) AS BIGINT)"
+            "CAST((10000 * (2 * sum(CAST(i AS DECIMAL(38,0)) * rev_u)"
+            "      - (CAST(max(n) AS DECIMAL(38,0)) + 1) * max(tot)))"
+            " div (CAST(max(n) AS DECIMAL(38,0)) * max(tot)) AS BIGINT)"
         ).alias("gini_bp"),
         F.expr(
-            "CAST((10000 * sum(CASE WHEN i > n - (n div 100)"
+            "CAST((CAST(10000 AS DECIMAL(38,0))"
+            " * sum(CASE WHEN i > n - (n div 100)"
             " THEN rev_u ELSE 0 END)) div max(tot) AS BIGINT)"
         ).alias("top1pct_share_bp"),
         F.expr(
-            "CAST((10000 * sum(CASE WHEN i > n - (n div 10)"
+            "CAST((CAST(10000 AS DECIMAL(38,0))"
+            " * sum(CASE WHEN i > n - (n div 10)"
             " THEN rev_u ELSE 0 END)) div max(tot) AS BIGINT)"
         ).alias("top10pct_share_bp"),
     )

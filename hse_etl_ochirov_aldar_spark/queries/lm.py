@@ -930,8 +930,13 @@ def q_vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "ttr_micro",
+            # DECIMAL(38,0) product (finding-39 discipline): a
+            # high-entropy source (random IDs) can push
+            # distinct_tokens toward total_tokens ~1e13 at 100 TB,
+            # and x1e6 wraps BIGINT; the ratio itself always fits.
             F.expr(
-                "CAST(distinct_tokens * 1000000 DIV total_tokens AS BIGINT)"
+                "CAST(CAST(distinct_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV total_tokens AS BIGINT)"
             ),
         )
     )

@@ -1094,6 +1094,32 @@ def test_quota_div_expr_exact_in_bigint_wrap_regime(spark):
         assert by_ws[(w, s)][f"q{i}"] == total * w // s, (total, w, s)
 
 
+def test_bm25_score_expr_exact_in_wrap_regime(spark):
+    """finding 39b: the BM25 integer score used to wrap past ~1e10
+    corpus tokens (idf*22*L*tf >= 2^63). The DECIMAL(38,0) form must
+    equal Python bigint arithmetic at 100 TB-scale stats — and stay
+    identical to the old regime below the wrap point."""
+    from hse_etl_ochirov_aldar_spark.operators.bm25 import bm25_score_expr
+
+    cases = [
+        # (idf_micro, corpus_len, tf, dl, n_docs)
+        (35_000_000, 10**15, 1_000_000, 1_000_000, 10**9),  # 100 TB
+        (16_811_243, 10**13, 400, 90_000, 10**10),
+        (2_500_000, 50_000_000, 17, 1_200, 100_000),  # small regime
+        (1, 1, 1, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        cases, "idf_micro long, corpus_len long, tf long, dl long, n_docs long"
+    )
+    got = {
+        (r.idf_micro, r.corpus_len): r.s
+        for r in df.select("idf_micro", "corpus_len", bm25_score_expr().alias("s")).collect()
+    }
+    for idf, L, tf, dl, n in cases:
+        want = (idf * 22 * L * tf) // (10 * L * tf + 3 * L + 9 * dl * n)
+        assert got[(idf, L)] == want, (idf, L, got[(idf, L)], want)
+
+
 def test_token_budget_mixture_exact_at_huge_costs(spark):
     """End-to-end pin for the overflow fix: per-doc costs near 1e18
     push group masses (and total_budget * isqrt(mass)) far past 2^63.
