@@ -316,3 +316,151 @@ SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids
 FROM p GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, html): a deterministic synthetic page per
+    document — nav chrome (link-only), an <h1>, the document text as
+    the main <p> block, a doc_id%3-varied promo block (prose+one link
+    / link-dense / absent), a too-short <p>, and a link-only footer —
+    so the extractor must exercise BOTH classification signals and
+    both promo branches. The oracle re-derives the full block split +
+    link-density logic in SQL; the fixture only has to be predictable,
+    like the URL synth above."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    promo = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<div class="promo">Editors recommend this '
+                      'long-form related reading selection today '),
+                F.lit('<a href="/rec/'), d, F.lit('">more</a></div>'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<div class="promo"><a href="/p/1">First promoted '
+                      'partner offer</a> <a href="/p/2">Second promoted '
+                      'partner offer</a> ok</div>'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html><body><div class="nav"><a href="/">Home</a> '
+              '<a href="/about">About this site</a> '
+              '<a href="/contact">Contact the team</a></div>'),
+        F.lit("<h1>"), F.col("source"), F.lit(" article "), d,
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+        promo,
+        F.lit('<p>Short.</p><div class="footer">'
+              '<a href="/tos">Terms of service</a> '
+              '<a href="/privacy">Privacy policy</a></div></body></html>'),
+    )
+    return docs.select("doc_id", "source", html.alias("html"))
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-page boilerplate screening (operators/html_extract.
+    extract_main_content): split each synthetic page into blocks,
+    drop link-dense and too-short blocks, reassemble the main text —
+    entirely row-local array lambdas, zero shuffle before the report
+    aggregate. Report per source: docs, total/kept blocks, content
+    chars, and a BIGINT md5 checksum over every extracted content
+    string — the checksum pins the exact extracted TEXT (block
+    boundaries, joining newlines, whitespace collapsing), not just
+    the counts."""
+    from ..operators.html_extract import extract_main_content
+
+    pages = _docs_with_html(spark, sf_dir)
+    out = extract_main_content(pages)
+    md5_int = F.conv(
+        F.substring(F.md5(F.col("content")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_blocks").alias("total_blocks"),
+            F.sum("n_kept_blocks").alias("kept_blocks"),
+            F.sum(F.length("content")).alias("content_chars"),
+            F.sum(md5_int).alias("content_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_HTML_MAIN_CONTENT = r"""
+WITH pages AS (
+  SELECT doc_id, source,
+         '<html><body><div class="nav"><a href="/">Home</a> '
+         || '<a href="/about">About this site</a> '
+         || '<a href="/contact">Contact the team</a></div>'
+         || '<h1>' || source || ' article ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text || '</p>'
+         || CASE doc_id % 3
+              WHEN 0 THEN '<div class="promo">Editors recommend this '
+                          || 'long-form related reading selection today '
+                          || '<a href="/rec/' || CAST(doc_id AS VARCHAR)
+                          || '">more</a></div>'
+              WHEN 1 THEN '<div class="promo"><a href="/p/1">First promoted '
+                          || 'partner offer</a> <a href="/p/2">Second promoted '
+                          || 'partner offer</a> ok</div>'
+              ELSE ''
+            END
+         || '<p>Short.</p><div class="footer">'
+         || '<a href="/tos">Terms of service</a> '
+         || '<a href="/privacy">Privacy policy</a></div></body></html>'
+         AS html
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(html,
+           '</(?:p|div|h[1-6]|li|td|section|article)>') AS raw
+  FROM pages
+),
+classified AS (
+  SELECT doc_id, source,
+         list_transform(raw, b -> struct_pack(
+           txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                      '\s+', ' ', 'g')),
+           lc := coalesce(list_sum(list_transform(
+                   regexp_extract_all(b, '(?s)<a\b[^>]*>(.*?)</a>', 1),
+                   a -> CAST(length(trim(regexp_replace(
+                          regexp_replace(a, '<[^>]*>', ' ', 'g'),
+                          '\s+', ' ', 'g'))) AS BIGINT))), 0)
+         )) AS cls
+  FROM blocks
+),
+kept AS (
+  SELECT doc_id, source,
+         len(cls) AS n_blocks,
+         list_filter(cls, s -> length(s.txt) >= 25
+                               AND 10000 * s.lc <= 3000 * length(s.txt))
+         AS keep
+  FROM classified
+),
+docs_out AS (
+  SELECT source, n_blocks,
+         len(keep) AS n_kept,
+         array_to_string(list_transform(keep, s -> s.txt), chr(10))
+         AS content
+  FROM kept
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_blocks) AS BIGINT) AS total_blocks,
+       CAST(sum(n_kept) AS BIGINT) AS kept_blocks,
+       CAST(sum(length(content)) AS BIGINT) AS content_chars,
+       CAST(sum({_H32_CONTENT}) AS BIGINT) AS content_checksum
+FROM docs_out
+GROUP BY source ORDER BY source
+"""
+
+ORACLE_HTML_MAIN_CONTENT = ORACLE_HTML_MAIN_CONTENT.replace(
+    "{_H32_CONTENT}", _oracle_hash32("content")
+)

@@ -147,3 +147,69 @@ def test_cap_per_domain_null_url_passes_through(spark):
     assert out.count() == 7  # 3 + 3 capped + 1 NULL pass-through
     null_row = out.where(F.col("doc_id") == 100).collect()
     assert len(null_row) == 1 and null_row[0]["domain"] == ""
+
+
+def test_extract_main_content_signals_and_order(spark):
+    """Within-page boilerplate screening: link-dense blocks and short
+    blocks drop, prose survives IN DOCUMENT ORDER, and the whole plan
+    is row-local (no exchange before any aggregate a caller adds)."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        extract_main_content,
+    )
+
+    prose1 = "This opening paragraph carries the actual article body text."
+    prose2 = "A second substantive paragraph continues the argument here."
+    html = (
+        '<div class="nav"><a href="/">Home</a> <a href="/x">About page</a>'
+        "</div>"
+        f"<p>{prose1}</p>"
+        '<div>Mixed block with plenty of ordinary prose around '
+        'one tiny <a href="/l">link</a> inside it, still mostly text.</div>'
+        f"<p>{prose2}</p>"
+        "<p>Tiny.</p>"
+        '<div class="footer"><a href="/tos">Terms of service text</a>'
+        "</div>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id LONG, html STRING")
+    row = extract_main_content(df).collect()[0]
+    parts = row.content.split("\n")
+    assert parts[0] == prose1
+    assert "mostly text" in parts[1]  # mixed low-density block kept
+    assert parts[2] == prose2
+    assert len(parts) == 3  # nav, tiny, footer all dropped
+    assert row.n_kept_blocks == 3 and row.n_blocks > 3
+
+    # degenerate inputs: no markup at all, and pure-chrome pages
+    plain = spark.createDataFrame(
+        [(2, "Just a bare string long enough to count as one block.")],
+        "doc_id LONG, html STRING",
+    )
+    r2 = extract_main_content(plain).collect()[0]
+    assert r2.content.startswith("Just a bare") and r2.n_kept_blocks == 1
+    chrome = spark.createDataFrame(
+        [(3, '<div><a href="/">Home page link text</a></div>')],
+        "doc_id LONG, html STRING",
+    )
+    r3 = extract_main_content(chrome).collect()[0]
+    assert r3.content == "" and r3.n_kept_blocks == 0
+
+    # nested tags inside an anchor count their VISIBLE text only
+    nested = spark.createDataFrame(
+        [(4, '<div>pad pad pad pad pad pad <a href="/x"><b>bold '
+             "link text</b></a></div>")],
+        "doc_id LONG, html STRING",
+    )
+    r4 = extract_main_content(nested, max_link_density_bp=4000).collect()[0]
+    # visible block text ~40 chars, anchor visible ~14 -> ~3500bp kept
+    assert r4.n_kept_blocks == 1
+
+    # row-local claim: no Exchange in the executed plan of the bare op
+    plan = (
+        extract_main_content(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
