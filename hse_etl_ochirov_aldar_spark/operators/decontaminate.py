@@ -116,3 +116,71 @@ def contamination_report(
         .join(hits, "eval_id", "left")
         .withColumn("docs_hit", F.coalesce(F.col("docs_hit"), F.lit(0)))
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """EMBEDDING-space decontamination: drop corpus rows whose cosine
+    similarity to ANY eval-set vector reaches ``threshold`` — the
+    semantic twin of :func:`ngram_decontaminate` for paraphrased or
+    lightly-rewritten benchmark leakage that shares no 8-gram with the
+    eval text (the screen modern corpus pipelines run alongside the
+    lexical one; cf. the paraphrase-contamination analyses around
+    GSM8K/MMLU leakage).
+
+    Scale shape (100 TB corpus, benchmark-sized eval set): the eval
+    side collapses to ONE row carrying an array of (vector, norm)
+    structs — bounded by the eval-set size, the same justified
+    smallness as the n-gram screen's broadcast shingle set — and rides
+    a broadcast 1-row crossJoin (the engine's J1 idiom). Each corpus
+    row then answers "is any eval vector within the threshold" with a
+    row-local EXISTS over that array: the corpus never shuffles, never
+    regroups, and the plan stays map-only end to end. An eval-side
+    JOIN + groupBy(corpus id) formulation would shuffle every corpus
+    id; this shape shuffles nothing.
+
+    Exactness: cosine folds components in array order on both engines
+    (IEEE doubles, identical order -> identical bits) and compares at
+    ``scale`` decimals — the brute_force_topk contract, so the DuckDB
+    oracle (list_cosine_similarity rounded to the same scale)
+    reproduces the kept set exactly. Corpus rows with a zero-norm
+    vector can match nothing (cosine undefined -> NULL -> kept);
+    zero-norm EVAL vectors are dropped from the probe side for the
+    same reason.
+    """
+    from .similarity import _norm
+
+    probe = F.broadcast(
+        evals.select(
+            F.col(vec_col).alias("__ev"), _norm(F.col(vec_col)).alias("__en")
+        )
+        .where(F.col("__en") > 0)
+        .agg(
+            F.collect_list(F.struct("__ev", "__en")).alias("__evals")
+        )
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731 (local, mirrors _dot)
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nc = _norm(F.col(vec_col))
+    hit = F.exists(
+        F.col("__evals"),
+        lambda e: F.round(
+            dot(F.col(vec_col), e["__ev"]) / (nc * e["__en"]),
+            scale,
+        )
+        >= F.lit(float(threshold)),
+    )
+    return (
+        corpus.crossJoin(probe)
+        .where((nc == 0) | ~hit)
+        .drop("__evals")
+    )

@@ -1320,6 +1320,54 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _ann_queries(spark, sf_dir), k=5)
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/
+    decontaminate.semantic_decontaminate): vec_id % 29 == 0 plays the
+    eval set; corpus rows within cosine 0.95 of ANY eval vector drop
+    (the eval members themselves self-match at 1.0, so the screen
+    provably fires). Map-only plan: the eval side collapses to one
+    broadcast row of (vector, norm) structs and each corpus row
+    answers a row-local EXISTS — the corpus never shuffles before the
+    report aggregate. Report per label: survivors + id checksum."""
+    from ..operators.decontaminate import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = emb.where(F.pmod(F.col("vec_id"), F.lit(29)) == 0)
+    kept = semantic_decontaminate(emb, evals, threshold=0.95)
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_SEMANTIC_DECONTAMINATE = """
+WITH e AS (
+  SELECT embedding FROM embeddings
+  WHERE vec_id % 29 = 0
+    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> x * x)) > 0
+),
+kept AS (
+  SELECT c.vec_id, c.label FROM embeddings c
+  WHERE list_sum(list_transform(CAST(c.embedding AS DOUBLE[]),
+                                x -> x * x)) = 0
+     OR NOT EXISTS (
+       SELECT 1 FROM e
+       WHERE round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])),
+                   6) >= 0.95
+     )
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+FROM kept GROUP BY label ORDER BY label
+"""
+
+
 _ORACLE_COS = (
     "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
     "CAST(c.embedding AS DOUBLE[])), 6)"

@@ -1166,3 +1166,51 @@ def test_token_budget_mixture_exact_at_huge_costs(spark):
                 want.add(k)
             acc += c
     assert kept == want and len(kept) > 0
+
+
+def test_semantic_decontaminate_contract(spark):
+    """Embedding-space decontamination: exact self-matches and
+    above-threshold near-matches drop, sub-threshold survives, an
+    EMPTY eval set keeps everything, zero-norm corpus rows are never
+    dropped (NaN cosine must not compare true), and the plan is
+    map-only (no Exchange before a caller's aggregate)."""
+    from pyspark.sql import functions as F
+
+    from hse_etl_ochirov_aldar_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),   # == eval vector -> drop
+        (2, [0.9, 0.1, 0.0]),   # cos ~0.994 -> drop at 0.95
+        (3, [0.0, 1.0, 0.0]),   # orthogonal -> keep
+        (4, [0.5, 0.5, 0.5]),   # cos ~0.577 -> keep
+        (5, [0.0, 0.0, 0.0]),   # zero norm -> keep (NaN guard)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kept = {r.vec_id for r in semantic_decontaminate(corpus, evals).collect()}
+    assert kept == {3, 4, 5}
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert semantic_decontaminate(corpus, empty).count() == 5
+    # zero-norm EVAL vectors are dropped from the probe, not matched
+    zeroev = spark.createDataFrame(
+        [(9, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert semantic_decontaminate(corpus, zeroev).count() == 5
+
+    plan = (
+        semantic_decontaminate(corpus, evals)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only allowed exchange is the broadcast of the 1-row probe
+    assert "Exchange hashpartitioning" not in plan
