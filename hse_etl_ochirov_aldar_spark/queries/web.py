@@ -393,8 +393,10 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_HTML_MAIN_CONTENT = r"""
-WITH pages AS (
+# Shared CTE chain: synthetic page build -> block split -> classify ->
+# filter -> reassemble. docs_out carries (doc_id, source, n_blocks,
+# n_kept, content); composed pipelines (curation_pipeline_v5) reuse it.
+_ORACLE_HTML_CTES = r"""pages AS (
   SELECT doc_id, source,
          '<html><body><div class="nav"><a href="/">Home</a> '
          || '<a href="/about">About this site</a> '
@@ -445,12 +447,15 @@ kept AS (
   FROM classified
 ),
 docs_out AS (
-  SELECT source, n_blocks,
+  SELECT doc_id, source, n_blocks,
          len(keep) AS n_kept,
          array_to_string(list_transform(keep, s -> s.txt), chr(10))
          AS content
   FROM kept
-)
+)"""
+
+ORACLE_HTML_MAIN_CONTENT = """
+WITH {_ORACLE_HTML_CTES}
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_blocks) AS BIGINT) AS total_blocks,
@@ -461,6 +466,104 @@ FROM docs_out
 GROUP BY source ORDER BY source
 """
 
-ORACLE_HTML_MAIN_CONTENT = ORACLE_HTML_MAIN_CONTENT.replace(
-    "{_H32_CONTENT}", _oracle_hash32("content")
+ORACLE_HTML_MAIN_CONTENT = (
+    ORACLE_HTML_MAIN_CONTENT
+    .replace("{_ORACLE_HTML_CTES}", _ORACLE_HTML_CTES)
+    .replace("{_H32_CONTENT}", _oracle_hash32("content"))
+)
+
+
+def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 crawl-ingestion flagship — the r11 pieces composed as
+    ONE DataFrame program:
+
+      within-page HTML boilerplate extraction (html_extract)
+        -> drop pages whose main content came out empty
+        -> token-budgeted temperature mixture over the EXTRACTED
+           content mass (alpha=0.5 char budgets, DECIMAL(38,0) quota
+           arithmetic, auto skew-safe draw)
+        -> per-source report: docs kept, chars kept, id checksum
+
+    Plan shape: extraction is row-local (zero shuffle), the budget
+    join threads group sizes for free, and the only corpus shuffles
+    are the sampler's mass census + prefix window — the composed plan
+    adds NOTHING over the sampler alone. The one driver-side scalar is
+    the 1-row total-mass aggregate (the q_token_budget_mixture
+    precedent). Oracle: the shared HTML CTE chain feeding the same
+    isqrt/budget/md5-prefix SQL, so membership is recomputed
+    end-to-end from the raw documents table."""
+    from ..operators.html_extract import extract_main_content
+    from ..operators.sampling import token_budget_mixture_sample
+
+    pages = _docs_with_html(spark, sf_dir)
+    docs = (
+        extract_main_content(pages)
+        .select(
+            "doc_id",
+            "source",
+            F.length("content").alias("n_chars"),
+        )
+        .where(F.col("n_chars") > 0)
+    )
+    total = docs.agg(F.sum("n_chars")).first()[0] // 3
+    s = token_budget_mixture_sample(docs, "source", "doc_id", "n_chars", total)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CURATION_PIPELINE_V5 = """
+WITH {_ORACLE_HTML_CTES},
+docs2 AS (
+  SELECT doc_id, source, CAST(length(content) AS BIGINT) AS n_chars
+  FROM docs_out WHERE length(content) > 0
+),
+masses AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS m
+  FROM docs2 WHERE source IS NOT NULL GROUP BY source
+),
+r0 AS (
+  SELECT source, m, CAST(floor(sqrt(m)) AS BIGINT) AS r FROM masses
+),
+r1 AS (
+  SELECT source, m,
+         r + CASE WHEN (r+1)*(r+1) <= m THEN 1 ELSE 0 END AS r FROM r0
+),
+w AS (
+  SELECT source, r - CASE WHEN r*r > m THEN 1 ELSE 0 END AS wt FROM r1
+),
+budget AS (
+  SELECT source,
+         ((SELECT CAST(sum(n_chars) AS BIGINT) FROM docs2) // 3)
+           * wt // (SELECT sum(wt) FROM w) AS b
+  FROM w
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY {_H32_DOCID} % 1000000007,
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+  FROM docs2 WHERE source IS NOT NULL
+)
+SELECT rk.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(rk.n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(rk.doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked rk JOIN budget USING (source)
+WHERE COALESCE(rk.cum, 0) < budget.b AND budget.b > 0
+GROUP BY rk.source
+ORDER BY rk.source
+"""
+
+ORACLE_CURATION_PIPELINE_V5 = (
+    ORACLE_CURATION_PIPELINE_V5
+    .replace("{_ORACLE_HTML_CTES}", _ORACLE_HTML_CTES)
+    .replace("{_H32_DOCID}", _oracle_hash32("CAST(doc_id AS VARCHAR)"))
 )
