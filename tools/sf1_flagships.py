@@ -83,6 +83,12 @@ FLAGSHIPS = [
     # both upsampled faithfully above, so the ratios read data scaling.
     "grouped_percentile_trim_ranked",
     "weighted_quantile_bands",
+    # r11: the two new >1.5s entries. semantic_decontaminate's eval
+    # set scales with the corpus (vec_id % 29), so its row reads the
+    # n_corpus x n_evals product; v5 reads documents through the HTML
+    # synth (10x pages, identical per-page block structure).
+    "semantic_decontaminate",
+    "curation_pipeline_v5",
 ]
 
 _TABLES = ("documents", "embeddings", "lineitem", "customer", "orders", "events")
