@@ -2059,3 +2059,106 @@ def test_chunk_text_is_streaming_composable(spark, tmpdir):
         .collect()
     }
     assert streamed == batch and len(batch) > 20
+
+
+def test_html_extract_is_streaming_composable(spark, tmpdir):
+    """extract_main_content is stateless row-local algebra — the same
+    call works unchanged on a readStream (the crawl-ingest path);
+    streamed extraction equals batch extraction."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        extract_main_content,
+    )
+
+    prose = "A full paragraph of real article prose long enough to keep."
+    pages = spark.createDataFrame(
+        [
+            (i, f'<div class="nav"><a href="/">Home</a></div><p>{prose} '
+                f"variant {i}</p><p>No.</p>")
+            for i in range(12)
+        ],
+        ["doc_id", "html"],
+    )
+    src = f"{tmpdir}/html_src"
+    pages.repartition(3).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("html", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        extract_main_content(stream)
+        .select("doc_id", "content", "n_kept_blocks")
+        .writeStream.format("memory")
+        .queryName("t_stream_html")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.doc_id, r.content, r.n_kept_blocks)
+        for r in spark.table("t_stream_html").collect()
+    }
+    batch = {
+        (r.doc_id, r.content, r.n_kept_blocks)
+        for r in extract_main_content(pages)
+        .select("doc_id", "content", "n_kept_blocks")
+        .collect()
+    }
+    assert streamed == batch and len(batch) == 12
+    assert all(n == 1 for _, _, n in batch)
+
+
+def test_semantic_decontaminate_is_streaming_composable(spark, tmpdir):
+    """The semantic screen's probe is a static broadcast 1-row frame,
+    so the operator composes with a readStream as a stream-static
+    join + row-local EXISTS — the streaming-ingest decontamination
+    path needs no batch detour. Streamed survivors equal batch
+    survivors."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    rows = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    evals = corpus.where(F.col("vec_id") % 10 == 0)
+    src = f"{tmpdir}/sem_src"
+    corpus.repartition(3).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.DoubleType())
+            ),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        semantic_decontaminate(stream, evals)
+        .select("vec_id")
+        .writeStream.format("memory")
+        .queryName("t_stream_sem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {r.vec_id for r in spark.table("t_stream_sem").collect()}
+    batch = {r.vec_id for r in semantic_decontaminate(corpus, evals).collect()}
+    assert streamed == batch and 0 < len(batch) < 30
