@@ -1435,10 +1435,55 @@ def main() -> None:
             "identical_draw": True,
         }
 
+    # 34) r11 HTML main-content extraction at volume: 200k synthetic
+    #     pages (~1 KB each). The operator is row-local array lambdas,
+    #     so wall-clock must scale linearly with pages and parallelize
+    #     across all cores — no shuffle exists to become a bottleneck.
+    def html_extract_200k():
+        from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+            extract_main_content,
+        )
+
+        body = (
+            "This is sentence %d of a realistic article paragraph "
+            "holding enough prose to clear the length screen easily."
+        )
+        pages = spark.range(200_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit('<div class="nav"><a href="/">Home</a> '
+                      '<a href="/x">About page</a></div><p>'),
+                F.format_string(body, F.pmod(F.col("id"), F.lit(997))),
+                F.lit('</p><div>Plenty of mixed prose text with one '
+                      'small <a href="/l">link</a> among words.</div>'
+                      '<p>No.</p><div class="footer">'
+                      '<a href="/t">Terms of service</a></div>'),
+            ).alias("html"),
+        )
+        t0 = time.perf_counter()
+        row = (
+            extract_main_content(pages)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_kept_blocks").alias("kept"),
+                F.sum(F.length("content")).alias("chars"),
+            )
+            .collect()[0]
+        )
+        dt = round(time.perf_counter() - t0, 2)
+        assert row.n == 200_000 and row.kept == 2 * 200_000
+        return {
+            "seconds": dt,
+            "pages_per_sec": int(200_000 / dt),
+            "kept_blocks": row.kept,
+            "content_chars": row.chars,
+        }
+
     timed("quota_join_1m_groups", quota_join_1m_groups)
     timed("percentile_ranked_300k_groups", percentile_ranked_300k_groups)
     timed("quota_skew_hot_group_5m", quota_skew_hot_group_5m)
     timed("quota_auto_route_threshold", quota_auto_route_threshold)
+    timed("html_extract_200k", html_extract_200k)
     spark.stop()
 
 
