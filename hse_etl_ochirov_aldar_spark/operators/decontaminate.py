@@ -118,13 +118,24 @@ def contamination_report(
     )
 
 
+# Auto-route boundary for semantic_decontaminate (r11 verdict task #1):
+# the expression path pays one interpreted fold per (corpus row x eval
+# vector), the Arrow path one dgemm per batch. Measured A/B (PERF.md r11
+# addendum): 20k evals x 690 dims = 1.38e7 cells -> 41.05s expression vs
+# 0.66s Arrow on the same corpus (62x). Cost is linear in cells, so at
+# 1e6 cells the expression path is ~3s on that corpus — the edge of
+# fine; past it the interpreted fold is the wrong tool. Benchmark-sized
+# eval sets (1e2-1e4 texts x 64-1e3 dims) sit comfortably below.
+SEMANTIC_AUTO_ARROW_CELLS = 1_000_000
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     evals: DataFrame,
     threshold: float = 0.95,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    strategy: str | None = None,
 ) -> DataFrame:
     """EMBEDDING-space decontamination: drop corpus rows whose cosine
     similarity to ANY eval-set vector reaches ``threshold`` — the
@@ -149,11 +160,40 @@ def semantic_decontaminate(
     (IEEE doubles, identical order -> identical bits) and compares at
     ``scale`` decimals — the brute_force_topk contract, so the DuckDB
     oracle (list_cosine_similarity rounded to the same scale)
-    reproduces the kept set exactly. Corpus rows with a zero-norm
-    vector can match nothing (cosine undefined -> NULL -> kept);
-    zero-norm EVAL vectors are dropped from the probe side for the
-    same reason.
+    reproduces the kept set exactly. Corpus rows with a NULL or
+    zero-norm vector can match nothing (cosine undefined -> kept, the
+    choice the DuckDB oracle makes for free: NOT EXISTS over NULL
+    cosines is TRUE); zero-norm EVAL vectors are dropped from the
+    probe side for the same reason.
+
+    ``strategy``: ``None`` (default) auto-routes on eval size — one
+    eval-side count+dims aggregate (benchmark-sized by contract, the
+    same smallness the broadcast probe relies on) picks the Arrow
+    matmul kernel (:func:`semantic_decontaminate_arrow`) when
+    ``eval_rows x dims`` exceeds :data:`SEMANTIC_AUTO_ARROW_CELLS`,
+    where the interpreted fold is measured ~60x slower, and the exact
+    expression form below it — the ``skew_safe=None`` pattern from
+    sampling. NOTE the kernel is tolerance-class (numpy reorders the
+    float sum; last-ulp boundary flips possible), so callers needing
+    the bit-exact oracle contract at large eval sets must pass
+    ``strategy="expr"`` explicitly.
     """
+    if strategy is None:
+        n, d = evals.agg(
+            F.count(F.lit(1)), F.max(F.size(F.col(vec_col)))
+        ).first()
+        strategy = (
+            "arrow"
+            if (n or 0) * (d or 0) > SEMANTIC_AUTO_ARROW_CELLS
+            else "expr"
+        )
+    if strategy == "arrow":
+        return semantic_decontaminate_arrow(
+            corpus, evals, threshold, vec_col, scale
+        )
+    if strategy != "expr":
+        raise ValueError(f"unknown strategy {strategy!r} (expr|arrow)")
+
     from .similarity import _norm
 
     probe = F.broadcast(
@@ -170,19 +210,24 @@ def semantic_decontaminate(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nc = _norm(F.col(vec_col))
+    # corpus norm HOISTED to a plain column (r11 verdict task #1): as a
+    # closure expression inside the exists lambda it was re-folded per
+    # EVAL VECTOR — dims extra interpreted work per (row x eval); as a
+    # column it folds once per row, and the lambda only multiplies.
+    cn = F.col("__cn")
     hit = F.exists(
         F.col("__evals"),
         lambda e: F.round(
-            dot(F.col(vec_col), e["__ev"]) / (nc * e["__en"]),
+            dot(F.col(vec_col), e["__ev"]) / (cn * e["__en"]),
             scale,
         )
         >= F.lit(float(threshold)),
     )
     return (
         corpus.crossJoin(probe)
-        .where((nc == 0) | ~hit)
-        .drop("__evals")
+        .withColumn("__cn", _norm(F.col(vec_col)))
+        .where(cn.isNull() | (cn == 0) | ~hit)
+        .drop("__evals", "__cn")
     )
 
 
@@ -190,7 +235,6 @@ def semantic_decontaminate_arrow(
     corpus: DataFrame,
     evals: DataFrame,
     threshold: float = 0.95,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
 ) -> DataFrame:
@@ -209,7 +253,9 @@ def semantic_decontaminate_arrow(
     1e5-1e6 eval rows; the matmul path amortizes to one dgemm per
     batch. Eval vectors collect to the driver (bounded — the same
     smallness argument as the broadcast probe) and ship in the
-    closure. Same zero-norm guards as the expression path."""
+    closure. Same NULL/zero-norm guards as the expression path (NULL
+    corpus vectors are KEPT — pinned across all three implementations
+    including the DuckDB oracle, r11 ADVICE)."""
     import numpy as np
 
     ev_rows = [
@@ -232,15 +278,24 @@ def semantic_decontaminate_arrow(
             if emat.size == 0 or len(pdf) == 0:
                 yield pdf
                 continue
+            vals = list(pdf.iloc[:, vpos])
+            isnull = np.array([x is None for x in vals], dtype=bool)
+            # NULL vectors ride as zero rows: zero norm -> kept, and
+            # np.asarray never sees a None (it would raise TypeError)
+            zdim = emat.shape[1] if emat.ndim == 2 else 0
             v = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf.iloc[:, vpos]]
+                [
+                    np.zeros(zdim) if x is None
+                    else np.asarray(x, dtype=np.float64)
+                    for x in vals
+                ]
             )
             nc = np.sqrt(np.einsum("ij,ij->i", v, v))
             dots = v @ emat.T  # n x k
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dots / (nc[:, None] * en[None, :])
             hit = (np.round(cos, scale) >= thr).any(axis=1)
-            keep = (nc == 0) | ~hit
+            keep = isnull | (nc == 0) | ~hit
             yield pdf[keep]
 
     return corpus.mapInPandas(_screen, schema=schema)

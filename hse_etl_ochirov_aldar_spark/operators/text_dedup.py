@@ -1292,8 +1292,13 @@ def minhash_ingest_step(
     kept = kept.persist()
     persisted.append(kept)
     try:
-        kept.write.mode("append").parquet(corpus_path)
+        # count BEFORE the corpus append (r12): appending to
+        # corpus_path fires recacheByPath on the cached ``kept`` plan
+        # (it reads that path), so a count afterwards re-evaluates
+        # against the just-updated corpus and the batch self-dedups —
+        # n_kept reported 0 for every non-bootstrap batch
         n_kept = kept.count()
+        kept.write.mode("append").parquet(corpus_path)
         banded_minhash_keys(kept, id_col, text_col, **lshkw).write.mode(
             "append"
         ).parquet(keys_path)

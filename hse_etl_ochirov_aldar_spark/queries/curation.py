@@ -573,7 +573,11 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import token_budget_mixture_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    total = docs.agg(F.sum("n_chars")).first()[0] // 3
+    # coalesce guards the empty-frame NULL sum (r11 ADVICE, pinned in
+    # the v5 sibling too): a 0 budget yields the empty sample
+    total = docs.agg(
+        F.coalesce(F.sum("n_chars"), F.lit(0))
+    ).first()[0] // 3
     s = token_budget_mixture_sample(docs, "source", "doc_id", "n_chars", total)
     return (
         s.groupBy("source")
@@ -1328,7 +1332,11 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably fires). Map-only plan: the eval side collapses to one
     broadcast row of (vector, norm) structs and each corpus row
     answers a row-local EXISTS — the corpus never shuffles before the
-    report aggregate. Report per label: survivors + id checksum."""
+    report aggregate. The default strategy=None auto-route resolves to
+    the exact expression path here (eval cells stay far below
+    SEMANTIC_AUTO_ARROW_CELLS at driver/bench scales — pin-tested), so
+    this entry keeps the bit-exact oracle contract while exercising
+    the auto knob. Report per label: survivors + id checksum."""
     from ..operators.decontaminate import semantic_decontaminate
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1345,6 +1353,9 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SEMANTIC_DECONTAMINATE = """
+-- NULL-embedding pin (r11 ADVICE): a NULL corpus vector yields NULL
+-- cosines, NOT EXISTS over them is TRUE -> KEPT, matching both engine
+-- paths (expression: __cn IS NULL branch; arrow: isnull mask).
 WITH e AS (
   SELECT embedding FROM embeddings
   WHERE vec_id % 29 = 0

@@ -320,11 +320,15 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2
 
 def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, html): a deterministic synthetic page per
-    document — nav chrome (link-only), an <h1>, the document text as
-    the main <p> block, a doc_id%3-varied promo block (prose+one link
-    / link-dense / absent), a too-short <p>, and a link-only footer —
-    so the extractor must exercise BOTH classification signals and
-    both promo branches. The oracle re-derives the full block split +
+    document — nav chrome (link-only), an inline <script> (>= 25
+    chars, zero links: KEPT as fake content before the r12 strip fix),
+    an <h1>, an HTML comment, the document text as the main <p> block,
+    an entity-laden prose <p> (&amp; &lt; &nbsp; &#39; &quot;), a
+    doc_id%3-varied promo block (prose+one link / link-dense /
+    absent), a <style> body glued to a too-short <p>, and a link-only
+    footer — so the extractor must exercise BOTH classification
+    signals, both promo branches, the non-content strip, and entity
+    decoding. The oracle re-derives the full block split +
     link-density logic in SQL; the fixture only has to be predictable,
     like the URL synth above."""
     docs = load_table(spark, sf_dir, "documents")
@@ -353,10 +357,16 @@ def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<html><body><div class="nav"><a href="/">Home</a> '
               '<a href="/about">About this site</a> '
               '<a href="/contact">Contact the team</a></div>'),
+        F.lit('<script type="text/javascript">var tracker = '
+              'init("page"); tracker.send(42);</script>'),
         F.lit("<h1>"), F.col("source"), F.lit(" article "), d,
-        F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+        F.lit("</h1><!-- rendered by engine v2 build 1234567890 --><p>"),
+        F.col("text"), F.lit("</p>"),
+        F.lit('<p>Ben &amp; Jerry say 2 &lt; 3 &amp;&nbsp;that&#39;s '
+              '&quot;fine&quot; today.</p>'),
         promo,
-        F.lit('<p>Short.</p><div class="footer">'
+        F.lit('<style>.nav{display:none} body{margin:0;padding:0}</style>'
+              '<p>Short.</p><div class="footer">'
               '<a href="/tos">Terms of service</a> '
               '<a href="/privacy">Privacy policy</a></div></body></html>'),
     )
@@ -393,16 +403,41 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE chain: synthetic page build -> block split -> classify ->
-# filter -> reassemble. docs_out carries (doc_id, source, n_blocks,
+# Entity-decode chain shared with the engine: built from the SAME
+# HTML_ENTITIES list html_extract applies, so the two can never drift.
+def _sql_block_txt(var: str) -> str:
+    from ..operators.html_extract import HTML_ENTITIES
+
+    out = f"regexp_replace({var}, '<[^>]*>', ' ', 'g')"
+    for src, dst in HTML_ENTITIES:
+        out = f"replace({out}, '{src}', '{dst.replace(chr(39), chr(39) * 2)}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def _sql_strip_noncontent(var: str) -> str:
+    from ..operators.html_extract import STRIP_PATTERN
+
+    # the pattern is backreference-free by design so the same string
+    # runs under Java regex and DuckDB's RE2
+    return f"regexp_replace({var}, '{STRIP_PATTERN}', ' ', 'g')"
+
+
+# Shared CTE chain: synthetic page build -> strip script/style/
+# noscript/comments -> block split -> classify (entity-decoded text)
+# -> filter -> reassemble. docs_out carries (doc_id, source, n_blocks,
 # n_kept, content); composed pipelines (curation_pipeline_v5) reuse it.
 _ORACLE_HTML_CTES = r"""pages AS (
   SELECT doc_id, source,
          '<html><body><div class="nav"><a href="/">Home</a> '
          || '<a href="/about">About this site</a> '
          || '<a href="/contact">Contact the team</a></div>'
+         || '<script type="text/javascript">var tracker = '
+         || 'init("page"); tracker.send(42);</script>'
          || '<h1>' || source || ' article ' || CAST(doc_id AS VARCHAR)
-         || '</h1><p>' || text || '</p>'
+         || '</h1><!-- rendered by engine v2 build 1234567890 --><p>'
+         || text || '</p>'
+         || '<p>Ben &amp; Jerry say 2 &lt; 3 &amp;&nbsp;that&#39;s '
+         || '&quot;fine&quot; today.</p>'
          || CASE doc_id % 3
               WHEN 0 THEN '<div class="promo">Editors recommend this '
                           || 'long-form related reading selection today '
@@ -413,6 +448,7 @@ _ORACLE_HTML_CTES = r"""pages AS (
                           || 'partner offer</a> ok</div>'
               ELSE ''
             END
+         || '<style>.nav{display:none} body{margin:0;padding:0}</style>'
          || '<p>Short.</p><div class="footer">'
          || '<a href="/tos">Terms of service</a> '
          || '<a href="/privacy">Privacy policy</a></div></body></html>'
@@ -421,20 +457,17 @@ _ORACLE_HTML_CTES = r"""pages AS (
 ),
 blocks AS (
   SELECT doc_id, source,
-         regexp_split_to_array(html,
+         regexp_split_to_array({_STRIPPED_HTML},
            '</(?:p|div|h[1-6]|li|td|section|article)>') AS raw
   FROM pages
 ),
 classified AS (
   SELECT doc_id, source,
          list_transform(raw, b -> struct_pack(
-           txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
-                                      '\s+', ' ', 'g')),
+           txt := {_TXT_B},
            lc := coalesce(list_sum(list_transform(
                    regexp_extract_all(b, '(?s)<a\b[^>]*>(.*?)</a>', 1),
-                   a -> CAST(length(trim(regexp_replace(
-                          regexp_replace(a, '<[^>]*>', ' ', 'g'),
-                          '\s+', ' ', 'g'))) AS BIGINT))), 0)
+                   a -> CAST(length({_TXT_A}) AS BIGINT))), 0)
          )) AS cls
   FROM blocks
 ),
@@ -453,6 +486,13 @@ docs_out AS (
          AS content
   FROM kept
 )"""
+
+_ORACLE_HTML_CTES = (
+    _ORACLE_HTML_CTES
+    .replace("{_STRIPPED_HTML}", _sql_strip_noncontent("html"))
+    .replace("{_TXT_B}", _sql_block_txt("b"))
+    .replace("{_TXT_A}", _sql_block_txt("a"))
+)
 
 ORACLE_HTML_MAIN_CONTENT = """
 WITH {_ORACLE_HTML_CTES}
@@ -505,7 +545,12 @@ def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_chars") > 0)
     )
-    total = docs.agg(F.sum("n_chars")).first()[0] // 3
+    # coalesce: if EVERY page extracted to empty (all filtered above),
+    # sum() is NULL and a bare [0] // 3 would raise (r11 ADVICE); a 0
+    # budget just yields the empty sample downstream
+    total = docs.agg(
+        F.coalesce(F.sum("n_chars"), F.lit(0))
+    ).first()[0] // 3
     s = token_budget_mixture_sample(docs, "source", "doc_id", "n_chars", total)
     return (
         s.groupBy("source")

@@ -154,6 +154,100 @@ def streaming_near_dedup_ingest(
     return writer.start()
 
 
+def streaming_crawl_ingest(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_link_density_bp: int = 3000,
+    min_text_chars: int = 25,
+    trigger_available_now: bool = True,
+    on_batch_stats=None,
+):
+    """The streaming crawl-ingestion flagship (r11 verdict task #4) —
+    the live twin of the curation_pipeline_v5 shape, composing four
+    individually stream-pinned stages into one query over a raw page
+    feed (id, url, html, ts):
+
+      canonical-URL dedup (watermark-bounded state, streaming_url_dedup)
+        -> within-page boilerplate extraction (extract_main_content,
+           row-local, stateless)
+        -> drop pages whose main content came out empty
+        -> exact content dedup against the ACCUMULATED on-disk corpus
+           (incremental_dedup: corpus digests probe a broadcast of the
+           batch's digests — the corpus never shuffles), survivors
+           append to ``corpus_path``.
+
+    State story: the only streaming state is the URL-dedup seen-set,
+    evicted by the watermark (O(pages per horizon)); cross-batch
+    content memory is the corpus itself, exactly the
+    minhash_ingest_step design. foreachBatch is AT-LEAST-ONCE: a crash
+    between the corpus append and the checkpoint commit replays the
+    batch, whose rows then digest-match their OWN earlier append and
+    drop — the blind append is naturally idempotent for dedup-ingest
+    (same contract as minhash_ingest_step; no epoch partitioning
+    needed because the operator reads what it wrote).
+
+    ``on_batch_stats``, if given, receives
+    ``{"n_in", "n_extracted", "n_kept"}`` per batch (the test seam).
+    Returns the StreamingQuery.
+    """
+    from ..operators.html_extract import extract_main_content
+    from ..operators.text_dedup import exact_dedup, incremental_dedup
+    from ..sources.sinks import _hadoop_fs
+
+    fresh_urls = streaming_url_dedup(stream, url_col, ts_col, watermark)
+
+    def _ingest(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        docs = (
+            extract_main_content(
+                batch, html_col, max_link_density_bp, min_text_chars
+            )
+            .where(F.length("content") > 0)
+            .drop(html_col)
+        )
+        fs, jcorpus = _hadoop_fs(spark, corpus_path)
+        if fs.exists(jcorpus):
+            corpus = spark.read.parquet(corpus_path).select(*docs.columns)
+            kept = incremental_dedup(
+                docs, corpus, id_col=id_col, text_col="content"
+            )
+        else:  # bootstrap: within-batch dedup only
+            kept = exact_dedup(docs, text_col="content", id_col=id_col)
+        kept = kept.persist()
+        try:
+            # count BEFORE the append: writing to corpus_path triggers
+            # recacheByPath on every cached plan reading it, so a
+            # count afterwards re-evaluates against the post-append
+            # corpus and the batch self-dedups to 0 (measured)
+            n_kept = kept.count()
+            kept.write.mode("append").parquet(corpus_path)
+            if on_batch_stats is not None:
+                on_batch_stats(
+                    {
+                        "n_in": batch.count(),
+                        "n_extracted": docs.count(),
+                        "n_kept": n_kept,
+                    }
+                )
+        finally:
+            kept.unpersist()
+
+    writer = (
+        fresh_urls.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_decontaminate(
     stream: DataFrame,
     eval_df: DataFrame,

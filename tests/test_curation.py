@@ -1186,6 +1186,7 @@ def test_semantic_decontaminate_contract(spark):
         (3, [0.0, 1.0, 0.0]),   # orthogonal -> keep
         (4, [0.5, 0.5, 0.5]),   # cos ~0.577 -> keep
         (5, [0.0, 0.0, 0.0]),   # zero norm -> keep (NaN guard)
+        (6, None),              # NULL vector -> keep (r11 ADVICE pin)
     ]
     corpus = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
@@ -1194,17 +1195,17 @@ def test_semantic_decontaminate_contract(spark):
         [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
     )
     kept = {r.vec_id for r in semantic_decontaminate(corpus, evals).collect()}
-    assert kept == {3, 4, 5}
+    assert kept == {3, 4, 5, 6}
 
     empty = spark.createDataFrame(
         [], "vec_id long, embedding array<double>"
     )
-    assert semantic_decontaminate(corpus, empty).count() == 5
+    assert semantic_decontaminate(corpus, empty).count() == 6
     # zero-norm EVAL vectors are dropped from the probe, not matched
     zeroev = spark.createDataFrame(
         [(9, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
     )
-    assert semantic_decontaminate(corpus, zeroev).count() == 5
+    assert semantic_decontaminate(corpus, zeroev).count() == 6
 
     plan = (
         semantic_decontaminate(corpus, evals)
@@ -1214,6 +1215,46 @@ def test_semantic_decontaminate_contract(spark):
     )
     # the only allowed exchange is the broadcast of the 1-row probe
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_decontaminate_auto_route(spark, monkeypatch):
+    """strategy=None routes on eval_rows x dims: below the threshold
+    the plan is the exact expression form (no Python stage), above it
+    the Arrow matmul kernel (MapInPandas) — and membership is
+    identical on both sides of the route (the salt-route-invariance
+    discipline from sampling)."""
+    from hse_etl_ochirov_aldar_spark.operators import decontaminate as D
+
+    rows = [(i, [float(i), 1.0, 0.5]) for i in range(1, 8)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.5]), (101, [7.0, 1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # 2 evals x 3 dims = 6 cells: below any sane threshold -> expr
+    auto_lo = D.semantic_decontaminate(corpus, evals)
+    assert "MapInPandas" not in plan_of(auto_lo)
+    # force the threshold under the same eval set -> arrow fires
+    monkeypatch.setattr(D, "SEMANTIC_AUTO_ARROW_CELLS", 5)
+    auto_hi = D.semantic_decontaminate(corpus, evals)
+    assert "MapInPandas" in plan_of(auto_hi)
+    ke = {r.vec_id for r in auto_lo.collect()}
+    ka = {r.vec_id for r in auto_hi.collect()}
+    assert ke == ka and 0 < len(ke) < len(rows)
+    # explicit overrides still win over the auto probe
+    monkeypatch.setattr(D, "SEMANTIC_AUTO_ARROW_CELLS", 10**12)
+    forced = D.semantic_decontaminate(corpus, evals, strategy="arrow")
+    assert "MapInPandas" in plan_of(forced)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expr|arrow"):
+        D.semantic_decontaminate(corpus, evals, strategy="bogus")
 
 
 def test_semantic_decontaminate_arrow_twin_agrees(spark, sf_dir):
@@ -1245,13 +1286,15 @@ def test_semantic_decontaminate_arrow_twin_agrees(spark, sf_dir):
     assert (np.abs(np.round(cos, 6) - 0.95).min()) > 1e-9
 
     corpus = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)],
         "vec_id long, embedding array<double>",
     )
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    assert semantic_decontaminate_arrow(corpus, empty).count() == 2
+    assert semantic_decontaminate_arrow(corpus, empty).count() == 3
     evals2 = spark.createDataFrame(
         [(9, [1.0, 0.0])], "vec_id long, embedding array<double>"
     )
     kept = {r.vec_id for r in semantic_decontaminate_arrow(corpus, evals2).collect()}
-    assert kept == {2}  # self-match dropped, zero-norm kept
+    # self-match dropped; zero-norm AND NULL vectors kept (r11 ADVICE
+    # pin — np.asarray(None) used to raise here)
+    assert kept == {2, 3}

@@ -704,6 +704,10 @@ def test_streaming_near_dedup_ingest_accumulates_corpus(spark, tmpdir):
     # materialized key table and touches corpus TEXT exactly once (the
     # candidate-bounded verification semi-join) — never re-signatures it.
     assert [s["corpus_text_scans"] for s in stats] == [0, 1]
+    # n_kept must be the PRE-append batch survivor count (r12: a count
+    # taken after the corpus append is re-evaluated against the updated
+    # corpus by recacheByPath and self-dedups to 0)
+    assert [s["n_kept"] for s in stats] == [2, 1]
     # the maintained key table covers exactly the corpus survivors
     kids = {
         r.id
@@ -2162,3 +2166,112 @@ def test_semantic_decontaminate_is_streaming_composable(spark, tmpdir):
     streamed = {r.vec_id for r in spark.table("t_stream_sem").collect()}
     batch = {r.vec_id for r in semantic_decontaminate(corpus, evals).collect()}
     assert streamed == batch and 0 < len(batch) < 30
+
+
+def test_streaming_crawl_ingest_equals_batch_twin(spark, tmpdir):
+    """r11 verdict task #4 — the composed crawl-ingest flagship: three
+    micro-batches through canonical-URL dedup -> HTML main-content
+    extraction -> empty-drop -> incremental content dedup against the
+    accumulating corpus produce EXACTLY the one-shot batch pipeline's
+    survivors (pages fed in id order, so first-arrival == min-id and
+    the streamed keeper matches the batch keep-min contract)."""
+    import datetime
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        extract_main_content,
+    )
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import exact_dedup
+    from hse_etl_ochirov_aldar_spark.operators.url_curation import (
+        dedup_canonical_url,
+    )
+    from hse_etl_ochirov_aldar_spark.streaming.curation import (
+        streaming_crawl_ingest,
+    )
+
+    def page(body):
+        return (
+            '<div class="nav"><a href="/">Home</a> '
+            '<a href="/x">About page</a></div>'
+            f"<p>{body}</p>"
+        )
+
+    tx = "The quick brown fox article body text long enough to keep."
+    ty = "A different second article body that also clears the bar."
+    tz = "Third fresh body text appearing first in the second batch."
+    tw = "Fourth body text that only ever appears in the last batch."
+    t0 = datetime.datetime(2026, 8, 16, 12, 0, 0)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    b1 = [
+        (1, "https://ex.com/a?utm_source=feed", page(tx), ts(0)),
+        (2, "https://ex.com/b", page(ty), ts(1)),
+    ]
+    b2 = [
+        (11, "https://EX.com:443/a", page(tx), ts(2)),   # canonical dup of 1
+        (12, "https://ex.com/c", page(tx), ts(3)),        # content dup of 1
+        (13, "https://ex.com/d", page(tz), ts(4)),        # fresh
+    ]
+    b3 = [
+        (21, "https://ex.com/e", page(tz), ts(5)),        # content dup of 13
+        (22, "https://ex.com/f",                           # chrome-only page
+         '<div><a href="/">Home page link text</a></div>', ts(6)),
+        (23, "https://ex.com/g", page(tw), ts(7)),        # fresh
+    ]
+    cols = "doc_id long, url string, html string, ts timestamp"
+    src = f"{tmpdir}/crawl_src"
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(src)
+    for b in (b2, b3):
+        _time.sleep(1.1)
+        spark.createDataFrame(b, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    corpus = f"{tmpdir}/crawl_corpus"
+    stats: list[dict] = []
+    q = streaming_crawl_ingest(
+        stream, corpus, f"{tmpdir}/crawl_ckpt", on_batch_stats=stats.append
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.doc_id, r.content)
+        for r in spark.read.parquet(corpus).collect()
+    }
+
+    # one-shot batch twin over ALL pages: the same four stages
+    pages = spark.createDataFrame(b1 + b2 + b3, cols)
+    batch = {
+        (r.doc_id, r.content)
+        for r in exact_dedup(
+            extract_main_content(dedup_canonical_url(pages))
+            .where(F.length("content") > 0),
+            text_col="content",
+        ).collect()
+    }
+    assert streamed == batch
+    assert {d for d, _ in streamed} == {1, 2, 13, 23}
+    # per-batch seam: URL dup 11 never reaches extraction (n_in drops
+    # 3 -> 2 in batch 2); chrome-only 22 drops at extraction; 12/21
+    # drop at content dedup. availableNow may append a trailing empty
+    # watermark-flush micro-batch — ignore all-zero rows.
+    real = [s for s in stats if s["n_in"] > 0]
+    assert [s["n_in"] for s in real] == [2, 2, 3]
+    assert [s["n_extracted"] for s in real] == [2, 2, 2]
+    assert [s["n_kept"] for s in real] == [2, 1, 1]

@@ -213,3 +213,55 @@ def test_extract_main_content_signals_and_order(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_extract_main_content_strips_noncontent_and_entities(spark):
+    """r11 verdict task #2: script/style/noscript bodies and HTML
+    comments are never content — a >= 25-char zero-link inline script
+    used to be KEPT as 'main content'; entities decode through the
+    minimal shared map (&amp; LAST so double-encoding stays text)."""
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        extract_main_content,
+    )
+
+    prose = "The actual article body sentence that must survive intact."
+    html = (
+        '<script type="text/javascript">var page = track("id"); '
+        "page.send(12345); /* zero links, plenty long */</script>"
+        "<style>body{margin:0} .nav{display:none} p{padding:1em}</style>"
+        "<!-- build 987654321 rendered by engine, long enough too -->"
+        f"<p>{prose}</p>"
+        "<noscript>Please enable JavaScript to view this whole page "
+        "properly.</noscript>"
+        '<p>A script string with a fake closer </script> inside text '
+        "keeps flowing here.</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id LONG, html STRING")
+    row = extract_main_content(df).collect()[0]
+    parts = row.content.split("\n")
+    assert parts[0] == prose
+    # none of the JS/CSS/comment/noscript text leaked into content
+    for leaked in ("page.send", "margin:0", "987654321", "JavaScript"):
+        assert leaked not in row.content
+
+    # a </p> INSIDE a script body must not split blocks: stripping
+    # happens before the split
+    js_split = (
+        '<script>var s = "</p>"; emit(s); // long enough to matter '
+        "here</script><p>Only one real paragraph block follows the "
+        "script body.</p>"
+    )
+    d2 = spark.createDataFrame([(2, js_split)], "doc_id LONG, html STRING")
+    r2 = extract_main_content(d2).collect()[0]
+    assert r2.n_kept_blocks == 1 and r2.content.startswith("Only one real")
+
+    # entity decoding: minimal map, &amp; last (double-encoding pin)
+    ent = (
+        "<p>Ben &amp; Jerry say 2 &lt; 3 &gt; 1 and&nbsp;that&#39;s "
+        "&quot;fine&quot; &amp;lt; literally.</p>"
+    )
+    d3 = spark.createDataFrame([(3, ent)], "doc_id LONG, html STRING")
+    r3 = extract_main_content(d3).collect()[0]
+    assert r3.content == (
+        'Ben & Jerry say 2 < 3 > 1 and that\'s "fine" &lt; literally.'
+    )
