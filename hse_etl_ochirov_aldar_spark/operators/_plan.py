@@ -34,6 +34,29 @@ def _max_partition_bytes(spark) -> int:
         return _FALLBACK_MAX_PARTITION_BYTES
 
 
+def definitely_small_frame(
+    df: DataFrame, max_rows: int, min_bytes_per_row: int = 4
+) -> bool:
+    """True only when Catalyst's size estimate PROVES ``df`` holds
+    fewer than ``max_rows`` rows: every leaf is a file relation (the
+    spread_small_input trust rule — LocalRelation/RDD estimates can
+    undershoot wildly) and the estimated bytes are under ``max_rows x
+    min_bytes_per_row``. The bytes/row floor is deliberately tiny: no
+    real table packs under ~4 bytes/row on disk, so a True answer is a
+    conservative row-count bound, while False just means "cannot
+    prove" — callers must treat it as unknown, never as "large"."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    try:
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            if leaves.apply(i).getClass().getSimpleName() != "LogicalRelation":
+                return False
+        est = int(plan.stats().sizeInBytes())
+    except Exception:
+        return False
+    return 0 < est < max_rows * min_bytes_per_row
+
+
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the default parallelism, only when
     Catalyst's size estimate says the scan would yield fewer partitions

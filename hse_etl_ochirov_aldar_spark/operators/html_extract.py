@@ -97,6 +97,39 @@ def _link_chars(raw: Column) -> Column:
     )
 
 
+def _classified_and_kept(
+    html_col: str, max_link_density_bp: int, min_text_chars: int
+):
+    """(classified, kept) block-array Columns — the shared core of the
+    extraction family: strip non-content element bodies, split into
+    blocks, classify each block ONCE into (txt, lc), filter by the two
+    jusText signals. ``filter`` preserves array order, so every
+    consumer sees blocks in document order."""
+    raw_blocks = F.split(
+        F.regexp_replace(F.col(html_col), STRIP_PATTERN, " "),
+        BLOCK_SPLIT_PATTERN,
+    )
+    # classify each raw block once into a struct; compute text a single
+    # time per block (the lambda is interpreted, not codegen'd — keep
+    # it lean) and carry only what the filter and join need
+    classified = F.transform(
+        raw_blocks,
+        lambda b: F.struct(
+            _block_text(b).alias("txt"),
+            _link_chars(b).alias("lc"),
+        ),
+    )
+    kept = F.filter(
+        classified,
+        lambda s: (F.length(s["txt"]) >= F.lit(int(min_text_chars)))
+        & (
+            F.lit(10000) * s["lc"]
+            <= F.lit(int(max_link_density_bp)) * F.length(s["txt"]).cast("long")
+        ),
+    )
+    return classified, kept
+
+
 def extract_main_content(
     df: DataFrame,
     html_col: str = "html",
@@ -120,27 +153,8 @@ def extract_main_content(
     the block split (:data:`STRIP_PATTERN`): they are never content,
     and stripping first also stops a ``</p>`` inside a JS string from
     splitting a block."""
-    raw_blocks = F.split(
-        F.regexp_replace(F.col(html_col), STRIP_PATTERN, " "),
-        BLOCK_SPLIT_PATTERN,
-    )
-    # classify each raw block once into a struct; compute text a single
-    # time per block (the lambda is interpreted, not codegen'd — keep
-    # it lean) and carry only what the filter and join need
-    classified = F.transform(
-        raw_blocks,
-        lambda b: F.struct(
-            _block_text(b).alias("txt"),
-            _link_chars(b).alias("lc"),
-        ),
-    )
-    kept = F.filter(
-        classified,
-        lambda s: (F.length(s["txt"]) >= F.lit(int(min_text_chars)))
-        & (
-            F.lit(10000) * s["lc"]
-            <= F.lit(int(max_link_density_bp)) * F.length(s["txt"]).cast("long")
-        ),
+    classified, kept = _classified_and_kept(
+        html_col, max_link_density_bp, min_text_chars
     )
     return (
         df.withColumn("__kept", kept)
@@ -151,4 +165,91 @@ def extract_main_content(
             F.array_join(F.transform("__kept", lambda s: s["txt"]), "\n"),
         )
         .drop("__kept")
+    )
+
+
+def extract_block_languages(
+    df: DataFrame,
+    html_col: str = "html",
+    max_link_density_bp: int = 3000,
+    min_text_chars: int = 25,
+) -> DataFrame:
+    """Per-BLOCK language identification over the kept main-content
+    blocks: adds ``block_texts`` (kept blocks in document order, the
+    extract_main_content classification) and ``block_langs`` (each
+    block's stopword-argmax heuristic language, functions/text.
+    predicted_lang) — the segmentation step feeding bitext mining and
+    per-language routing when one crawled page mixes languages
+    (boilerplate in the site language, quotes/abstracts in another),
+    where a PAGE-level language ID mislabels every minority block.
+
+    Scale shape: identical to extract_main_content — the block split,
+    classification, and per-block stopword argmax are all row-local
+    array lambdas; zero shuffle before any report aggregate a caller
+    adds. Exactness: predicted_lang is integer stopword counts with a
+    lexicographic tie-break, so a DuckDB oracle recomputes identical
+    labels."""
+    from ..functions.text import predicted_lang
+
+    _, kept = _classified_and_kept(
+        html_col, max_link_density_bp, min_text_chars
+    )
+    return (
+        df.withColumn(
+            "block_texts", F.transform(kept, lambda s: s["txt"])
+        )
+        .withColumn(
+            "block_langs",
+            F.transform("block_texts", lambda t: predicted_lang(t)),
+        )
+    )
+
+
+# robots meta directives: both attribute orders occur in real pages —
+# name-then-content and content-then-name. No backreferences, so the
+# same patterns run under Java regex and the DuckDB oracle's RE2.
+_ROBOTS_NC = (
+    r"(?is)<meta\b[^>]*\bname\s*=\s*[\"']?robots[\"']?[^>]*"
+    r"\bcontent\s*=\s*[\"']([^\"'>]*)"
+)
+_ROBOTS_CN = (
+    r"(?is)<meta\b[^>]*\bcontent\s*=\s*[\"']([^\"'>]*)[\"'][^>]*"
+    r"\bname\s*=\s*[\"']?robots[\"']?"
+)
+
+
+def robots_directives(html: Column) -> Column:
+    """Array of lower-cased, trimmed robots meta directives of a page
+    (e.g. ['noindex', 'follow']); empty when the page carries no robots
+    meta tag. Both attribute orders are recognized; the first matching
+    tag wins (regexp_extract takes the leftmost match, like a crawler
+    honoring the first directive set)."""
+    content = F.coalesce(
+        F.nullif(F.regexp_extract(html, _ROBOTS_NC, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _ROBOTS_CN, 1), F.lit("")),
+        F.lit(""),
+    )
+    return F.filter(
+        F.transform(
+            F.split(content, ","), lambda d: F.lower(F.trim(d))
+        ),
+        lambda d: d != "",
+    )
+
+
+def drop_robots_noindex(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Crawl-compliance screen: drop pages whose robots meta declares
+    ``noindex`` (or the ``none`` shorthand = noindex,nofollow) — run
+    BEFORE content extraction, both because compliance is not optional
+    for a published corpus and because it is the cheapest screen in
+    the chain (one regex per page, row-local, zero shuffle). Survivors
+    carry ``robots`` (the parsed directive array) for downstream
+    auditing; pages without a robots meta are kept with an empty
+    array (the crawler default is index,follow)."""
+    out = df.withColumn("robots", robots_directives(F.col(html_col)))
+    return out.where(
+        ~(
+            F.array_contains("robots", "noindex")
+            | F.array_contains("robots", "none")
+        )
     )

@@ -233,6 +233,42 @@ QUOTA_RANK_SALT = 64
 SKEW_SAFE_GROUP_ROWS = 10_000_000
 
 
+def _static_skew_route(df: DataFrame, skew_safe: bool | None) -> bool | None:
+    """Zero-cost first tier of the skew_safe=None auto route (r11
+    verdict task #3): when Catalyst's plan statistics PROVE the frame
+    is too small to hold a :data:`SKEW_SAFE_GROUP_ROWS`-row group,
+    resolve auto to ``False`` so the draw builds the LITERAL
+    single-window plan. The in-plan conditional salt keeps membership
+    right below the threshold but still pays the two-stage STRUCTURE —
+    the salt-0 stage-1 window subtree is evaluated twice (once for the
+    survivors branch, once for the first-dropped-key aggregate) plus a
+    null-safe join — measured at sf0.1 as the whole r11
+    token_budget_mixture regression (1.10s auto vs 0.54s single-window;
+    the initially-suspected DECIMAL(38,0) quota products were ~0.07s).
+    A driver-side max over the group census was also tried and is a
+    wash: it serializes an extra corpus-scan job before the draw
+    (measured 1.53s — the scan you save structurally you pay again in
+    wall clock).
+
+    Probe contract (the spread_small_input discipline, _plan.py): only
+    file-relation leaves are trusted, and the bound is conservative —
+    ``est_bytes < max_rows x 4`` assumes no real table packs under ~4
+    bytes/row, so a fire means "cannot contain a 10M-row group". A
+    pathological all-RLE table that beats 4 bytes/row AND has one group
+    owning >10M rows would misroute to the single window: slower, never
+    wrong (membership is salt-invariant, pin-tested). Unknown sizes
+    (LocalRelation, streams) return None -> callers fall through to the
+    in-plan conditional-salt census, the honest design at real scale
+    (group sizes threaded free where the plan computes them anyway)."""
+    if skew_safe is not None:
+        return skew_safe
+    from ._plan import definitely_small_frame
+
+    if definitely_small_frame(df, SKEW_SAFE_GROUP_ROWS, min_bytes_per_row=4):
+        return False
+    return None
+
+
 def _with_group_sizes(df: DataFrame, group_col: str) -> DataFrame:
     """Attach each row's group size as ``__gn`` — the auto-skew_safe
     routing signal (r11 verdict task #6), computed IN-PLAN: a
@@ -446,9 +482,14 @@ def _quota_join_sample(
     the quota frame turns out small), then the salted two-stage
     md5-hash-order rank draw (:func:`_hash_rank_take`) — identical
     membership to the collect strategy; ``skew_safe=True`` bounds
-    tasks under any group skew via the two-stage rank."""
+    tasks under any group skew via the two-stage rank. Probes the
+    static skew route on the PRE-join frame (join-node plan stats
+    multiply child sizes and would never fire)."""
     return _hash_rank_take(
-        df.join(quotas, group_col), group_col, key_col, skew_safe=skew_safe
+        df.join(quotas, group_col),
+        group_col,
+        key_col,
+        skew_safe=_static_skew_route(df, skew_safe),
     )
 
 
@@ -495,6 +536,7 @@ def temperature_mixture_sample(
             .groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("__n"))
         )
+        skew_safe = _static_skew_route(df, skew_safe)
         w_df = counts_df.select(
             group_col, "__n", _exact_isqrt(F.col("__n")).alias("__w")
         )
@@ -569,7 +611,11 @@ def token_budget_mixture_sample(
     budgets stay DataFrames (the 1-row weight total rides a broadcast
     crossJoin), attached by equi-join; NOTHING reaches the driver and
     group cardinality is unbounded. One shuffle on ``group_col``
-    shared by the budget join and the prefix-sum window.
+    shared by the budget join and the prefix-sum window. The auto
+    ``skew_safe`` route resolves statically from plan statistics when
+    they prove the frame small (:func:`_static_skew_route`, zero
+    cost); otherwise the in-plan conditional salt threads the group
+    sizes the budget join computes anyway.
     """
     masses = (
         df.where(F.col(group_col).isNotNull())
@@ -579,6 +625,9 @@ def token_budget_mixture_sample(
             F.count(F.lit(1)).alias("__n"),
         )
     )
+    # zero-cost static route first (plan stats on the PRE-join frame;
+    # join-node estimates multiply child sizes and never fire)
+    skew_safe = _static_skew_route(df, skew_safe)
     w_df = masses.select(
         group_col, "__n", _exact_isqrt(F.col("__mass")).alias("__w")
     )
@@ -645,13 +694,15 @@ def quota_sample(
     ``None`` (r11): an in-plan per-group census routes only the
     groups above :data:`SKEW_SAFE_GROUP_ROWS` through the two-stage
     path — callers no longer need to know their skew, and small-group
-    corpora never pay the two-stage tax.
+    corpora never pay the two-stage tax (r12: frames Catalyst plan
+    stats can PROVE small skip even the census and run the literal
+    single window, :func:`_static_skew_route`).
     """
     return _hash_rank_take(
         df.withColumn("__quota", F.lit(int(quota))),
         group_col,
         key_col,
-        skew_safe=skew_safe,
+        skew_safe=_static_skew_route(df, skew_safe),
     )
 
 

@@ -422,40 +422,12 @@ def _sql_strip_noncontent(var: str) -> str:
     return f"regexp_replace({var}, '{STRIP_PATTERN}', ' ', 'g')"
 
 
-# Shared CTE chain: synthetic page build -> strip script/style/
+# Block chain shared by every HTML oracle: strip script/style/
 # noscript/comments -> block split -> classify (entity-decoded text)
-# -> filter -> reassemble. docs_out carries (doc_id, source, n_blocks,
-# n_kept, content); composed pipelines (curation_pipeline_v5) reuse it.
-_ORACLE_HTML_CTES = r"""pages AS (
-  SELECT doc_id, source,
-         '<html><body><div class="nav"><a href="/">Home</a> '
-         || '<a href="/about">About this site</a> '
-         || '<a href="/contact">Contact the team</a></div>'
-         || '<script type="text/javascript">var tracker = '
-         || 'init("page"); tracker.send(42);</script>'
-         || '<h1>' || source || ' article ' || CAST(doc_id AS VARCHAR)
-         || '</h1><!-- rendered by engine v2 build 1234567890 --><p>'
-         || text || '</p>'
-         || '<p>Ben &amp; Jerry say 2 &lt; 3 &amp;&nbsp;that&#39;s '
-         || '&quot;fine&quot; today.</p>'
-         || CASE doc_id % 3
-              WHEN 0 THEN '<div class="promo">Editors recommend this '
-                          || 'long-form related reading selection today '
-                          || '<a href="/rec/' || CAST(doc_id AS VARCHAR)
-                          || '">more</a></div>'
-              WHEN 1 THEN '<div class="promo"><a href="/p/1">First promoted '
-                          || 'partner offer</a> <a href="/p/2">Second promoted '
-                          || 'partner offer</a> ok</div>'
-              ELSE ''
-            END
-         || '<style>.nav{display:none} body{margin:0;padding:0}</style>'
-         || '<p>Short.</p><div class="footer">'
-         || '<a href="/tos">Terms of service</a> '
-         || '<a href="/privacy">Privacy policy</a></div></body></html>'
-         AS html
-  FROM documents
-),
-blocks AS (
+# -> filter -> reassemble, all FROM a ``pages`` CTE the caller
+# provides. docs_out carries (doc_id, source, n_blocks, n_kept,
+# content); composed pipelines (curation_pipeline_v5) reuse it.
+_ORACLE_BLOCK_CHAIN = r"""blocks AS (
   SELECT doc_id, source,
          regexp_split_to_array({_STRIPPED_HTML},
            '</(?:p|div|h[1-6]|li|td|section|article)>') AS raw
@@ -487,12 +459,50 @@ docs_out AS (
   FROM kept
 )"""
 
-_ORACLE_HTML_CTES = (
-    _ORACLE_HTML_CTES
-    .replace("{_STRIPPED_HTML}", _sql_strip_noncontent("html"))
-    .replace("{_TXT_B}", _sql_block_txt("b"))
-    .replace("{_TXT_A}", _sql_block_txt("a"))
-)
+
+# The curation_pipeline_v5 / html_main_content fixture pages + chain.
+_ORACLE_HTML_CTES = r"""pages AS (
+  SELECT doc_id, source,
+         '<html><body><div class="nav"><a href="/">Home</a> '
+         || '<a href="/about">About this site</a> '
+         || '<a href="/contact">Contact the team</a></div>'
+         || '<script type="text/javascript">var tracker = '
+         || 'init("page"); tracker.send(42);</script>'
+         || '<h1>' || source || ' article ' || CAST(doc_id AS VARCHAR)
+         || '</h1><!-- rendered by engine v2 build 1234567890 --><p>'
+         || text || '</p>'
+         || '<p>Ben &amp; Jerry say 2 &lt; 3 &amp;&nbsp;that&#39;s '
+         || '&quot;fine&quot; today.</p>'
+         || CASE doc_id % 3
+              WHEN 0 THEN '<div class="promo">Editors recommend this '
+                          || 'long-form related reading selection today '
+                          || '<a href="/rec/' || CAST(doc_id AS VARCHAR)
+                          || '">more</a></div>'
+              WHEN 1 THEN '<div class="promo"><a href="/p/1">First promoted '
+                          || 'partner offer</a> <a href="/p/2">Second promoted '
+                          || 'partner offer</a> ok</div>'
+              ELSE ''
+            END
+         || '<style>.nav{display:none} body{margin:0;padding:0}</style>'
+         || '<p>Short.</p><div class="footer">'
+         || '<a href="/tos">Terms of service</a> '
+         || '<a href="/privacy">Privacy policy</a></div></body></html>'
+         AS html
+  FROM documents
+),
+{_BLOCK_CHAIN}"""
+
+
+def _fill_html_chain(sql: str) -> str:
+    return (
+        sql.replace("{_BLOCK_CHAIN}", _ORACLE_BLOCK_CHAIN)
+        .replace("{_STRIPPED_HTML}", _sql_strip_noncontent("html"))
+        .replace("{_TXT_B}", _sql_block_txt("b"))
+        .replace("{_TXT_A}", _sql_block_txt("a"))
+    )
+
+
+_ORACLE_HTML_CTES = _fill_html_chain(_ORACLE_HTML_CTES)
 
 ORACLE_HTML_MAIN_CONTENT = """
 WITH {_ORACLE_HTML_CTES}
@@ -611,4 +621,459 @@ ORACLE_CURATION_PIPELINE_V5 = (
     ORACLE_CURATION_PIPELINE_V5
     .replace("{_ORACLE_HTML_CTES}", _ORACLE_HTML_CTES)
     .replace("{_H32_DOCID}", _oracle_hash32("CAST(doc_id AS VARCHAR)"))
+)
+
+
+def _docs_with_multilang_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, html): pages that MIX languages block-wise —
+    nav chrome, the document text, a German prose block on every page,
+    and a doc_id%3-varied French / Spanish / absent block — the input
+    class where a page-level language ID mislabels every minority
+    block. Sentences are built from the engine's own stopword profiles
+    so the per-block argmax is decisive (de=7 hits, fr=6, es=7 on
+    their blocks); the oracle recomputes the full argmax, not the
+    fixture's intent."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    extra = (
+        F.when(
+            m == 0,
+            F.lit("<p>Le rapport est un document et les auteurs sont "
+                  "une equipe complete.</p>"),
+        )
+        .when(
+            m == 1,
+            F.lit("<p>El informe es un documento y los autores son una "
+                  "obra la nota final.</p>"),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<div class="nav"><a href="/">Home</a> '
+              '<a href="/about">About this site</a></div><p>'),
+        F.col("text"),
+        F.lit("</p><p>Der Bericht ist und bleibt von einem Autor und "
+              "das Team ist da.</p>"),
+        extra,
+        F.lit('<div class="footer"><a href="/tos">Terms of service '
+              'link</a></div>'),
+    )
+    return docs.select("doc_id", "source", html.alias("html"))
+
+
+def q_html_block_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block language segmentation (operators/html_extract.
+    extract_block_languages): the kept main-content blocks of each
+    mixed-language page get a stopword-argmax language label, reported
+    as a (source, block_lang) census — blocks, chars, and a text
+    checksum pinning the exact block boundaries AND labels. The
+    operator is row-local end to end; the one shuffle is this report's
+    groupBy."""
+    from ..operators.html_extract import extract_block_languages
+
+    pages = _docs_with_multilang_html(spark, sf_dir)
+    out = extract_block_languages(pages)
+    b = out.select(
+        "source",
+        F.explode(F.arrays_zip("block_texts", "block_langs")).alias("b"),
+    )
+    md5_int = F.conv(
+        F.substring(F.md5(F.col("b.block_texts")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        b.groupBy("source", F.col("b.block_langs").alias("block_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.length("b.block_texts")).alias("block_chars"),
+            F.sum(md5_int).alias("text_checksum"),
+        )
+        .orderBy("source", "block_lang")
+    )
+
+
+_ORACLE_MULTILANG_PAGES = r"""pages AS (
+  SELECT doc_id, source,
+         '<div class="nav"><a href="/">Home</a> '
+         || '<a href="/about">About this site</a></div><p>'
+         || text
+         || '</p><p>Der Bericht ist und bleibt von einem Autor und '
+         || 'das Team ist da.</p>'
+         || CASE doc_id % 3
+              WHEN 0 THEN '<p>Le rapport est un document et les auteurs '
+                          || 'sont une equipe complete.</p>'
+              WHEN 1 THEN '<p>El informe es un documento y los autores '
+                          || 'son una obra la nota final.</p>'
+              ELSE ''
+            END
+         || '<div class="footer"><a href="/tos">Terms of service '
+         || 'link</a></div>'
+         AS html
+  FROM documents
+),
+{_BLOCK_CHAIN}"""
+
+ORACLE_HTML_BLOCK_LANGS = """
+WITH {_PAGES_CHAIN},
+blockrows AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(keep) + 1),
+                i -> struct_pack(bi := i,
+                                 txt := keep[CAST(i AS INT)].txt))) AS b
+  FROM kept
+),
+toks AS (
+  SELECT doc_id, source, b.bi AS bi, b.txt AS txt,
+         list_transform(list_filter(string_split_regex(trim(b.txt), '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS t
+  FROM blockrows
+),
+scores AS (
+  SELECT doc_id, source, bi, txt, v.pl,
+         len(list_filter(t, x -> list_contains(v.sw, x))) AS sc
+  FROM toks, (VALUES {_SW_VALUES}) v(pl, sw)
+),
+best AS (
+  -- argmax per (doc, block): doc_id MUST partition too — identical
+  -- fixture blocks recur across docs and a (source, bi, txt) key
+  -- would collapse them to one row
+  SELECT source, txt,
+         CASE WHEN sc > 0 THEN pl ELSE 'und' END AS block_lang
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id, bi
+                             ORDER BY sc DESC, pl ASC) = 1
+)
+SELECT source, block_lang,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(length(txt)) AS BIGINT) AS block_chars,
+       CAST(sum({_H32_TXT}) AS BIGINT) AS text_checksum
+FROM best GROUP BY source, block_lang ORDER BY source, block_lang
+"""
+
+
+def _docs_with_robots_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, html): pages cycling through the robots-meta
+    cases by doc_id%5 — NONE shorthand (uppercase), noindex+follow,
+    index+follow, reversed attribute order with noindex, and no meta
+    at all — so the screen must parse both attribute orders,
+    case-fold, token-split, and default absent metas to keep."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    meta = (
+        F.when(m == 0, F.lit('<meta name="robots" content="NONE">'))
+        .when(m == 1, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(m == 2, F.lit('<meta name="robots" content="index, follow">'))
+        .when(m == 3, F.lit('<meta content="nofollow,noindex" name="robots">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit("</head><body><h1>"), F.col("source"),
+        F.lit(" page "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return docs.select("doc_id", "source", html.alias("html"))
+
+
+def q_robots_noindex_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance screen (operators/html_extract.
+    drop_robots_noindex): pages declaring noindex (or the NONE
+    shorthand, any case, either attribute order) drop BEFORE content
+    extraction; absent metas default to keep. Report per source:
+    pages kept, id checksum, and the total parsed-directive count
+    over survivors (pins the directive ARRAY, not just membership)."""
+    from ..operators.html_extract import drop_robots_noindex
+
+    pages = _docs_with_robots_html(spark, sf_dir)
+    kept = drop_robots_noindex(pages)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(F.size("robots").cast("long")).alias("n_directives"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_ROBOTS_NOINDEX_SCREEN = """
+WITH pages AS (
+  SELECT doc_id, source,
+         '<html><head>'
+         || CASE doc_id % 5
+              WHEN 0 THEN '<meta name="robots" content="NONE">'
+              WHEN 1 THEN '<meta name="robots" content="noindex, follow">'
+              WHEN 2 THEN '<meta name="robots" content="index, follow">'
+              WHEN 3 THEN '<meta content="nofollow,noindex" name="robots">'
+              ELSE ''
+            END
+         || '</head><body><h1>' || source || ' page '
+         || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text || '</p></body></html>' AS html
+  FROM pages_src
+),
+parsed AS (
+  SELECT doc_id, source,
+         list_filter(list_transform(
+           string_split(coalesce(
+             nullif(regexp_extract(html, '{_NC}', 1), ''),
+             nullif(regexp_extract(html, '{_CN}', 1), ''),
+             ''), ','),
+           d -> lower(trim(d))), d -> d <> '') AS robots
+  FROM pages
+),
+kept AS (
+  SELECT * FROM parsed
+  WHERE NOT (list_contains(robots, 'noindex')
+             OR list_contains(robots, 'none'))
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(len(robots)) AS BIGINT) AS n_directives
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+def _fill_robots_oracle(sql: str) -> str:
+    from ..operators.html_extract import _ROBOTS_CN, _ROBOTS_NC
+
+    return (
+        sql.replace("pages_src", "documents")
+        .replace("{_NC}", _ROBOTS_NC.replace("'", "''"))
+        .replace("{_CN}", _ROBOTS_CN.replace("'", "''"))
+    )
+
+
+ORACLE_ROBOTS_NOINDEX_SCREEN = _fill_robots_oracle(ORACLE_ROBOTS_NOINDEX_SCREEN)
+
+ORACLE_HTML_BLOCK_LANGS = ORACLE_HTML_BLOCK_LANGS.replace(
+    "{_PAGES_CHAIN}", _fill_html_chain(_ORACLE_MULTILANG_PAGES)
+).replace("{_H32_TXT}", _oracle_hash32("txt"))
+
+
+def _fill_sw_values(sql: str) -> str:
+    from .etl import _SW_VALUES
+
+    return sql.replace("{_SW_VALUES}", _SW_VALUES)
+
+
+ORACLE_HTML_BLOCK_LANGS = _fill_sw_values(ORACLE_HTML_BLOCK_LANGS)
+
+
+def _crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, url, html): the full crawl-ingest fixture —
+    every document gets a page (nav chrome, <h1>, the text as the one
+    real content block, short+footer chrome; doc_id%7==3 pages carry a
+    robots noindex meta), plus two injected row families sharing the
+    ORIGINAL page's html byte-for-byte: +1,000,000 ids with
+    canonicalization-invariant URL variants (dropped at URL dedup) and
+    +2,000,000 ids on a distinct mirror domain (unique canonical URL,
+    dropped at CONTENT dedup). The oracle recomputes every screen from
+    this same construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    src = F.col("source")
+    meta = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 3,
+        F.lit('<meta name="robots" content="noindex">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit('</head><body><div class="nav"><a href="/">Home</a> '
+              '<a href="/about">About this site</a></div><h1>'),
+        src, F.lit(" article "), d,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><p>Short.</p><div class="footer">'
+              '<a href="/tos">Terms of service</a></div></body></html>'),
+    )
+    raw = docs.select("doc_id", "source", html.alias("html"))
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    base_url = (
+        F.when(
+            m == 0,
+            F.concat(F.lit("https://"), src, F.lit(".com/articles/"), d,
+                     F.lit("?a=1&b=2")),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit("HTTP://WWW."), F.upper(src),
+                     F.lit(".Co.Uk:80/articles/"), d),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn."), src, F.lit(".net/assets/"), d)
+        )
+    )
+    dup_url = (
+        F.when(
+            m == 0,
+            F.concat(F.lit("https://"), src, F.lit(".com:443/articles/"), d,
+                     F.lit("/?b=2&utm_source=feed&a=1#top")),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit("http://www."), src, F.lit(".co.uk/articles/"), d,
+                     F.lit("#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTPS://CDN."), F.upper(src),
+                     F.lit(".NET/assets/"), d,
+                     F.lit("?utm_campaign=x&ref=tw")),
+        )
+    )
+    base = raw.select("doc_id", "source", base_url.alias("url"), "html")
+    udups = raw.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source", dup_url.alias("url"), "html",
+    )
+    cdups = raw.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("https://mirror."), src, F.lit(".org/copy/"), d)
+        .alias("url"),
+        "html",
+    )
+    return base.unionByName(udups).unionByName(cdups)
+
+
+def q_crawl_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 composed crawl-ingest flagship — the BATCH twin of
+    streaming_crawl_ingest as one DataFrame program over the injected
+    fixture:
+
+      robots noindex screen (row-local regex)
+        -> canonical-URL dedup, keep min id (one short-key window)
+        -> within-page boilerplate extraction (row-local)
+        -> drop pages whose main content came out empty
+        -> exact content dedup, keep min id (16-byte digest shuffle)
+        -> per-source report: docs, chars, id sum, content checksum
+
+    Stage order matters and is pinned by the injections: a noindex
+    page must be gone BEFORE URL dedup picks canonical keepers (its
+    tracking twin must then also fall to its own meta, never become
+    the keeper), and mirror-domain copies survive URL dedup only to
+    fall at content dedup. Plan shape: two narrow shuffles total
+    (canonical_url window, content-digest window); everything else is
+    row-local. The oracle recomputes every screen end-to-end from the
+    documents table."""
+    from ..operators.html_extract import (
+        drop_robots_noindex,
+        extract_main_content,
+    )
+    from ..operators.text_dedup import exact_dedup
+    from ..operators.url_curation import dedup_canonical_url
+
+    pages = _crawl_fixture(spark, sf_dir)
+    ok = drop_robots_noindex(pages)
+    kept_urls = dedup_canonical_url(ok)
+    docs = (
+        extract_main_content(kept_urls)
+        .select("doc_id", "source", "content")
+        .where(F.length("content") > 0)
+    )
+    final = exact_dedup(docs, text_col="content", id_col="doc_id")
+    md5_int = F.conv(
+        F.substring(F.md5(F.col("content")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("content")).alias("content_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(md5_int).alias("content_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CRAWL_INGEST_PIPELINE = """
+WITH rawhtml AS (
+  SELECT doc_id, source,
+         '<html><head>'
+         || CASE WHEN doc_id % 7 = 3
+                 THEN '<meta name="robots" content="noindex">'
+                 ELSE '' END
+         || '</head><body><div class="nav"><a href="/">Home</a> '
+         || '<a href="/about">About this site</a></div><h1>'
+         || source || ' article ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text
+         || '</p><p>Short.</p><div class="footer">'
+         || '<a href="/tos">Terms of service</a></div></body></html>'
+         AS html
+  FROM documents
+),
+allrows AS (
+  SELECT doc_id, source,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://' || source || '.com/articles/'
+                       || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+           WHEN 1 THEN 'HTTP://WWW.' || upper(source)
+                       || '.Co.Uk:80/articles/' || CAST(doc_id AS VARCHAR)
+           ELSE 'https://cdn.' || source || '.net/assets/'
+                || CAST(doc_id AS VARCHAR)
+         END AS url, html
+  FROM rawhtml
+  UNION ALL
+  SELECT doc_id + 1000000, source,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://' || source || '.com:443/articles/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '/?b=2&utm_source=feed&a=1#top'
+           WHEN 1 THEN 'http://www.' || source || '.co.uk/articles/'
+                       || CAST(doc_id AS VARCHAR) || '#frag'
+           ELSE 'HTTPS://CDN.' || upper(source) || '.NET/assets/'
+                || CAST(doc_id AS VARCHAR) || '?utm_campaign=x&ref=tw'
+         END AS url, html
+  FROM rawhtml WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 2000000, source,
+         'https://mirror.' || source || '.org/copy/'
+         || CAST(doc_id AS VARCHAR) AS url, html
+  FROM rawhtml WHERE doc_id < 60
+),
+robots_ok AS (
+  SELECT doc_id, source, url, html FROM (
+    SELECT *,
+           list_filter(list_transform(
+             string_split(coalesce(
+               nullif(regexp_extract(html, '{_NC}', 1), ''),
+               nullif(regexp_extract(html, '{_CN}', 1), ''),
+               ''), ','),
+             d -> lower(trim(d))), d -> d <> '') AS robots
+    FROM allrows
+  )
+  WHERE NOT (list_contains(robots, 'noindex')
+             OR list_contains(robots, 'none'))
+),
+synth AS (SELECT doc_id, source, url FROM robots_ok),
+{_CANON_CTES},
+urlkept AS (
+  SELECT doc_id FROM canon
+  QUALIFY row_number() OVER (PARTITION BY canonical_url
+                             ORDER BY doc_id) = 1
+),
+pages AS (
+  SELECT r.doc_id, r.source, r.html
+  FROM robots_ok r JOIN urlkept USING (doc_id)
+),
+{_BLOCK_CHAIN},
+docs2 AS (
+  SELECT doc_id, source, content FROM docs_out WHERE length(content) > 0
+),
+cd AS (
+  SELECT doc_id, source, content FROM docs2
+  QUALIFY row_number() OVER (PARTITION BY lower(trim(content))
+                             ORDER BY doc_id) = 1
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(content)) AS BIGINT) AS content_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum({_H32_C}) AS BIGINT) AS content_checksum
+FROM cd GROUP BY source ORDER BY source
+"""
+
+ORACLE_CRAWL_INGEST_PIPELINE = _fill_html_chain(
+    _fill_robots_oracle(ORACLE_CRAWL_INGEST_PIPELINE)
+).replace("{_CANON_CTES}", _ORACLE_CANON_CTES.strip()).replace(
+    "{_H32_C}", _oracle_hash32("content")
 )

@@ -1452,11 +1452,16 @@ def main() -> None:
             F.col("id").alias("doc_id"),
             F.concat(
                 F.lit('<div class="nav"><a href="/">Home</a> '
-                      '<a href="/x">About page</a></div><p>'),
+                      '<a href="/x">About page</a></div>'
+                      # r12: non-content bodies in the hot path so the
+                      # strip pass is part of the measured cost
+                      '<script>var t = track("x"); t.send(99);</script>'
+                      '<!-- rendered by engine build 123 --><p>'),
                 F.format_string(body, F.pmod(F.col("id"), F.lit(997))),
                 F.lit('</p><div>Plenty of mixed prose text with one '
                       'small <a href="/l">link</a> among words.</div>'
-                      '<p>No.</p><div class="footer">'
+                      '<p>No.</p><style>.x{margin:0}</style>'
+                      '<div class="footer">'
                       '<a href="/t">Terms of service</a></div>'),
             ).alias("html"),
         )

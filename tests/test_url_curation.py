@@ -265,3 +265,105 @@ def test_extract_main_content_strips_noncontent_and_entities(spark):
     assert r3.content == (
         'Ben & Jerry say 2 < 3 > 1 and that\'s "fine" &lt; literally.'
     )
+
+
+def test_extract_block_languages_labels_in_order(spark):
+    """Per-block language segmentation: each kept block gets the
+    stopword-argmax label of ITS text (not the page majority), in
+    document order, and the plan stays row-local."""
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        extract_block_languages,
+    )
+
+    html = (
+        '<div class="nav"><a href="/">Home</a> <a href="/x">About '
+        "page</a></div>"
+        "<p>The report is a long text of the kind we keep in the "
+        "corpus and the tests.</p>"
+        "<p>Der Bericht ist und bleibt von einem Autor und das Team "
+        "ist da.</p>"
+        "<p>Le rapport est un document et les auteurs sont une equipe "
+        "complete.</p>"
+        "<p>12345 67890 12345 67890 12345 67890 xyzzy frobnicate "
+        "qwertyuiop.</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id LONG, html STRING")
+    row = extract_block_languages(df).collect()[0]
+    assert row.block_langs == ["en", "de", "fr", "und"]
+    assert len(row.block_texts) == 4
+    assert row.block_texts[1].startswith("Der Bericht")
+
+    plan = (
+        extract_block_languages(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_drop_robots_noindex_contract(spark):
+    """Robots compliance screen: noindex and the NONE shorthand drop
+    (any case, either attribute order, comma variants); index/follow,
+    nofollow-only, and absent metas keep; the parsed directive array
+    rides along; plan is row-local."""
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        drop_robots_noindex,
+    )
+
+    rows = [
+        (1, '<head><meta name="robots" content="noindex, follow"></head>'
+            "<p>x</p>"),
+        (2, '<head><meta name="robots" content="NONE"></head><p>x</p>'),
+        (3, '<head><meta content="nofollow,noindex" name="robots"></head>'
+            "<p>x</p>"),
+        (4, '<head><meta name="robots" content="index, follow"></head>'
+            "<p>x</p>"),
+        (5, "<head><title>no robots meta at all</title></head><p>x</p>"),
+        (6, '<head><meta name="ROBOTS" content="NoIndex"></head><p>x</p>'),
+        (7, '<head><meta name="robots" content="nofollow"></head><p>x</p>'),
+        (8, '<head><meta name="description" content="noindex is a word">'
+            "</head><p>x</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, html STRING")
+    kept = drop_robots_noindex(df)
+    got = {r.doc_id: r.robots for r in kept.collect()}
+    assert set(got) == {4, 5, 7, 8}
+    assert got[4] == ["index", "follow"]
+    assert got[5] == [] and got[8] == []
+    assert got[7] == ["nofollow"]
+
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_crawl_pipeline_stage_order_robots_before_url_dedup(spark):
+    """The composed crawl pipeline screens robots BEFORE electing
+    canonical-URL keepers: when the min-id copy of a page is noindex
+    but a later tracking-variant copy is indexable, the indexable copy
+    must become the keeper and SURVIVE. URL-dedup-first would elect
+    the noindex copy, then lose the document entirely at the robots
+    screen — silent under-coverage."""
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        drop_robots_noindex,
+        extract_main_content,
+    )
+    from hse_etl_ochirov_aldar_spark.operators.text_dedup import exact_dedup
+    from hse_etl_ochirov_aldar_spark.operators.url_curation import (
+        dedup_canonical_url,
+    )
+
+    body = "<p>The one real paragraph of content this page carries.</p>"
+    rows = [
+        (1, "https://ex.com/a?utm_source=x",
+         f'<head><meta name="robots" content="noindex"></head>{body}'),
+        (2, "https://ex.com/a", f"<head></head>{body}"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = exact_dedup(
+        extract_main_content(dedup_canonical_url(drop_robots_noindex(pages)))
+        .select("doc_id", "content")
+        .where(F.length("content") > 0),
+        text_col="content",
+    )
+    assert [r.doc_id for r in out.collect()] == [2]
