@@ -83,17 +83,36 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return {lang: stopword_count(col, words) for lang, words in STOPWORDS.items()}
 
 
-def predicted_lang(col: Column | str) -> Column:
-    """Argmax language by stopword-profile score; deterministic
-    tie-break = lexicographically smallest language code. Falls back to
-    'und' when no profile matches at all."""
-    scores = lang_scores(col)
-    # build struct array (score, lang), take max by (score, reversed lang)
-    pairs = F.array(
-        *[
-            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-            for lang, s in sorted(scores.items())
-        ]
+def predicted_lang_from_tokens(lowered_tokens: Column) -> Column:
+    """Argmax language over an ALREADY-LOWERED token array — the
+    shared core of :func:`predicted_lang`, shaped as ONE fold over the
+    tokens (each token tested against every profile) instead of one
+    filter pass per profile. Interpreted lambdas get no common-
+    subexpression elimination (PERF finding: CollapseProject re-inlines
+    a column per reference), so the per-profile form re-TOKENIZED its
+    input once per language — 5x the split/trim/filter work; here the
+    token array appears exactly once in the expression tree. Semantics
+    are bit-identical: integer hit counts, strictly-greater argmax =
+    lexicographically-smallest tie-break, 'und' when nothing hits."""
+    langs = sorted(STOPWORDS)
+    profiles = [
+        F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs
+    ]
+    scores = F.aggregate(
+        lowered_tokens,
+        F.array(*[F.lit(0) for _ in langs]),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[F.array_contains(p, t).cast("int") for p in profiles]
+            ),
+            lambda a, h: a + h,
+        ),
+    )
+    pairs = F.zip_with(
+        scores,
+        F.array(*[F.lit(lang) for lang in langs]),
+        lambda s, lang: F.struct(s.alias("score"), lang.alias("lang")),
     )
     best = F.aggregate(
         pairs,
@@ -101,6 +120,15 @@ def predicted_lang(col: Column | str) -> Column:
         lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
     )
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax language by stopword-profile score; deterministic
+    tie-break = lexicographically smallest language code. Falls back to
+    'und' when no profile matches at all."""
+    return predicted_lang_from_tokens(
+        F.transform(whitespace_tokens(col), lambda t: F.lower(t))
+    )
 
 
 # ---------------------------------------------------------------------------

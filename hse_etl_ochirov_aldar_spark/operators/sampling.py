@@ -905,7 +905,9 @@ def distribution_matched_sample(
         ),
         group_col,
         key_col,
-        skew_safe=skew_safe,
+        # the collected counts here are the TARGET's, not df's, so auto
+        # still needs df's own route — the static probe answers it free
+        skew_safe=_static_skew_route(df, skew_safe),
     )
 
 

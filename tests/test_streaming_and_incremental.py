@@ -2275,3 +2275,64 @@ def test_streaming_crawl_ingest_equals_batch_twin(spark, tmpdir):
     assert [s["n_in"] for s in real] == [2, 2, 3]
     assert [s["n_extracted"] for s in real] == [2, 2, 2]
     assert [s["n_kept"] for s in real] == [2, 1, 1]
+
+
+def test_block_langs_and_robots_are_streaming_composable(spark, tmpdir):
+    """extract_block_languages and drop_robots_noindex are stateless
+    row-local algebra — both compose with a readStream unchanged and
+    produce exactly their batch outputs (the extract_main_content
+    precedent)."""
+    from pyspark.sql import types as T
+
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        drop_robots_noindex,
+        extract_block_languages,
+    )
+
+    rows = [
+        (1, "<p>The report is a text of the kind we keep in the corpus "
+            "here.</p><p>Der Bericht ist und bleibt von einem Autor und "
+            "das Team ist da.</p>"),
+        (2, '<head><meta name="robots" content="noindex"></head>'
+            "<p>Page two body prose long enough to clear the screen.</p>"),
+        (3, "<p>Page three body prose long enough to clear the screen "
+            "too.</p>"),
+    ]
+    src = f"{tmpdir}/bl_src"
+    spark.createDataFrame(rows, "doc_id long, html string").repartition(
+        2
+    ).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("html", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        extract_block_languages(drop_robots_noindex(stream))
+        .select("doc_id", "block_langs")
+        .writeStream.format("memory")
+        .queryName("t_stream_bl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.doc_id, tuple(r.block_langs))
+        for r in spark.table("t_stream_bl").collect()
+    }
+    batch_df = extract_block_languages(
+        drop_robots_noindex(spark.createDataFrame(rows, "doc_id long, html string"))
+    )
+    batch = {
+        (r.doc_id, tuple(r.block_langs)) for r in batch_df.collect()
+    }
+    assert streamed == batch
+    assert {d for d, _ in streamed} == {1, 3}  # noindex page 2 gone
+    assert dict(streamed)[1] == ("en", "de")

@@ -89,6 +89,14 @@ FLAGSHIPS = [
     # synth (10x pages, identical per-page block structure).
     "semantic_decontaminate",
     "curation_pipeline_v5",
+    # r12: the two new >1.5s entries. html_block_langs reads documents
+    # through the multilang HTML synth (10x pages, identical per-page
+    # block structure, per-block stopword argmax is row-local);
+    # crawl_ingest_pipeline's dup injections are a fixed id prefix, so
+    # its ratio reads the row-local screens + the two narrow windows
+    # at 10x pages.
+    "html_block_langs",
+    "crawl_ingest_pipeline",
 ]
 
 _TABLES = ("documents", "embeddings", "lineitem", "customer", "orders", "events")
