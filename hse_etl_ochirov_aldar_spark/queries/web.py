@@ -712,9 +712,11 @@ _ORACLE_MULTILANG_PAGES = r"""pages AS (
 ),
 {_BLOCK_CHAIN}"""
 
-ORACLE_HTML_BLOCK_LANGS = """
-WITH {_PAGES_CHAIN},
-blockrows AS (
+# Per-block language argmax CTEs, shared by html_block_langs and the
+# language-routed curation_pipeline_v6; expects ``kept`` from the
+# block chain and exposes ``best (doc_id, source, bi, txt,
+# block_lang)``.
+_ORACLE_BLOCK_LANG_CTES = """blockrows AS (
   SELECT doc_id, source,
          unnest(list_transform(range(1, len(keep) + 1),
                 i -> struct_pack(bi := i,
@@ -736,12 +738,16 @@ best AS (
   -- argmax per (doc, block): doc_id MUST partition too — identical
   -- fixture blocks recur across docs and a (source, bi, txt) key
   -- would collapse them to one row
-  SELECT source, txt,
+  SELECT doc_id, source, bi, txt,
          CASE WHEN sc > 0 THEN pl ELSE 'und' END AS block_lang
   FROM scores
   QUALIFY row_number() OVER (PARTITION BY doc_id, bi
                              ORDER BY sc DESC, pl ASC) = 1
-)
+)"""
+
+ORACLE_HTML_BLOCK_LANGS = """
+WITH {_PAGES_CHAIN},
+{_BLOCK_LANG_CTES}
 SELECT source, block_lang,
        CAST(count(*) AS BIGINT) AS n_blocks,
        CAST(sum(length(txt)) AS BIGINT) AS block_chars,
@@ -846,18 +852,19 @@ def _fill_robots_oracle(sql: str) -> str:
 
 ORACLE_ROBOTS_NOINDEX_SCREEN = _fill_robots_oracle(ORACLE_ROBOTS_NOINDEX_SCREEN)
 
-ORACLE_HTML_BLOCK_LANGS = ORACLE_HTML_BLOCK_LANGS.replace(
-    "{_PAGES_CHAIN}", _fill_html_chain(_ORACLE_MULTILANG_PAGES)
-).replace("{_H32_TXT}", _oracle_hash32("txt"))
-
-
 def _fill_sw_values(sql: str) -> str:
     from .etl import _SW_VALUES
 
     return sql.replace("{_SW_VALUES}", _SW_VALUES)
 
 
-ORACLE_HTML_BLOCK_LANGS = _fill_sw_values(ORACLE_HTML_BLOCK_LANGS)
+ORACLE_HTML_BLOCK_LANGS = _fill_sw_values(
+    ORACLE_HTML_BLOCK_LANGS.replace(
+        "{_PAGES_CHAIN}", _fill_html_chain(_ORACLE_MULTILANG_PAGES)
+    )
+    .replace("{_BLOCK_LANG_CTES}", _ORACLE_BLOCK_LANG_CTES)
+    .replace("{_H32_TXT}", _oracle_hash32("txt"))
+)
 
 
 def _crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,4 +1083,118 @@ ORACLE_CRAWL_INGEST_PIPELINE = _fill_html_chain(
     _fill_robots_oracle(ORACLE_CRAWL_INGEST_PIPELINE)
 ).replace("{_CANON_CTES}", _ORACLE_CANON_CTES.strip()).replace(
     "{_H32_C}", _oracle_hash32("content")
+)
+
+
+def q_curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 multilingual curation flagship — LANGUAGE-ROUTED
+    curation as one DataFrame program over the mixed-language pages:
+
+      per-block extraction + language ID (extract_block_languages)
+        -> keep only the ENGLISH blocks of each page, reassembled in
+           document order (the routing step a multilingual crawl needs
+           before a monolingual training mix — page-level language ID
+           would either drop whole mixed pages or keep their German
+           boilerplate)
+        -> drop pages with no English content
+        -> token-budgeted temperature mixture over the ROUTED char
+           mass (alpha=0.5, DECIMAL-safe budgets, static skew route)
+        -> per-source report: docs kept, chars kept, id checksum
+
+    Plan shape: routing is row-local array algebra on top of the
+    extraction lambdas (zero shuffle added); the sampler contributes
+    its one group_col shuffle; the one driver-side scalar is the
+    1-row total-mass aggregate (the v5 precedent). The oracle
+    recomputes extraction, the per-block stopword argmax, the routed
+    reassembly, and the isqrt/budget/prefix draw end-to-end from the
+    documents table."""
+    from ..operators.html_extract import extract_language_content
+    from ..operators.sampling import token_budget_mixture_sample
+
+    pages = _docs_with_multilang_html(spark, sf_dir)
+    docs = (
+        extract_language_content(pages, "en")
+        .select("doc_id", "source", F.length("content").alias("n_chars"))
+        .where(F.col("n_chars") > 0)
+        # persist the 3-narrow-column rollup as a scan barrier (the
+        # important_part_value precedent): the total agg, the
+        # sampler's mass census, and its join side would otherwise
+        # EACH re-evaluate the interpreted extraction + per-block
+        # argmax chain (no CSE for lambdas) — measured 8.3s without
+        # the barrier. Consumers clearCache between entries (catalog
+        # contract).
+        .persist()
+    )
+    total = docs.agg(
+        F.coalesce(F.sum("n_chars"), F.lit(0))
+    ).first()[0] // 3
+    s = token_budget_mixture_sample(docs, "source", "doc_id", "n_chars", total)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CURATION_PIPELINE_V6 = """
+WITH {_PAGES_CHAIN},
+{_BLOCK_LANG_CTES},
+routed AS (
+  SELECT doc_id, source,
+         string_agg(txt, chr(10) ORDER BY bi) AS content
+  FROM best WHERE block_lang = 'en'
+  GROUP BY doc_id, source
+),
+docs2 AS (
+  SELECT doc_id, source, CAST(length(content) AS BIGINT) AS n_chars
+  FROM routed WHERE length(content) > 0
+),
+masses AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS m
+  FROM docs2 WHERE source IS NOT NULL GROUP BY source
+),
+r0 AS (
+  SELECT source, m, CAST(floor(sqrt(m)) AS BIGINT) AS r FROM masses
+),
+r1 AS (
+  SELECT source, m,
+         r + CASE WHEN (r+1)*(r+1) <= m THEN 1 ELSE 0 END AS r FROM r0
+),
+w AS (
+  SELECT source, r - CASE WHEN r*r > m THEN 1 ELSE 0 END AS wt FROM r1
+),
+budget AS (
+  SELECT source,
+         ((SELECT CAST(sum(n_chars) AS BIGINT) FROM docs2) // 3)
+           * wt // (SELECT sum(wt) FROM w) AS b
+  FROM w
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY {_H32_DOCID} % 1000000007,
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+  FROM docs2 WHERE source IS NOT NULL
+)
+SELECT rk.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(rk.n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(rk.doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked rk JOIN budget USING (source)
+WHERE COALESCE(rk.cum, 0) < budget.b AND budget.b > 0
+GROUP BY rk.source
+ORDER BY rk.source
+"""
+
+ORACLE_CURATION_PIPELINE_V6 = _fill_sw_values(
+    ORACLE_CURATION_PIPELINE_V6.replace(
+        "{_PAGES_CHAIN}", _fill_html_chain(_ORACLE_MULTILANG_PAGES)
+    )
+    .replace("{_BLOCK_LANG_CTES}", _ORACLE_BLOCK_LANG_CTES)
+    .replace("{_H32_DOCID}", _oracle_hash32("CAST(doc_id AS VARCHAR)"))
 )
