@@ -367,3 +367,40 @@ def test_crawl_pipeline_stage_order_robots_before_url_dedup(spark):
         text_col="content",
     )
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_extract_language_content_routes_blocks(spark):
+    """Language routing keeps only target-language blocks, joined in
+    document order; pages with no target block yield ''; plan is
+    row-local and the chain appears once (no __qsalt-style
+    duplication concerns — single expression by construction)."""
+    from hse_etl_ochirov_aldar_spark.operators.html_extract import (
+        extract_language_content,
+    )
+
+    en1 = "The report is a text of the kind we keep in the corpus here."
+    en2 = "And the second English paragraph is also part of the body."
+    de = "Der Bericht ist und bleibt von einem Autor und das Team ist da."
+    html = f"<p>{en1}</p><p>{de}</p><p>{en2}</p>"
+    df = spark.createDataFrame(
+        [(1, html), (2, f"<p>{de}</p>")], "doc_id long, html string"
+    )
+    got = {
+        r.doc_id: r.content
+        for r in extract_language_content(df, "en").collect()
+    }
+    assert got[1] == f"{en1}\n{en2}"
+    assert got[2] == ""
+    de_got = {
+        r.doc_id: r.content
+        for r in extract_language_content(df, "de").collect()
+    }
+    assert de_got[1] == de and de_got[2] == de
+
+    plan = (
+        extract_language_content(df, "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
