@@ -151,3 +151,107 @@ def parallel_page_candidates(
             F.col("b.url_lang").alias("lang_b"),
         )
     )
+
+
+# robots.txt parsing (r12): stateless two-step — split on User-agent
+# headers, keep the '*' group(s), extract Allow/Disallow lines. No
+# lookahead (RE2 lacks it) and no backreferences, so the SAME pattern
+# strings run under Java regex and the DuckDB oracle. Contract is the
+# prefix-match subset of REP (RFC 9309): no '*'/'$' wildcards inside
+# rule paths, longest-prefix wins, Allow beats Disallow on ties, a
+# domain with no robots row (or no '*' group) is fully allowed.
+ROBOTS_UA_SPLIT = r"(?i)user-agent[ \t]*:"
+ROBOTS_RULE_PATTERN = r"(?im)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^\s#]*)"
+
+
+def robots_star_rules(robots_txt: Column) -> Column:
+    """array<struct<verb,prefix>> of every Allow/Disallow rule in the
+    ``User-agent: *`` group(s) of one robots.txt body; empty-prefix
+    rules (``Disallow:`` = allow everything) are kept here and
+    ignored by the matcher. Row-local."""
+    segs = F.split(robots_txt, ROBOTS_UA_SPLIT)
+    star = F.filter(segs, lambda s: F.trim(s).startswith("*"))
+    per_seg = F.transform(
+        star,
+        lambda s: F.zip_with(
+            F.regexp_extract_all(s, F.lit(ROBOTS_RULE_PATTERN), 1),
+            F.regexp_extract_all(s, F.lit(ROBOTS_RULE_PATTERN), 2),
+            lambda v, p: F.struct(
+                F.lower(v).alias("verb"), p.alias("prefix")
+            ),
+        ),
+    )
+    return F.flatten(per_seg)
+
+
+def robots_allowed(path: Column, rules: Column) -> Column:
+    """True when ``path`` is crawlable under ``rules`` (the
+    robots_star_rules array): the LONGEST matching prefix decides,
+    Allow beats Disallow at equal length (RFC 9309 §2.2.2), no
+    matching rule — or no rules at all — means allowed."""
+    matching = F.filter(
+        rules,
+        lambda r: (r["prefix"] != "") & path.startswith(r["prefix"]),
+    )
+    best = F.aggregate(
+        matching,
+        F.struct(F.lit(-1).alias("ln"), F.lit("").alias("verb")),
+        lambda acc, r: F.when(
+            (F.length(r["prefix"]) > acc["ln"])
+            | (
+                (F.length(r["prefix"]) == acc["ln"])
+                & (r["verb"] == "allow")
+            ),
+            F.struct(
+                F.length(r["prefix"]).alias("ln"), r["verb"].alias("verb")
+            ),
+        ).otherwise(acc),
+    )
+    return rules.isNull() | (best["ln"] < 0) | (best["verb"] == "allow")
+
+
+def robots_txt_screen(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    robots_col: str = "robots_txt",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Crawl-compliance screen against per-domain robots.txt bodies:
+    keep only URLs whose path the domain's ``User-agent: *`` rules
+    allow. The companion of drop_robots_noindex (page-level meta):
+    robots.txt governs FETCHING, the meta governs indexing — a
+    published corpus honors both.
+
+    Scale shape (100 TB of URLs): the robots table is one row per
+    registrable domain (bounded by the web's domain count, not its
+    page count) and its rules parse ONCE per domain on the build side;
+    the URL stream takes a broadcast LEFT join on its derived domain
+    and answers the longest-prefix decision row-locally — URLs never
+    shuffle. Domains absent from the robots table pass through
+    (fetching them found no robots.txt = allowed, the crawler
+    default)."""
+    rtab = robots.select(
+        F.col(domain_col).alias("__rd"),
+        robots_star_rules(F.col(robots_col)).alias("__rules"),
+    )
+    dom = F.coalesce(
+        registrable_domain(url_host(F.col(url_col))), F.lit("")
+    )
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.col(url_col),
+                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?",
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    out = urls.withColumn("__dom", dom).join(
+        F.broadcast(rtab), F.col("__dom") == F.col("__rd"), "left"
+    )
+    return out.where(robots_allowed(path, F.col("__rules"))).drop(
+        "__rd", "__rules", "__dom"
+    )

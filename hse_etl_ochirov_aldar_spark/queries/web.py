@@ -1198,3 +1198,144 @@ ORACLE_CURATION_PIPELINE_V6 = _fill_sw_values(
     .replace("{_BLOCK_LANG_CTES}", _ORACLE_BLOCK_LANG_CTES)
     .replace("{_H32_DOCID}", _oracle_hash32("CAST(doc_id AS VARCHAR)"))
 )
+
+
+_ROBOTS_TXT_A = "\n".join(
+    [
+        "# site robots",
+        "User-agent: googlebot",
+        "Disallow: /private",
+        "User-agent: *",
+        "Allow: /articles/public",
+        "Disallow: /articles",
+        "Disallow: /tmp",
+        "User-agent: other",
+        "Disallow: /",
+    ]
+)
+_ROBOTS_TXT_B = "User-agent: *\nDisallow:"
+
+
+def _robots_txt_fixture(spark: SparkSession, sf_dir: str):
+    """(urls, robots): one robots.txt body per source domain — even
+    sources (by last-char parity) get a multi-group body whose '*'
+    group mixes Allow/Disallow with a longer-allow-inside-disallow
+    nest plus decoy googlebot/other groups; odd sources get the empty
+    Disallow (allow-all). URLs cycle four path shapes per doc:
+    disallowed subtree, the allow-carved sub-subtree, a second
+    disallowed subtree, and an unruled path."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = F.ascii(F.substring(F.col("source"), -1, 1)) % 2
+    robots = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+            F.when(par == 0, F.lit(_ROBOTS_TXT_A))
+            .otherwise(F.lit(_ROBOTS_TXT_B))
+            .alias("robots_txt"),
+        )
+    )
+    d = F.col("doc_id").cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    path = (
+        F.when(m == 0, F.concat(F.lit("/articles/"), d))
+        .when(m == 1, F.concat(F.lit("/articles/public/"), d))
+        .when(m == 2, F.concat(F.lit("/tmp/page"), d))
+        .otherwise(F.concat(F.lit("/pages/"), d))
+    )
+    urls = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com"), path
+        ).alias("url"),
+    )
+    return urls, robots
+
+
+def q_robots_txt_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance screen (operators/url_curation.
+    robots_txt_screen): per-domain User-agent:* rule tables parse once
+    on the broadcast side, every URL answers the longest-prefix
+    Allow/Disallow decision row-locally (Allow beats Disallow on
+    ties), unruled paths and allow-all domains pass. Report per
+    source: URLs kept + id checksum — on the even-parity domains
+    exactly the allow-carved and unruled path shapes survive; on
+    odd-parity (empty Disallow) domains everything does."""
+    from ..operators.url_curation import robots_txt_screen
+
+    urls, robots = _robots_txt_fixture(spark, sf_dir)
+    kept = robots_txt_screen(urls, robots)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_ROBOTS_TXT_SCREEN = r"""
+WITH robots AS (
+  SELECT source,
+         CASE WHEN ascii(substr(source, length(source), 1)) % 2 = 0
+              THEN '# site robots' || chr(10)
+                   || 'User-agent: googlebot' || chr(10)
+                   || 'Disallow: /private' || chr(10)
+                   || 'User-agent: *' || chr(10)
+                   || 'Allow: /articles/public' || chr(10)
+                   || 'Disallow: /articles' || chr(10)
+                   || 'Disallow: /tmp' || chr(10)
+                   || 'User-agent: other' || chr(10)
+                   || 'Disallow: /'
+              ELSE 'User-agent: *' || chr(10) || 'Disallow:'
+         END AS rt
+  FROM (SELECT DISTINCT source FROM documents)
+),
+rules AS (
+  -- list_zip yields UNNAMED structs in DuckDB: index numerically
+  SELECT source, lower(z[1]) AS verb, z[2] AS prefix
+  FROM (
+    SELECT source,
+           unnest(flatten(list_transform(
+             list_filter(regexp_split_to_array(rt, '(?i)user-agent[ \t]*:'),
+                         s -> starts_with(trim(s), '*')),
+             s -> list_zip(
+               regexp_extract_all(s,
+                 '(?im)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^\s#]*)', 1),
+               regexp_extract_all(s,
+                 '(?im)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^\s#]*)', 2)
+             )))) AS z
+    FROM robots
+  )
+),
+urls AS (
+  SELECT doc_id, source,
+         CASE doc_id % 4
+           WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/articles/public/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/tmp/page' || CAST(doc_id AS VARCHAR)
+           ELSE '/pages/' || CAST(doc_id AS VARCHAR)
+         END AS path
+  FROM documents
+),
+decided AS (
+  SELECT u.doc_id, u.source, r.verb,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC,
+                    CASE WHEN r.verb = 'allow' THEN 0 ELSE 1 END) AS rn
+  FROM urls u LEFT JOIN rules r
+    ON u.source = r.source AND r.prefix <> ''
+   AND starts_with(u.path, r.prefix)
+),
+kept AS (
+  SELECT doc_id, source FROM decided
+  WHERE rn = 1 AND (verb IS NULL OR verb = 'allow')
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM kept GROUP BY source ORDER BY source
+"""

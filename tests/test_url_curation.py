@@ -404,3 +404,53 @@ def test_extract_language_content_routes_blocks(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_robots_txt_screen_contract(spark):
+    """robots.txt screen: longest matching prefix decides, Allow beats
+    Disallow on ties (the /articles/public carve-out inside the
+    /articles disallow), non-star UA groups are ignored, empty
+    Disallow means allow-all, unruled paths and robots-less domains
+    pass, and the plan broadcasts the rule table (URLs never
+    shuffle)."""
+    from hse_etl_ochirov_aldar_spark.operators.url_curation import (
+        robots_txt_screen,
+    )
+
+    rt = "\n".join(
+        [
+            "# site robots",
+            "User-agent: googlebot",
+            "Disallow: /private",
+            "User-agent: *",
+            "Allow: /articles/public",
+            "Disallow: /articles",
+            "Disallow: /tmp",
+            "User-agent: other",
+            "Disallow: /",
+        ]
+    )
+    robots = spark.createDataFrame(
+        [("ex.com", rt), ("open.org", "User-agent: *\nDisallow:")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://ex.com/articles/1"),         # disallowed
+            (2, "https://ex.com/articles/public/2"),  # longer allow wins
+            (3, "https://ex.com/tmp/3"),              # disallowed
+            (4, "https://ex.com/pages/4"),            # unruled -> kept
+            (5, "https://ex.com"),                    # path '/' unruled
+            (6, "https://open.org/anything"),         # empty disallow
+            (7, "https://norobots.net/x"),            # no robots row
+            (8, "https://ex.com/private/8"),          # googlebot-only rule
+        ],
+        "doc_id long, url string",
+    )
+    out = robots_txt_screen(urls, robots)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [2, 4, 5, 6, 7, 8]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "Exchange hashpartitioning" not in plan
