@@ -105,6 +105,91 @@ def pagerank_exact(
     return ranks
 
 
+def pagerank_exact_directed(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(id, rank_micro) after ``iters`` rounds of integer PageRank on
+    a DIRECTED edge list ``(src, dst)`` — the web-link-graph variant
+    of :func:`pagerank_exact`: each node splits its rank over its
+    OUT-edges (half-up integer division, same convention), and every
+    node in the graph — including pure sinks with no out-edges —
+    appears in every round's output.
+
+    Two documented simplifications keep the fixed-iteration run an
+    exact pure function of the edge list (so the DuckDB unrolled-CTE
+    twin is bit-for-bit): duplicate (src, dst) rows collapse to one
+    edge (endorsement, not multiplicity), and DANGLING MASS IS
+    DROPPED — a sink's rank is not redistributed, the common
+    "lumped-teleport-omitted" variant. Rankings are a diagnostic
+    quality signal; mass conservation is not the contract.
+
+    Scale shape: per round, one equi-join of the rank table (one
+    BIGINT per node) to the edge list plus a map-side-combinable
+    groupBy — O(edges) shuffle per round on a host graph whose size
+    is frontier-bounded, never page-bounded. Unlike the undirected
+    kernel, rounds are LAZY by default: an eager localCheckpoint per
+    round costs one driver job each, which dominates wall-clock at
+    the common 3-round depth (measured ~10s -> <1s warm on a
+    180-edge host graph), while a 3-round lineage is shallow enough
+    for one AQE-planned job with exchange reuse across rounds. Past
+    ``checkpoint_every`` rounds the plan nests enough joins that
+    ranks checkpoint on that cadence (and the edge/node tables are
+    pinned up front so checkpoint jobs never re-derive an expensive
+    upstream extraction per round).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    will_checkpoint = bool(checkpoint_every) and iters > checkpoint_every
+    if will_checkpoint:
+        e = e.localCheckpoint()
+        nodes = nodes.localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ranks = nodes.select("id", F.lit(MICRO).cast("long").alias("rank_micro"))
+    base = (100 - damping_pct) * MICRO // 100
+    for i in range(iters):
+        inflow = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(
+                    "CAST((2 * rank_micro + od) div (2 * od) AS BIGINT)"
+                ).alias("share"),
+            )
+            .groupBy("id")
+            .agg(F.sum("share").alias("__in"))
+        )
+        ranks = (
+            nodes.join(inflow, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST(({damping_pct} * coalesce(__in, 0)) div 100"
+                        " AS BIGINT)"
+                    )
+                ).alias("rank_micro"),
+            )
+        )
+        if will_checkpoint and (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """Per-node triangle participation + local clustering coefficient
     via DEGREE-ORIENTED wedge counting (the MapReduce-standard trick:

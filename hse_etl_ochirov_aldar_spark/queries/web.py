@@ -1339,3 +1339,373 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
 FROM kept GROUP BY source ORDER BY source
 """
+
+
+def _docs_with_link_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, url, html): the link-graph fixture — each
+    page keeps its _docs_with_urls URL and carries a deterministic
+    body exercising every extraction/resolution branch: same-host nav
+    links, an <a> inside a <script> string and one inside an HTML
+    comment (both must be stripped, never extracted), a double-quoted
+    absolute cross-host link, a protocol-relative link, a
+    single-quoted absolute link, and the four drop classes (mailto:,
+    fragment-only, path-relative, no-href). Cross-host targets use
+    pure doc_id arithmetic over the same src0..src19 universe
+    (multipliers 7 and 3 are coprime with 20, so every host is
+    reached), keeping the oracle twin a straight SQL re-derivation."""
+    pages = _docs_with_urls(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    t1 = F.pmod(d * 7 + 1, F.lit(20)).cast("string")
+    t2 = F.pmod(d * 3 + 2, F.lit(20)).cast("string")
+    t3 = F.pmod(d + 5, F.lit(20)).cast("string")
+    p1 = F.pmod(d, F.lit(50)).cast("string")
+    html = F.concat(
+        F.lit('<html><body><div class="nav"><a href="/">Home</a> '
+              '<a href="/about">About</a></div>'),
+        F.lit("<script>var s = \"<a href='https://spam.example/x'>"
+              'spam</a>";</script>'),
+        F.lit("<h1>"), F.col("source"), F.lit(" page "), ds,
+        F.lit("</h1>"),
+        F.lit('<!-- <a href="https://ghost.example/g">gone</a> --><p>'),
+        F.lit('<a href="https://src'), t1, F.lit(".com/articles/"), p1,
+        F.lit('">Read more '), ds, F.lit("</a> and "),
+        F.lit('<a href="//cdn.src'), t2, F.lit(".net/assets/a"), p1,
+        F.lit('">asset bundle</a> plus '),
+        F.lit("<a href='https://www.src"), t3, F.lit(".co.uk/articles/p"),
+        p1, F.lit("'>partner article</a>.</p>"),
+        F.lit('<p><a href="mailto:team@example.com">mail us</a> '
+              '<a href="#top">back to top</a> '),
+        F.lit('<a href="rel/path'), ds,
+        F.lit('">relative</a> <a name="x">no href</a></p></body></html>'),
+    )
+    return pages.select("doc_id", "source", "url", html.alias("html"))
+
+
+def q_link_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank over extracted hyperlinks (operators/
+    link_graph + graph.pagerank_exact_directed): row-local anchor
+    extraction and href resolution, one host-pair-bounded edge
+    groupBy, then 3 exact-integer directed rounds at damping 85/100
+    on the ~60-host graph. Top-15 hosts by rank with host tie-break,
+    plus distinct in/out neighbor counts. The DuckDB twin re-runs the
+    FULL chain — strip, anchor regex, href parse, resolution, host
+    fold, and three unrolled bit-identical rounds."""
+    from ..operators.graph import pagerank_exact_directed
+    from ..operators.link_graph import extract_links, host_link_edges
+
+    pages = _docs_with_link_html(spark, sf_dir)
+    # Materialize the links layer once: predicate pushdown otherwise
+    # inlines the full href-regex chain into every downstream filter
+    # and grouping key (~6 re-evaluations per anchor, measured 4x the
+    # whole-query cost at sf0.1). At 100 TB this layer is a persisted
+    # parquet artifact consumers share; localCheckpoint is its
+    # in-session stand-in.
+    links = extract_links(pages).localCheckpoint()
+    # the host-pair edge list is tiny (host-bounded): pin it before
+    # fanning out to the rank iteration AND the two degree censuses
+    e = host_link_edges(links).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).localCheckpoint()
+    pr = pagerank_exact_directed(e, iters=3)
+    out_h = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_hosts")
+    )
+    in_h = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_hosts")
+    )
+    return (
+        pr.join(in_h, "id", "left")
+        .join(out_h, "id", "left")
+        .select(
+            F.col("id").alias("host"),
+            F.coalesce(F.col("in_hosts"), F.lit(0)).cast("long").alias("in_hosts"),
+            F.coalesce(F.col("out_hosts"), F.lit(0)).cast("long").alias("out_hosts"),
+            "rank_micro",
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("host"))
+        .limit(15)
+    )
+
+
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/link_graph.extract_links): the
+    retrieval-side use of the same link extraction — aggregate, per
+    TARGET host, how many resolved links point there, from how many
+    distinct source hosts, with how many distinct anchor texts, plus
+    a 32-bit md5 checksum over (anchor_text | link_url) pinning the
+    exact extracted strings. Result is host-bounded (~60 rows at any
+    SF) — the scale-honest report shape."""
+    from ..functions.url import url_host
+    from ..operators.link_graph import extract_links
+
+    pages = _docs_with_link_html(spark, sf_dir)
+    links = extract_links(pages)
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("anchor_text"), F.col("link_url"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+    return (
+        links.select(
+            url_host(F.col("link_url")).alias("dst_host"),
+            url_host(F.col("url")).alias("src_host"),
+            "anchor_text",
+            "link_url",
+        )
+        .groupBy("dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+            F.countDistinct("anchor_text").alias("n_anchors"),
+            F.sum(h32).alias("anchor_checksum"),
+        )
+        .orderBy("dst_host")
+    )
+
+
+# Link-extraction chain shared by both link-graph oracles: synth URL +
+# page html -> strip non-content -> anchor elements -> href (either
+# quote style) -> resolve -> keep http(s). Mirrors operators/
+# link_graph.py expression for expression.
+_ORACLE_LINK_CTES = r"""u AS ({_URL_SYNTH}),
+pages AS (
+  SELECT doc_id, source, url,
+         '<html><body><div class="nav"><a href="/">Home</a> '
+         || '<a href="/about">About</a></div>'
+         || '<script>var s = "<a href=''https://spam.example/x''>'
+         || 'spam</a>";</script>'
+         || '<h1>' || source || ' page ' || CAST(doc_id AS VARCHAR)
+         || '</h1>'
+         || '<!-- <a href="https://ghost.example/g">gone</a> --><p>'
+         || '<a href="https://src' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR)
+         || '.com/articles/' || CAST(doc_id % 50 AS VARCHAR)
+         || '">Read more ' || CAST(doc_id AS VARCHAR) || '</a> and '
+         || '<a href="//cdn.src' || CAST((doc_id * 3 + 2) % 20 AS VARCHAR)
+         || '.net/assets/a' || CAST(doc_id % 50 AS VARCHAR)
+         || '">asset bundle</a> plus '
+         || '<a href=''https://www.src' || CAST((doc_id + 5) % 20 AS VARCHAR)
+         || '.co.uk/articles/p' || CAST(doc_id % 50 AS VARCHAR)
+         || '''>partner article</a>.</p>'
+         || '<p><a href="mailto:team@example.com">mail us</a> '
+         || '<a href="#top">back to top</a> '
+         || '<a href="rel/path' || CAST(doc_id AS VARCHAR)
+         || '">relative</a> <a name="x">no href</a></p></body></html>'
+         AS html
+  FROM u
+),
+anch AS (
+  SELECT doc_id, url,
+         unnest(regexp_extract_all({_STRIPPED_HTML},
+                '(?is)<a\b[^>]*>.*?</a>', 0)) AS a
+  FROM pages
+),
+parsed AS (
+  SELECT doc_id, url,
+         CASE WHEN regexp_extract(a,
+                '(?is)<a\b[^>]*?\bhref[ \t]*=[ \t]*"([^"]*)"', 1) <> ''
+              THEN regexp_extract(a,
+                '(?is)<a\b[^>]*?\bhref[ \t]*=[ \t]*"([^"]*)"', 1)
+              ELSE regexp_extract(a,
+                '(?is)<a\b[^>]*?\bhref[ \t]*=[ \t]*''([^'']*)''', 1)
+         END AS href,
+         {_TXT_A} AS anchor_text
+  FROM anch
+),
+resolved AS (
+  SELECT doc_id, url, href, anchor_text,
+         lower(regexp_extract(url,
+           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS pscheme,
+         lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS phost,
+         CASE
+           WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN
+             CASE WHEN lower(regexp_extract(href,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                  IN ('http', 'https') THEN href END
+           WHEN href LIKE '//%' THEN pscheme || ':' || href
+           WHEN href LIKE '/%' THEN pscheme || '://' || phost || href
+         END AS link_url
+  FROM parsed
+),
+links AS (SELECT * FROM resolved WHERE link_url IS NOT NULL)"""
+
+
+def _fill_link_chain(sql: str) -> str:
+    return (
+        sql.replace("{_LINK_CTES}", _ORACLE_LINK_CTES)
+        .replace("{_URL_SYNTH}", _ORACLE_URL_SYNTH)
+        .replace("{_STRIPPED_HTML}", _sql_strip_noncontent("html"))
+        .replace("{_TXT_A}", _sql_block_txt("a"))
+    )
+
+
+def _oracle_link_host_pagerank(iters: int = 3) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT n.id,
+         CAST(150000 + (85 * coalesce(s.i, 0)) // 100 AS BIGINT)
+           AS rank_micro
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id,
+           sum((2 * r.rank_micro + d.od) // (2 * d.od)) AS i
+    FROM he e JOIN {prev} r ON e.src = r.id JOIN od d ON e.src = d.src
+    GROUP BY e.dst) s ON n.id = s.id
+)""")
+        prev = f"r{i}"
+    joined = ",\n".join(rounds)
+    return f"""
+WITH {{_LINK_CTES}},
+he AS (
+  SELECT DISTINCT phost AS src,
+         lower(regexp_extract(link_url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS dst
+  FROM links
+  WHERE phost <> ''
+    AND lower(regexp_extract(link_url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) <> ''
+    AND lower(regexp_extract(link_url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) <> phost
+),
+nodes AS (SELECT src AS id FROM he UNION SELECT dst FROM he),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM he GROUP BY src),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+{joined},
+idh AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_hosts
+        FROM he GROUP BY dst),
+odh AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_hosts
+        FROM he GROUP BY src)
+SELECT r.id AS host,
+       CAST(coalesce(idh.in_hosts, 0) AS BIGINT) AS in_hosts,
+       CAST(coalesce(odh.out_hosts, 0) AS BIGINT) AS out_hosts,
+       r.rank_micro
+FROM {prev} r
+LEFT JOIN idh ON r.id = idh.id
+LEFT JOIN odh ON r.id = odh.id
+ORDER BY r.rank_micro DESC, host
+LIMIT 15
+"""
+
+
+ORACLE_LINK_HOST_PAGERANK = _fill_link_chain(_oracle_link_host_pagerank(3))
+
+ORACLE_ANCHOR_TEXT_INDEX = _fill_link_chain("""
+WITH {_LINK_CTES}
+SELECT lower(regexp_extract(link_url,
+         '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT phost) AS BIGINT) AS n_src_hosts,
+       CAST(count(DISTINCT anchor_text) AS BIGINT) AS n_anchors,
+       CAST(sum({_H32_ANCH}) AS BIGINT) AS anchor_checksum
+FROM links
+GROUP BY dst_host
+ORDER BY dst_host
+""").replace(
+    "{_H32_ANCH}", _oracle_hash32("anchor_text || '|' || link_url")
+)
+
+
+def _redirect_fixture(spark: SparkSession, sf_dir: str):
+    """(urls, redirects): within every 8-doc block, docs 0-3 form a
+    3-hop redirect chain onto a terminal (0->1->2->3) and docs 4-7
+    form a 4-cycle (4->5->6->7->4) — chains exercise full resolution,
+    cycles exercise the cannot-terminate branch. Edges come from
+    self-joining the URL table on doc_id arithmetic, so the oracle
+    re-derives them with the same join, not a shortcut list."""
+    urls = _docs_with_urls(spark, sf_dir)
+    a = urls.select(F.col("doc_id").alias("ad"), F.col("url").alias("src_url"))
+    b = urls.select(F.col("doc_id").alias("bd"), F.col("url").alias("dst_url"))
+    chain = (
+        a.join(b, F.col("bd") == F.col("ad") + 1)
+        .where(F.pmod(F.col("ad"), F.lit(4)) < 3)
+        .select("src_url", "dst_url")
+    )
+    cyc = (
+        a.join(b, F.col("bd") == F.col("ad") - 3)
+        .where(F.pmod(F.col("ad"), F.lit(8)) == 7)
+        .select("src_url", "dst_url")
+    )
+    return urls, chain.unionByName(cyc)
+
+
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain collapse (operators/link_graph.
+    resolve_redirects): pointer-jumping resolution — 3 doubling
+    self-joins cover 8 hops — over synthesized 3-hop chains and
+    4-cycles. Report per source: URLs, how many landed on a terminal,
+    and a 32-bit checksum over every final URL (pins the exact
+    landing page of every chain position, not just counts). The
+    DuckDB twin unrolls the identical doubling rounds AS MATERIALIZED
+    (a CTE referenced twice per round inlines exponentially
+    otherwise)."""
+    from ..operators.link_graph import resolve_redirects
+
+    urls, red = _redirect_fixture(spark, sf_dir)
+    out = resolve_redirects(urls, red, max_hops=8)
+    h32 = F.conv(
+        F.substring(F.md5(F.col("final_url")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("resolved").cast("long")).alias("n_resolved"),
+            F.sum(h32).alias("final_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_REDIRECT_RESOLUTION = r"""
+WITH u AS ({_URL_SYNTH}),
+red AS (
+  SELECT a.url AS src_url, b.url AS dst_url
+  FROM u a JOIN u b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 4 < 3
+  UNION ALL
+  SELECT a.url, b.url
+  FROM u a JOIN u b ON b.doc_id = a.doc_id - 3
+  WHERE a.doc_id % 8 = 7
+),
+r1 AS MATERIALIZED (
+  SELECT src_url AS s, min(dst_url) AS d FROM red GROUP BY src_url
+),
+pts AS (SELECT s AS uu FROM r1 UNION SELECT d FROM r1),
+p0 AS MATERIALIZED (
+  SELECT uu, coalesce(r1.d, uu) AS nxt FROM pts LEFT JOIN r1 ON uu = r1.s
+),
+p1 AS MATERIALIZED (
+  SELECT a.uu, coalesce(b.nxt, a.nxt) AS nxt
+  FROM p0 a LEFT JOIN p0 b ON a.nxt = b.uu
+),
+p2 AS MATERIALIZED (
+  SELECT a.uu, coalesce(b.nxt, a.nxt) AS nxt
+  FROM p1 a LEFT JOIN p1 b ON a.nxt = b.uu
+),
+p3 AS MATERIALIZED (
+  SELECT a.uu, coalesce(b.nxt, a.nxt) AS nxt
+  FROM p2 a LEFT JOIN p2 b ON a.nxt = b.uu
+),
+fin AS (
+  SELECT p3.uu, p3.nxt AS final_url, (r1.s IS NULL) AS resolved
+  FROM p3 LEFT JOIN r1 ON p3.nxt = r1.s
+),
+res AS (
+  SELECT u.source,
+         coalesce(f.final_url, u.url) AS final_url,
+         coalesce(f.resolved, TRUE) AS resolved
+  FROM u LEFT JOIN fin f ON u.url = f.uu
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN resolved THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resolved,
+       CAST(sum({_H32_FINAL}) AS BIGINT) AS final_checksum
+FROM res
+GROUP BY source ORDER BY source
+""".replace("{_URL_SYNTH}", _ORACLE_URL_SYNTH).replace(
+    "{_H32_FINAL}", _oracle_hash32("final_url")
+)
