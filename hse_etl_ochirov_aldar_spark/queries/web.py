@@ -1709,3 +1709,199 @@ GROUP BY source ORDER BY source
 """.replace("{_URL_SYNTH}", _ORACLE_URL_SYNTH).replace(
     "{_H32_FINAL}", _oracle_hash32("final_url")
 )
+
+
+def q_crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-planning capstone composing the URL-side crawl stages:
+    robots.txt screen (operators/url_curation.robots_txt_screen) ->
+    pointer-jumping redirect collapse (link_graph.resolve_redirects)
+    over a redirect graph that deliberately extends beyond the kept
+    set (a redirect may pass THROUGH a disallowed URL) -> drop chains
+    that cannot terminate (the 4-cycles) -> distinct landing targets
+    -> per-source frontier cap (first 5 by URL order, the politeness
+    budget). Report per source: robots-kept candidates, distinct
+    resolved targets, frontier size, and a checksum over the capped
+    frontier URLs. Every stage is individually oracle-checked
+    (robots_txt_screen, redirect_resolution); this entry pins the
+    COMPOSITION."""
+    from pyspark.sql.window import Window
+
+    from ..operators.link_graph import resolve_redirects
+    from ..operators.url_curation import robots_txt_screen
+
+    urls, robots = _robots_txt_fixture(spark, sf_dir)
+    kept = robots_txt_screen(urls, robots)
+    a = urls.select(F.col("doc_id").alias("ad"), F.col("url").alias("src_url"))
+    b = urls.select(F.col("doc_id").alias("bd"), F.col("url").alias("dst_url"))
+    chain = (
+        a.join(b, F.col("bd") == F.col("ad") + 1)
+        .where(F.pmod(F.col("ad"), F.lit(4)) < 3)
+        .select("src_url", "dst_url")
+    )
+    cyc = (
+        a.join(b, F.col("bd") == F.col("ad") - 3)
+        .where(F.pmod(F.col("ad"), F.lit(8)) == 7)
+        .select("src_url", "dst_url")
+    )
+    resolved = resolve_redirects(kept, chain.unionByName(cyc), max_hops=8)
+    targets = (
+        resolved.where(F.col("resolved"))
+        .select("source", "final_url")
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("final_url")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("final_url")), 1, 8), 16, 10
+    ).cast("long")
+    frontier = (
+        targets.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+    )
+    cand = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    targ = targets.groupBy("source").agg(F.count(F.lit(1)).alias("n_targets"))
+    fron = frontier.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_frontier"),
+        F.sum(h32).alias("frontier_checksum"),
+    )
+    return (
+        cand.join(targ, "source", "left")
+        .join(fron, "source", "left")
+        .select(
+            "source",
+            "n_candidates",
+            F.coalesce("n_targets", F.lit(0)).cast("long").alias("n_targets"),
+            F.coalesce("n_frontier", F.lit(0)).cast("long").alias("n_frontier"),
+            F.coalesce("frontier_checksum", F.lit(0)).cast("long").alias(
+                "frontier_checksum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CRAWL_FRONTIER_PLAN = r"""
+WITH robots AS (
+  SELECT source,
+         CASE WHEN ascii(substr(source, length(source), 1)) % 2 = 0
+              THEN '# site robots' || chr(10)
+                   || 'User-agent: googlebot' || chr(10)
+                   || 'Disallow: /private' || chr(10)
+                   || 'User-agent: *' || chr(10)
+                   || 'Allow: /articles/public' || chr(10)
+                   || 'Disallow: /articles' || chr(10)
+                   || 'Disallow: /tmp' || chr(10)
+                   || 'User-agent: other' || chr(10)
+                   || 'Disallow: /'
+              ELSE 'User-agent: *' || chr(10) || 'Disallow:'
+         END AS rt
+  FROM (SELECT DISTINCT source FROM documents)
+),
+rules AS (
+  SELECT source, lower(z[1]) AS verb, z[2] AS prefix
+  FROM (
+    SELECT source,
+           unnest(flatten(list_transform(
+             list_filter(regexp_split_to_array(rt, '(?i)user-agent[ \t]*:'),
+                         s -> starts_with(trim(s), '*')),
+             s -> list_zip(
+               regexp_extract_all(s,
+                 '(?im)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^\s#]*)', 1),
+               regexp_extract_all(s,
+                 '(?im)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^\s#]*)', 2)
+             )))) AS z
+    FROM robots
+  )
+),
+u AS (
+  SELECT doc_id, source,
+         CASE doc_id % 4
+           WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/articles/public/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/tmp/page' || CAST(doc_id AS VARCHAR)
+           ELSE '/pages/' || CAST(doc_id AS VARCHAR)
+         END AS path
+  FROM documents
+),
+uu AS (
+  SELECT doc_id, source, path,
+         'https://' || source || '.com' || path AS url
+  FROM u
+),
+decided AS (
+  SELECT x.doc_id, x.source, x.url, r.verb,
+         row_number() OVER (
+           PARTITION BY x.doc_id
+           ORDER BY length(r.prefix) DESC,
+                    CASE WHEN r.verb = 'allow' THEN 0 ELSE 1 END) AS rn
+  FROM uu x LEFT JOIN rules r
+    ON x.source = r.source AND r.prefix <> ''
+   AND starts_with(x.path, r.prefix)
+),
+kept AS (
+  SELECT doc_id, source, url FROM decided
+  WHERE rn = 1 AND (verb IS NULL OR verb = 'allow')
+),
+red AS (
+  SELECT a.url AS src_url, b.url AS dst_url
+  FROM uu a JOIN uu b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 4 < 3
+  UNION ALL
+  SELECT a.url, b.url
+  FROM uu a JOIN uu b ON b.doc_id = a.doc_id - 3
+  WHERE a.doc_id % 8 = 7
+),
+r1 AS MATERIALIZED (
+  SELECT src_url AS s, min(dst_url) AS d FROM red GROUP BY src_url
+),
+pts AS (SELECT s AS pu FROM r1 UNION SELECT d FROM r1),
+p0 AS MATERIALIZED (
+  SELECT pu, coalesce(r1.d, pu) AS nxt FROM pts LEFT JOIN r1 ON pu = r1.s
+),
+p1 AS MATERIALIZED (
+  SELECT a.pu, coalesce(b.nxt, a.nxt) AS nxt
+  FROM p0 a LEFT JOIN p0 b ON a.nxt = b.pu
+),
+p2 AS MATERIALIZED (
+  SELECT a.pu, coalesce(b.nxt, a.nxt) AS nxt
+  FROM p1 a LEFT JOIN p1 b ON a.nxt = b.pu
+),
+p3 AS MATERIALIZED (
+  SELECT a.pu, coalesce(b.nxt, a.nxt) AS nxt
+  FROM p2 a LEFT JOIN p2 b ON a.nxt = b.pu
+),
+fin AS (
+  SELECT p3.pu, p3.nxt AS final_url, (r1.s IS NULL) AS resolved
+  FROM p3 LEFT JOIN r1 ON p3.nxt = r1.s
+),
+res AS (
+  SELECT k.source,
+         coalesce(f.final_url, k.url) AS final_url,
+         coalesce(f.resolved, TRUE) AS resolved
+  FROM kept k LEFT JOIN fin f ON k.url = f.pu
+),
+targets AS (SELECT DISTINCT source, final_url FROM res WHERE resolved),
+fron AS (
+  SELECT source, final_url,
+         row_number() OVER (PARTITION BY source ORDER BY final_url) AS rn
+  FROM targets
+),
+cand AS (SELECT source, CAST(count(*) AS BIGINT) AS n_candidates
+         FROM kept GROUP BY source),
+targ AS (SELECT source, CAST(count(*) AS BIGINT) AS n_targets
+         FROM targets GROUP BY source),
+fr AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_frontier,
+         CAST(sum({_H32_FRONT}) AS BIGINT) AS frontier_checksum
+  FROM fron WHERE rn <= 5 GROUP BY source
+)
+SELECT c.source, c.n_candidates,
+       CAST(coalesce(t.n_targets, 0) AS BIGINT) AS n_targets,
+       CAST(coalesce(f.n_frontier, 0) AS BIGINT) AS n_frontier,
+       CAST(coalesce(f.frontier_checksum, 0) AS BIGINT) AS frontier_checksum
+FROM cand c
+LEFT JOIN targ t ON c.source = t.source
+LEFT JOIN fr f ON c.source = f.source
+ORDER BY c.source
+""".replace("{_H32_FRONT}", _oracle_hash32("final_url"))

@@ -217,3 +217,57 @@ def test_resolve_redirects_chain_cycle_and_bound(spark):
     }
     assert out2["u0"] == ("u2", False)
     assert out2["u1"] == ("u3", True)
+
+
+def test_extract_links_is_streaming_composable(spark, tmpdir):
+    """extract_links is stateless row-local algebra plus a narrow
+    explode — the same call works unchanged on a readStream (the
+    crawl-ingest link-layer path); streamed extraction equals batch
+    extraction per micro-batch with no state."""
+    from pyspark.sql import types as T
+
+    pages = spark.createDataFrame(
+        [
+            (
+                i,
+                f"http://site{i % 3}.com/p{i}",
+                f'<p><a href="/self{i}">Self {i}</a> and '
+                f'<a href="https://hub{i % 4}.example/x{i}">Hub {i}</a> '
+                f'<a href="#skip">skip</a></p>',
+            )
+            for i in range(12)
+        ],
+        ["doc_id", "url", "html"],
+    )
+    src = f"{tmpdir}/links_src"
+    pages.repartition(3).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        extract_links(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_links")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = ["doc_id", "href", "link_url", "anchor_text"]
+    streamed = {
+        tuple(r[c] for c in cols)
+        for r in spark.table("t_stream_links").collect()
+    }
+    batch = {
+        tuple(r[c] for c in cols) for r in extract_links(pages).collect()
+    }
+    assert streamed == batch and len(batch) == 24  # 2 resolvable per page
