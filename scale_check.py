@@ -1484,11 +1484,78 @@ def main() -> None:
             "content_chars": row.chars,
         }
 
+    # link graph at frontier-ish shape: 200k pages across a 10k-host
+    # universe, ~4 resolvable links per page -> row-local extraction,
+    # host-pair-bounded edge aggregation (~600k distinct pairs), then
+    # 3 directed exact-integer rounds on the 10k-node host graph —
+    # the full link_host_pagerank chain with a graph 170x the catalog
+    # fixture's
+    def link_graph_200k():
+        from hse_etl_ochirov_aldar_spark.operators.graph import (
+            pagerank_exact_directed,
+        )
+        from hse_etl_ochirov_aldar_spark.operators.link_graph import (
+            extract_links,
+            host_link_edges,
+        )
+
+        host = F.pmod(F.col("id"), F.lit(10_000)).cast("string")
+        t = [
+            F.pmod(F.col("id") * 7 + k, F.lit(10_000)).cast("string")
+            for k in (1, 2, 3)
+        ]
+        pages = spark.range(200_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("https://h"), host, F.lit(".example/p"),
+                F.col("id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit('<p><a href="/nav">Site navigation link</a> '),
+                F.lit('<a href="https://h'), t[0],
+                F.lit('.example/a">First related article</a> '),
+                F.lit('<a href="//h'), t[1],
+                F.lit('.example/b">Second related article</a> '),
+                F.lit("<a href='https://h"), t[2],
+                F.lit(".example/c'>Third related article</a> "),
+                F.lit('<a href="#top">Back to top</a></p>'),
+            ).alias("html"),
+        )
+        t0 = time.perf_counter()
+        links = extract_links(pages).localCheckpoint()
+        n_links = links.count()
+        t_extract = round(time.perf_counter() - t0, 2)
+        e = (
+            host_link_edges(links)
+            .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+            .localCheckpoint()
+        )
+        n_edges = e.count()
+        t_edges = round(time.perf_counter() - t0 - t_extract, 2)
+        pr = pagerank_exact_directed(e, iters=3)
+        n_hosts = pr.count()
+        dt = round(time.perf_counter() - t0, 2)
+        # 4 resolvable links per page (nav + 3 cross-host); fragment
+        # dropped. Host self-loops (t_k == own host) fold out of the
+        # edge list; nav links are all self-loops.
+        assert n_links == 4 * 200_000, n_links
+        assert n_hosts == 10_000, n_hosts
+        return {
+            "seconds": dt,
+            "extract_s": t_extract,
+            "edges_s": t_edges,
+            "rank_s": round(dt - t_extract - t_edges, 2),
+            "pages_per_sec": int(200_000 / dt),
+            "n_links": n_links,
+            "n_host_edges": n_edges,
+        }
+
     timed("quota_join_1m_groups", quota_join_1m_groups)
     timed("percentile_ranked_300k_groups", percentile_ranked_300k_groups)
     timed("quota_skew_hot_group_5m", quota_skew_hot_group_5m)
     timed("quota_auto_route_threshold", quota_auto_route_threshold)
     timed("html_extract_200k", html_extract_200k)
+    timed("link_graph_200k", link_graph_200k)
     spark.stop()
 
 
