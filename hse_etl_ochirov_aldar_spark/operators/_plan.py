@@ -57,6 +57,34 @@ def definitely_small_frame(
     return 0 < est < max_rows * min_bytes_per_row
 
 
+_REPARTITION_NODES = frozenset(
+    {"Repartition", "RepartitionByExpression", "RebalancePartitions"}
+)
+
+
+def _already_repartitioned(plan) -> bool:
+    """True when the optimized logical plan contains an explicit
+    repartition anywhere — the caller (or a query above the operator)
+    has already chosen a parallel layout, so stacking a second
+    round-robin exchange on top only re-shuffles the same rows.
+
+    The r12 motivation: the fix for the serialized-Generate family
+    (expensive per-row expressions evaluated BELOW the spread's
+    exchange — see duplicate_span_stats) is to spread the SCAN before
+    building the expression; without this check the operator-level
+    spread would then add a second, pure-overhead exchange of the
+    derived rows at test scale."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() in _REPARTITION_NODES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
+
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the default parallelism, only when
     Catalyst's size estimate says the scan would yield fewer partitions
@@ -84,6 +112,8 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().optimizedPlan()
     try:
+        if _already_repartitioned(plan):
+            return df
         leaves = plan.collectLeaves()
         for i in range(leaves.size()):
             if leaves.apply(i).getClass().getSimpleName() != "LogicalRelation":

@@ -73,7 +73,16 @@ def basket_pair_lift(
     ).distinct()  # presence, not multiplicity: support is basket count
     sizes = items.groupBy("__basket").agg(F.count(F.lit(1)).alias("__sz"))
     ok_baskets = sizes.where(F.col("__sz") <= max_basket)
-    kept = items.join(ok_baskets.select("__basket"), "__basket")
+    # explicit width for the pair-explosion stage (r12; the
+    # cosine_dup_ids precedent): the (basket, item) rows are a few
+    # bytes each so AQE coalesces the self-join input to 3-5 tasks,
+    # but its per-row COST is the quadratic within-basket pair fanout
+    # Catalyst cannot price. Both join sides derive from this one
+    # repartition, so they share the exchange.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    kept = items.join(ok_baskets.select("__basket"), "__basket").repartition(
+        target, "__basket"
+    )
 
     nb = F.broadcast(ok_baskets.agg(F.count(F.lit(1)).alias("__nb")))
 

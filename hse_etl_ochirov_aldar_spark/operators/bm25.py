@@ -99,7 +99,12 @@ def bm25_topk(
     )
     term_set = sorted({t for _, q in queries for t in q.lower().split()})
 
-    base = docs.select(
+    from ._plan import spread_small_input
+
+    # spread the scan before tokenizing (r12 serialized-Generate fix;
+    # no-op at real scale) — base feeds both the corpus stats and the
+    # tf explode, so the tokenize otherwise runs 1-task twice
+    base = spread_small_input(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         whitespace_tokens(F.lower(F.col(text_col))).alias("toks"),
     ).select("id", "toks", F.size("toks").alias("dl"))

@@ -90,16 +90,75 @@ def poisson_bootstrap_mean(
     by 32 — each partition emits 2R+2 numbers). Output: n, point_mean,
     ci_lo, ci_hi, n_replicas.
     """
+    from ._plan import spread_small_input
+
+    # Project to (key, y) THEN spread (r12): the per-row weight term is
+    # replicas/4 md5 evaluations + replicas CDF case-chains, evaluated
+    # in the aggregate's partial phase — on a small single-file scan
+    # that serializes every md5 on one core (guide §2.3/§2.5 shape:
+    # 4.2s -> ~0.7s at sf0.1). The projection keeps the round-robin
+    # exchange to two columns; at real scale the spread no-ops and the
+    # plan is the same single-pass 2R-column aggregate.
+    base = spread_small_input(
+        df.select(key.alias("__bk"), y_units.alias("__by"))
+    )
+    y_units = F.col("__by")
+    # Layered projections (r12, the link-extraction lesson): digests
+    # then uniforms as REAL columns before the aggregate. Inlined into
+    # the CASE chains, each digest is re-derived per slice and each
+    # uniform per CDF comparison (~12x), multiplying the md5/conv work
+    # ~50x per row — measured 3.5s for the weight projection alone at
+    # sf0.1 vs ~0.2s layered. CollapseProject keeps non-cheap aliases
+    # referenced more than once un-inlined, so the layering pins
+    # single evaluation; the aggregate itself is unchanged.
+    n_blocks = (replicas + 3) // 4
+    dig = base.select(
+        "__by",
+        *[
+            F.md5(F.concat(F.col("__bk").cast("string"), F.lit(f":{b}")))
+            .alias(f"__dg{b}")
+            for b in range(n_blocks)
+        ],
+    )
+    us = dig.select(
+        "__by",
+        *[
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.col(f"__dg{r // 4}"), 1 + 8 * (r % 4), 8
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .cast("double")
+                    + F.lit(0.5)
+                )
+                / F.lit(4294967296.0)
+            ).alias(f"__u{r}")
+            for r in range(replicas)
+        ],
+    )
+
+    def _w(r: int) -> Column:
+        u = F.col(f"__u{r}")
+        w: Column = F.lit(len(POISSON1_CDF))
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        return w.cast("long")
+
     dec = "decimal(38,0)"
     aggs = [
         F.count(F.when(y_units.isNotNull(), 1)).alias("n"),
         F.sum(y_units.cast(dec)).alias("sy"),
     ]
     for r in range(replicas):
-        w = F.when(y_units.isNotNull(), poisson_weight_expr(key, r))
+        w = F.when(y_units.isNotNull(), _w(r))
         aggs.append(F.sum((w * y_units).cast(dec)).alias(f"ws_{r}"))
         aggs.append(F.sum(w.cast(dec)).alias(f"wn_{r}"))
-    wide = df.agg(*aggs)
+    wide = us.agg(*aggs)
     mean_r = [
         F.round(
             F.col(f"ws_{r}").cast("double")

@@ -64,17 +64,31 @@ def pmi_collocations(
     pmi_micro, pmi``. Output is census-bounded (distinct pairs above
     min_count), never row-scale.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(whitespace_tokens(F.lower(F.col(text_col)))).alias(
-            "__pos", "__tok"
-        ),
+    from ._plan import spread_small_input
+
+    # r12: (1) spread the scan BEFORE tokenizing — the tokenize explode
+    # is the per-row CPU term and otherwise serializes on the small
+    # scan's single partition (serialized-Generate fix family);
+    # (2) derive bigrams ROW-LOCALLY from the token array (adjacent
+    # slices zipped) instead of lead() over a corpus-wide window — the
+    # window shuffled every (id, pos, token) row just to pair
+    # neighbors that already sit adjacent in the per-row array. Same
+    # pairs by construction; one full-corpus shuffle removed at any
+    # scale.
+    base = spread_small_input(df.select(text_col)).select(
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__ts")
     )
-    wd = Window.partitionBy("__id").orderBy("__pos")
-    bigrams = toks.select(
-        F.col("__tok").alias("w1"),
-        F.lead("__tok", 1).over(wd).alias("w2"),
-    ).where(F.col("w2").isNotNull())
+    toks = base.select(F.explode("__ts").alias("__tok"))
+    n1 = F.greatest(F.size("__ts") - 1, F.lit(0))
+    bigrams = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__ts", 1, n1),
+                F.slice("__ts", 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__bg")
+    ).select("__bg.w1", "__bg.w2")
 
     # Both censuses are vocabulary-sized (Zipf-compressed), so persist
     # them: every downstream consumer — the two dimension joins AND the

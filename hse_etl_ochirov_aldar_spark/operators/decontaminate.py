@@ -49,8 +49,13 @@ def contaminated_ids(
     """Ids of corpus docs sharing at least one n-token shingle with the
     eval set. Broadcast semi join — corpus-side rows never shuffle; the
     distinct runs over matched ids only (bounded by corpus hit rate)."""
+    from ._plan import spread_small_input
+
     grams = eval_shingles(eval_df, n, eval_text_col)
-    doc_grams = docs.select(
+    # spread before the corpus-side shingle explode (r12 serialized-
+    # Generate fix; no-op at real scale or on already-repartitioned
+    # pipeline inputs)
+    doc_grams = spread_small_input(docs.select(id_col, text_col)).select(
         id_col, F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )
     return (
@@ -99,7 +104,11 @@ def contamination_report(
         F.col(eval_id_col).alias("eval_id"),
         F.explode(word_shingles(F.col(eval_text_col), n)).alias("gram"),
     ).distinct()
-    doc_grams = docs.select(
+    from ._plan import spread_small_input
+
+    # spread before the corpus-side shingle explode (r12 serialized-
+    # Generate fix; no-op at real scale)
+    doc_grams = spread_small_input(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("__did"),
         F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
     )
@@ -194,7 +203,15 @@ def semantic_decontaminate(
     if strategy != "expr":
         raise ValueError(f"unknown strategy {strategy!r} (expr|arrow)")
 
+    from ._plan import spread_small_input
     from .similarity import _norm
+
+    # spread the corpus scan (r12): "map-only, never shuffles" also
+    # means nothing ever re-partitions it, so on a small single-file
+    # scan the per-row EXISTS fold — the whole cost of this operator —
+    # ran as ONE task (measured 2.6s single-task stage at sf0.1).
+    # No-op at real scale.
+    corpus = spread_small_input(corpus)
 
     probe = F.broadcast(
         evals.select(
@@ -257,6 +274,13 @@ def semantic_decontaminate_arrow(
     corpus vectors are KEPT — pinned across all three implementations
     including the DuckDB oracle, r11 ADVICE)."""
     import numpy as np
+
+    from ._plan import spread_small_input
+
+    # same single-task trap as the expression path (r12): the dgemm
+    # batches inherit the scan's partitioning; spread so they run on
+    # every core. No-op at real scale.
+    corpus = spread_small_input(corpus)
 
     ev_rows = [
         r[0]

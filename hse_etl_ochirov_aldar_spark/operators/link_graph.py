@@ -218,7 +218,14 @@ def resolve_redirects(
         p = (
             p.join(q, p["nxt"] == q["__qu"], "left")
             .select("u", F.coalesce("__qn", "nxt").alias("nxt"))
-            .localCheckpoint()
+            # LAZY checkpoint (r12): eager=True cost one driver job per
+            # round; lazy still truncates lineage and materializes each
+            # round exactly once (both references of round N inside
+            # round N+1 share the checkpointed RDD), but the rounds
+            # pipeline into the terminal action — A/B at sf0.1:
+            # 6.3s -> 4.8s (redirect_resolution), 3.3s -> 3.0s
+            # (crawl_frontier_plan), identical results.
+            .localCheckpoint(eager=False)
         )
     # a landing URL is final iff it has no outgoing redirect
     term = r.select(F.col("__s").alias("__t"), F.lit(False).alias("__is_term"))

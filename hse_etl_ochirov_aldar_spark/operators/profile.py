@@ -198,6 +198,15 @@ def correlation_matrix(
         raise ValueError("scales must match cols")
     scale_of = dict(zip(cols, sc))
 
+    from ._plan import spread_small_input
+
+    # project to the measured columns, then spread (r12): the partial
+    # phase evaluates ~5 moment terms per pair per row, and on a small
+    # single-file scan that CPU ran on 1-3 tasks (guide §2.3 project-
+    # before-exchange; no-op at real scale). Exact integer sums are
+    # order-independent, so the result is unchanged by partitioning.
+    df = spread_small_input(df.select(*cols))
+
     def u(c: str):
         return F.round(
             F.col(c).cast("double") * (10 ** scale_of[c]), 0

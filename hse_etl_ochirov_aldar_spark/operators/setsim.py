@@ -95,6 +95,13 @@ def prefix_filter_jaccard_pairs_postings(
     ex = stage_parquet(postings, prefix="hse_setsim_")
 
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    # explicit width for the expression-bound stages (r12; the
+    # cosine_dup_ids precedent): postings rows are ~20 bytes so AQE
+    # coalesces the window and verify inputs to 3-5 tasks, but the
+    # per-row cost — prefix-window ranking here, the candidate-pair
+    # array_intersect below — is what dominates, and Catalyst prices
+    # partitions by bytes only.
+    target = postings.sparkSession.sparkContext.defaultParallelism
     w_rank = Window.partitionBy("id").orderBy("df_t", "tok")
     w_id = Window.partitionBy("id")
     # candidate generation runs at threshold - 0.5*10^-scale: the final
@@ -104,6 +111,7 @@ def prefix_filter_jaccard_pairs_postings(
     t_cand = threshold - 0.5 * 10**-scale
     prefix = (
         ex.join(dfreq, "tok")
+        .repartition(target, "id")
         .select(
             "id",
             "tok",
@@ -117,7 +125,8 @@ def prefix_filter_jaccard_pairs_postings(
         .select(F.col("id").alias("id_p"), "tok")
     )
     cand = (
-        prefix.join(ex.select(F.col("id").alias("id_t"), "tok"), "tok")
+        prefix.repartition(target, "tok")
+        .join(ex.select(F.col("id").alias("id_t"), "tok"), "tok")
         .where(F.col("id_p") != F.col("id_t"))
         .select(
             F.least("id_p", "id_t").alias("id_a"),
@@ -138,7 +147,8 @@ def prefix_filter_jaccard_pairs_postings(
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jac = F.round(inter / (F.col("__na") + F.col("__nb") - inter), scale)
     return (
-        cand.join(a, "id_a")
+        cand.repartition(target, "id_a")
+        .join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

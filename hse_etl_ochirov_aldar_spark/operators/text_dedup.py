@@ -850,7 +850,14 @@ def segment_boilerplate_removal(
     """
     segs = text_segments(text_col, chunk_words, delimiter)
     joiner = " " if chunk_words is not None else "\n"
-    base = df.withColumn("__segs", segs).withColumn("__n0", F.size("__segs"))
+    # _spread BEFORE computing the segment arrays: the segmentation
+    # transform is the per-row CPU term, and both the census and the
+    # rebuild branch re-evaluate it — on the scan's single partition it
+    # serializes one core twice (r12; the duplicate_span_stats fix,
+    # same shape). No-op at real scale.
+    base = _spread(df).withColumn("__segs", segs).withColumn(
+        "__n0", F.size("__segs")
+    )
     pos = base.select(
         id_col, F.posexplode("__segs").alias("__pos", "__seg")
     ).withColumn("__k", F.xxhash64(F.lower(F.trim(F.col("__seg")))))
@@ -1059,6 +1066,14 @@ def incremental_minhash_dedup(
     ``unpersist()`` its contents after their terminal action, or cached
     blocks accumulate for the query lifetime.
     """
+    # Spread the batch ONCE at entry (no-op at real scale): every
+    # downstream stage — banding, the shingle verify, and above all the
+    # within-batch minhash_dedup over the PERSISTED `fresh` frame —
+    # inherits this layout. Without it `fresh` persists on the scan's
+    # 1-2 partitions and the whole within-batch stage serializes on one
+    # core (the spread probe cannot fire there: persist substitutes an
+    # InMemoryRelation leaf it refuses to trust). r12 fix.
+    new_batch = _spread(new_batch)
     lshkw = dict(
         num_hashes=num_hashes,
         bands=bands,
@@ -1088,14 +1103,27 @@ def incremental_minhash_dedup(
     )
     if persisted_out is not None:
         persisted_out.append(cand)
-    bsh = new_batch.select(
+    # _spread both verify sides BEFORE the shingle expression: the
+    # shingle transform is the per-row CPU term and otherwise runs on
+    # the scan's 1-2 partitions (r12; duplicate_span_stats fix, same
+    # shape). No-op at real scale.
+    bsh = _spread(new_batch.select(id_col, text_col)).select(
         F.col(id_col).alias("id_a"),
         word_shingles(F.col(text_col), shingle_n).alias("sh_a"),
     )
     matched = cand.select(F.col("id_b").alias(id_col)).distinct()
-    csh = corpus.join(F.broadcast(matched), id_col, "left_semi").select(
-        F.col(id_col).alias("id_b"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh_b"),
+    # spread the corpus SCAN (file leaf), not the joined frame: the
+    # probe only trusts all-file-leaf plans, and `matched` rides on the
+    # persisted candidate frame (an InMemoryRelation leaf). The
+    # broadcast semi-join preserves the spread partitioning, so the
+    # shingle transform still runs spread.
+    csh = (
+        _spread(corpus.select(id_col, text_col))
+        .join(F.broadcast(matched), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("id_b"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh_b"),
+        )
     )
     joined = cand.join(bsh, "id_a").join(csh, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1154,14 +1182,23 @@ def duplicate_span_stats(
       (id_col, n_spans, n_dup_spans, dup_ratio_micro) — all BIGINT,
     dup_ratio_micro = floor(n_dup_spans * 1e6 / n_spans).
     """
-    spans = _spread(
-        docs.select(
+    # Spread the DOCS, not the exploded span stream: a repartition of
+    # the exploded frame lands ABOVE the Generate in the physical plan,
+    # so the tokenize+shingle explode — the dominant per-row CPU term —
+    # would still run on the scan's single partition and serialize on
+    # one core (r12: measured 4.7s single-core vs ~0.3s spread at
+    # sf0.1, ~3x on the whole entry). Spreading the scan puts the
+    # exchange BELOW the Generate; at real scale both forms no-op.
+    spans = (
+        _spread(docs.select(id_col, text_col))
+        .select(
             F.col(id_col),
             F.explode(word_shingles(F.col(text_col), span_tokens)).alias(
                 "__s"
             ),
         )
-    ).select(id_col, F.xxhash64("__s").alias("__h"))
+        .select(id_col, F.xxhash64("__s").alias("__h"))
+    )
     dup = (
         spans.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__nd"))

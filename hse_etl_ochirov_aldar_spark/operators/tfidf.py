@@ -43,8 +43,13 @@ def tfidf_top_terms(
     documents containing the term; terms in every document score 0.
     Documents with no tokens emit no rows.
     """
+    from ._plan import spread_small_input
+
     tf = (
-        df.select(
+        # spread the scan before the tokenize explode so the Generate
+        # runs parallel (r12 serialized-Generate fix; no-op at scale)
+        spread_small_input(df.select(id_col, text_col))
+        .select(
             F.col(id_col).alias("id"),
             F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term"),
         )

@@ -2897,9 +2897,13 @@ def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable: the sketch affects cost, never the answer). The
     hot-token screen a tokenizer/stopword audit runs without shuffling
     a billion-key vocabulary."""
+    from ..operators._plan import spread_small_input
     from ..operators.heavy_hitters import heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the scan BEFORE the tokenize+explode so the Generate runs
+    # parallel (r12 serialized-Generate fix); heavy_hitters' own spread
+    # then no-ops on the already-repartitioned plan
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token")
     )

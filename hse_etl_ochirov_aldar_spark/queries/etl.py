@@ -1360,13 +1360,16 @@ def q_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric). Fully SQL-expressible, so this one carries a value oracle."""
     from ..functions.text import word_shingles
 
-    corpus = _docs_with_near_dups(spark, sf_dir)
+    from ..operators.text_dedup import _spread
+
+    # spread the corpus BEFORE the shingle expression: below the
+    # spread's exchange the array transform would run on the scan's
+    # single partition (r12 serialized-Generate fix)
+    corpus = _spread(_docs_with_near_dups(spark, sf_dir))
     sh = corpus.select(
         F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh")
     )
-    from ..operators.text_dedup import _spread
-
-    a = _spread(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -774,11 +774,18 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.decontaminate import ngram_decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the layer boundaries (the v3 pattern, r12): without a
+    # barrier every downstream stage that references its input twice —
+    # exact_dedup's census+join, decontamination's screen+anti-join —
+    # re-executes the FULL upstream chain per reference, multiplying the
+    # segment-transform cost ~4x (measured 8.1s -> 4.5s at sf0.1). At
+    # 100 TB these are the persisted clean-layer parquet artifacts
+    # (plans/pipeline.py); persist() is the in-session stand-in.
     cleaned = segment_boilerplate_removal(
         docs.select("doc_id", "text", "lang"), chunk_words=10, min_docs=2
-    )
+    ).persist()
     kept = keep_by_quality(linear_quality_scores(cleaned), 0.5)
-    deduped = exact_dedup(kept)
+    deduped = exact_dedup(kept).persist()
     evals = docs.where(F.col("doc_id") % 20 == 0).select(
         F.concat_ws(" ", F.slice(whitespace_tokens(F.col("text")), 2, 8)).alias(
             "text"

@@ -24,7 +24,11 @@ from ._base import _oracle_hash32
 def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, url): three deterministic URL shapes by
     doc_id mod 3 (distinct registrable domain per source x shape)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._plan import spread_small_input
+
+    # spread the scan so downstream row-local URL/HTML work runs
+    # parallel (r12 serialized-Generate fix; no-op at real scale)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     d = F.col("doc_id").cast("string")
     src = F.col("source")
     m = F.pmod(F.col("doc_id"), F.lit(3))
@@ -331,7 +335,14 @@ def _docs_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoding. The oracle re-derives the full block split +
     link-density logic in SQL; the fixture only has to be predictable,
     like the URL synth above."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._plan import spread_small_input
+
+    # spread the scan BEFORE synthesizing pages: every consumer runs
+    # the strip/block-split/classify chain row-locally, and on the
+    # small single-file scan that whole "zero-shuffle" family would
+    # serialize on one core (r12 serialized-Generate fix; no-op at
+    # real scale where the scan already has many partitions)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     d = F.col("doc_id").cast("string")
     m = F.pmod(F.col("doc_id"), F.lit(3))
     promo = (
@@ -554,6 +565,12 @@ def q_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("content").alias("n_chars"),
         )
         .where(F.col("n_chars") > 0)
+        # persist the 3-narrow-column rollup as a scan barrier (r12;
+        # the v6 precedent): the total agg, the sampler's mass census,
+        # and its join side would otherwise EACH re-evaluate the
+        # interpreted extraction chain (no CSE for lambdas). Consumers
+        # clearCache between entries (catalog contract).
+        .persist()
     )
     # coalesce: if EVERY page extracted to empty (all filtered above),
     # sum() is NULL and a bare [0] // 3 would raise (r11 ADVICE); a 0
@@ -633,7 +650,11 @@ def _docs_with_multilang_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the per-block argmax is decisive (de=7 hits, fr=6, es=7 on
     their blocks); the oracle recomputes the full argmax, not the
     fixture's intent."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._plan import spread_small_input
+
+    # spread the scan so the row-local synth+extraction chain runs
+    # parallel (r12 serialized-Generate fix; no-op at real scale)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     m = F.pmod(F.col("doc_id"), F.lit(3))
     extra = (
         F.when(
@@ -762,7 +783,11 @@ def _docs_with_robots_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     index+follow, reversed attribute order with noindex, and no meta
     at all — so the screen must parse both attribute orders,
     case-fold, token-split, and default absent metas to keep."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._plan import spread_small_input
+
+    # spread the scan so the row-local synth+extraction chain runs
+    # parallel (r12 serialized-Generate fix; no-op at real scale)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     m = F.pmod(F.col("doc_id"), F.lit(5))
     meta = (
         F.when(m == 0, F.lit('<meta name="robots" content="NONE">'))

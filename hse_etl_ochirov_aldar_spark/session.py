@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floor deliberately left at its 1 MB default
+        # (r12): an A/B at 64k/256k/1m showed a catalog-wide smaller
+        # floor taxes every light multi-stage pipeline with extra
+        # task overhead (~+0.5-1.4s each on ewma/semantic_dedup/
+        # redirect/kcore/v3) for wins on a handful of EXPRESSION-bound
+        # stages. Those stages get explicit repartitions instead (the
+        # cosine_dup_ids precedent): Catalyst prices partitions by
+        # bytes, so where per-row CPU dominates, the operator states
+        # the parallelism it needs.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
