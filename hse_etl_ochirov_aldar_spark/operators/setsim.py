@@ -146,10 +146,19 @@ def prefix_filter_jaccard_pairs_postings(
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jac = F.round(inter / (F.col("__na") + F.col("__nb") - inter), scale)
+    # PPJoin+ length prune (r12): J(a,b) <= min(|a|,|b|)/max(|a|,|b|),
+    # so a size-mismatched candidate can never verify — drop it BEFORE
+    # paying the array_intersect. The 1e-9 slack covers double
+    # rounding of t_cand*max so a knife-edge pair is never lost; any
+    # extra survivor is rejected by the exact filter below.
+    len_ok = F.least("__na", "__nb") >= (
+        F.lit(t_cand - 1e-9) * F.greatest("__na", "__nb")
+    )
     return (
         cand.repartition(target, "id_a")
         .join(a, "id_a")
         .join(b, "id_b")
+        .where(len_ok)
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

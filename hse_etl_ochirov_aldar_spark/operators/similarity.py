@@ -150,9 +150,15 @@ def embedding_near_dup_ids(
     pair and shuffled the embeddings with it).
     """
     if block_col:
+        # explicit width for the within-cell pair fanout (r12; the
+        # cosine_dup_ids / basket precedent): the (cell, id) rows are
+        # ~16 bytes so AQE coalesces the self-join to 1-2 tasks, but
+        # the per-row cost is the quadratic within-cell pair expansion
+        # + distinct. One repartition feeds both sides.
+        target = vectors.sparkSession.sparkContext.defaultParallelism
         ids = vectors.select(
             F.col(block_col).alias("_cell"), F.col(id_col).alias("_id")
-        )
+        ).repartition(target, "_cell")
         a, b = ids.alias("a"), ids.alias("b")
         cand = (
             a.join(
@@ -1463,6 +1469,15 @@ def srp_lsh_pairs(
         from .._stage import stage_parquet
 
         band_rows = stage_parquet(band_rows, prefix="hse_srp_")
+    # explicit width for the within-bucket pair fanout (r12; the
+    # basket/embedding-cells precedent): band rows are ~24 bytes so the
+    # self-join input arrives in a handful of tasks, but its per-row
+    # cost is the bucket pair expansion. One repartition, both sides.
+    band_rows = band_rows.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism,
+        "band_id",
+        "band_key",
+    )
     cand = (
         band_rows.alias("a")
         .join(

@@ -1080,7 +1080,13 @@ def incremental_minhash_dedup(
         shingle_n=shingle_n,
         signature=signature,
     )
-    bkeys = banded_minhash_keys(new_batch, id_col, text_col, **lshkw)
+    # the batch's banded keys feed BOTH the broadcast probe and the
+    # candidate join — batch-bounded, so persist them like `cand` and
+    # `fresh` below rather than re-running the signature fold per
+    # consumer (r12)
+    bkeys = banded_minhash_keys(new_batch, id_col, text_col, **lshkw).persist()
+    if persisted_out is not None:
+        persisted_out.append(bkeys)
     ckeys = (
         corpus_keys
         if corpus_keys is not None
