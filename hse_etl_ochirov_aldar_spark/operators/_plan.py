@@ -108,10 +108,15 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     input that already had more partitions than cores. Non-file leaves
     now no-op (such inputs already inherit the parallelism they were
     built with)."""
+    if df.isStreaming:
+        # Streaming scans are already micro-batch partitioned, and
+        # resolving optimizedPlan() on a streaming frame raises
+        # AnalysisException — the spread is meaningless there anyway.
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().optimizedPlan()
     try:
+        plan = df._jdf.queryExecution().optimizedPlan()
         if _already_repartitioned(plan):
             return df
         leaves = plan.collectLeaves()

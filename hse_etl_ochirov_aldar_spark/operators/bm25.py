@@ -101,22 +101,39 @@ def bm25_topk(
 
     from ._plan import spread_small_input
 
-    # spread the scan before tokenizing (r12 serialized-Generate fix;
-    # no-op at real scale) — base feeds both the corpus stats and the
-    # tf explode, so the tokenize otherwise runs 1-task twice
-    base = spread_small_input(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        whitespace_tokens(F.lower(F.col(text_col))).alias("toks"),
-    ).select("id", "toks", F.size("toks").alias("dl"))
-    stats = base.agg(
+    # Tokenize the corpus ONCE into a narrow per-doc decision table
+    # (r13, guide §8 "decide with small rows" + §5 caching): `slim`
+    # carries (id, dl, query-term tokens only) — a few bytes per doc at
+    # ANY scale (the token array is bounded by the query vocabulary) —
+    # and is persisted so the corpus-stats aggregate and the tf census
+    # both read it instead of re-running the tokenize per consumer.
+    # (r12 had spread the scan below the tokenize, which moved the
+    # tokenize ABOVE the one reusable exchange: each of the three
+    # consumers then re-tokenized the corpus — the +30%-vs-reference
+    # bm25 regression in VERDICT r12.) The spread stays: the tokenize
+    # is the per-row CPU term and still wants >1 task at bench scale
+    # (no-op at real scale).
+    slim = (
+        spread_small_input(docs.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            whitespace_tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            "id",
+            F.size("toks").alias("dl"),
+            F.filter("toks", lambda t: t.isin(term_set)).alias("qtoks"),
+        )
+        .persist()
+    )
+    stats = slim.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("corpus_len"),
     )
     # query-term filter BEFORE the census: the shuffle is bounded by
     # |queries|*|docs|, not corpus vocabulary (scale note in module doc)
     tf = (
-        base.select("id", "dl", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(term_set))
+        slim.select("id", "dl", F.explode("qtoks").alias("term"))
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -86,13 +86,24 @@ def unigram_logprob_scores(
         .cast("long")
         .alias("__unk")
     )
+    # pre-aggregate (doc, tok) occurrence counts BEFORE the lp join
+    # (r13, guide §2.3 "aggregate before you shuffle"): the groupBy
+    # partial-aggregates map-side, so the exchange and the token join
+    # carry one row per DISTINCT (doc, token) instead of one per token
+    # occurrence. sum(k * lp) over the compressed rows is the identical
+    # BIGINT fold (multiplication of exact integers).
+    per_tok = toks.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
     per_doc = (
-        toks.join(lp, "__tok", "left")
+        per_tok.join(lp, "__tok", "left")
         .join(F.broadcast(unk))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce(F.col("__lp"), F.col("__unk"))).alias("lp_micro"),
+            F.sum("__k").alias("n_tokens"),
+            F.sum(
+                F.col("__k") * F.coalesce(F.col("__lp"), F.col("__unk"))
+            ).alias("lp_micro"),
         )
     )
     return (

@@ -6,20 +6,23 @@ brute-force cross join (ground truth) and MinHash-LSH + verify
 record's rarest tokens, then exact verification — no signatures, no
 probability, no cross join.
 
-Completeness lemma (why the prefix join misses nothing). Order the
-token universe by (document frequency ASC, token ASC) and let each
-set A (|A| = a) keep its first ``a - ceil(t*a) + 1`` tokens under
-that order as its PREFIX. For any pair with J(A,B) >= t:
+Completeness lemma (why the prefix x prefix join misses nothing).
+Order the token universe by (document frequency ASC, token ASC) and
+let each set A (|A| = a) keep its first ``a - ceil(t*a) + 1`` tokens
+under that order as its PREFIX. For any pair with J(A,B) >= t, with
+a >= b w.l.o.g.:
 
-  - J <= |B|/|A| forces |B| >= t*a, and
-  - o*(1+t) >= t*(a+|B|) >= t*a*(1+t) forces overlap o >= ceil(t*a);
+  - J <= |B|/|A| forces b >= t*a, and
+  - o*(1+t) >= t*(a+b) >= t*a*(1+t) forces overlap o >= ceil(t*a)
+    (and a >= b gives o >= ceil(t*b) too);
 
-so the o >= ceil(t*a) common tokens cannot all hide in A's suffix of
-length ceil(t*a) - 1 — A's prefix contains a common token, which the
-full inverted index of B also contains, and the (prefix x index)
-equi-join emits the candidate. (Cited form: Chaudhuri et al., ICDE
-2006 "A Primitive Operator for Similarity Joins"; Xiao et al., WWW
-2008 PPJoin.)
+let w be the FIRST common token under the order: every token before w
+in either record is non-common, so w sits at position <= a - o + 1 <=
+a - ceil(t*a) + 1 in A and likewise within B's prefix — BOTH prefixes
+contain w, and the (prefix x prefix) equi-join emits the candidate.
+(Cited form: Chaudhuri et al., ICDE 2006 "A Primitive Operator for
+Similarity Joins"; Bayardo et al., WWW 2007 "Scaling Up All Pairs
+Similarity Search"; Xiao et al., WWW 2008 PPJoin.)
 
 Scale shape (100 TB): rarity ordering makes the join side tiny — the
 prefix holds each record's LEAST frequent tokens, so candidate volume
@@ -122,15 +125,36 @@ def prefix_filter_jaccard_pairs_postings(
             F.col("__pos")
             <= F.col("__n") - F.ceil(F.lit(t_cand) * F.col("__n")) + 1
         )
-        .select(F.col("id").alias("id_p"), "tok")
+        .select("id", "tok", "__n")
+    )
+    # Candidate generation joins PREFIX x PREFIX, not prefix x full
+    # index (r13, guide §3 "cut the join input" — the AllPairs/PPJoin
+    # indexing rule, Bayardo et al. WWW'07): for J(A,B) >= t_cand the
+    # FIRST common token under the (df ASC, tok ASC) order sits in BOTH
+    # prefixes — every token before it in either record is non-common,
+    # and o >= ceil(t_cand * max(|A|,|B|)) bounds its position inside
+    # the prefix — so indexing only prefix tokens still emits every
+    # qualifying pair, while a hot token stops fanning out against
+    # every record that merely CONTAINS it (it enters the index only
+    # where it is among a record's rarest). The PPJoin+ length prune
+    # moves here too, BEFORE the distinct, so size-mismatched
+    # duplicates never reach that shuffle. Both join sides share one
+    # exchange: the right side is a projection over the SAME
+    # repartition, which ReuseExchange collapses.
+    pleft = prefix.repartition(target, "tok")
+    pright = pleft.select(
+        F.col("id").alias("id_t"), "tok", F.col("__n").alias("__nt")
     )
     cand = (
-        prefix.repartition(target, "tok")
-        .join(ex.select(F.col("id").alias("id_t"), "tok"), "tok")
-        .where(F.col("id_p") != F.col("id_t"))
+        pleft.join(pright, "tok")
+        .where(F.col("id") != F.col("id_t"))
+        .where(
+            F.least("__n", "__nt")
+            >= F.lit(t_cand - 1e-9) * F.greatest("__n", "__nt")
+        )
         .select(
-            F.least("id_p", "id_t").alias("id_a"),
-            F.greatest("id_p", "id_t").alias("id_b"),
+            F.least("id", "id_t").alias("id_a"),
+            F.greatest("id", "id_t").alias("id_b"),
         )
         .distinct()
     )
@@ -146,19 +170,13 @@ def prefix_filter_jaccard_pairs_postings(
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jac = F.round(inter / (F.col("__na") + F.col("__nb") - inter), scale)
-    # PPJoin+ length prune (r12): J(a,b) <= min(|a|,|b|)/max(|a|,|b|),
-    # so a size-mismatched candidate can never verify — drop it BEFORE
-    # paying the array_intersect. The 1e-9 slack covers double
-    # rounding of t_cand*max so a knife-edge pair is never lost; any
-    # extra survivor is rejected by the exact filter below.
-    len_ok = F.least("__na", "__nb") >= (
-        F.lit(t_cand - 1e-9) * F.greatest("__na", "__nb")
-    )
+    # the PPJoin+ length prune (r12) now runs at candidate generation,
+    # before the distinct — candidates arriving here are already
+    # length-compatible, and the exact Jaccard filter adjudicates.
     return (
         cand.repartition(target, "id_a")
         .join(a, "id_a")
         .join(b, "id_b")
-        .where(len_ok)
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

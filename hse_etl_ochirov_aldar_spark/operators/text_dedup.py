@@ -373,6 +373,15 @@ def minhash_lsh_candidates(
     banded = banded_minhash_keys(
         df, id_col, text_col, num_hashes, bands, shingle_n, signature
     )
+    return _bucket_pairs(banded, max_bucket_size)
+
+
+def _bucket_pairs(banded: DataFrame, max_bucket_size: int = 1024) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a prebuilt (id, band, bucket)
+    keys frame — the bucket-combination stage of
+    ``minhash_lsh_candidates``, factored out (r13) so a caller holding
+    a PERSISTED keys frame (incremental_minhash_dedup's within-batch
+    stage) reuses it instead of paying a second signature fold."""
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -422,6 +431,17 @@ def ngram_jaccard_pairs(
     sh = _spread(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
+    return _verify_jaccard(sh, candidates, threshold)
+
+
+def _verify_jaccard(
+    sh: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification over a prebuilt (id, sh) shingle-set
+    frame — the join+set-math stage of ``ngram_jaccard_pairs``,
+    factored out (r13) so a caller holding a PERSISTED shingle frame
+    (incremental_minhash_dedup) reuses it for both verify passes
+    instead of re-shingling the batch per consumer."""
     joined = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -688,6 +708,14 @@ def minhash_dedup(
         id_col, text_col, threshold=threshold,
     )
     comp = connected_components_min(verified.select("id_a", "id_b"))
+    return _drop_losers(df, comp, id_col)
+
+
+def _drop_losers(df: DataFrame, comp: DataFrame, id_col: str) -> DataFrame:
+    """Drop every non-representative member of ``comp`` (id, rep) from
+    ``df`` — the keep-minimum tail of ``minhash_dedup``, factored out
+    (r13) for callers that assemble the verified pair graph from
+    persisted intermediates (incremental_minhash_dedup)."""
     if comp.isLocal():
         # small-graph path returned a driver-local frame: push the loser
         # set into the scan as an isin filter instead of a join — one
@@ -1060,8 +1088,9 @@ def incremental_minhash_dedup(
     corpus; pass the materialized frame as ``corpus_keys`` to skip the
     signature step.
 
-    Caching: two batch-bounded intermediates are ``persist()``-ed (see
-    inline comment). Long-running callers that invoke this per batch
+    Caching: four batch-bounded intermediates are ``persist()``-ed —
+    banded keys, candidate pairs, batch shingle sets, survivors (see
+    inline comments). Long-running callers that invoke this per batch
     (the streaming ingest wrapper) should pass ``persisted_out=[]`` and
     ``unpersist()`` its contents after their terminal action, or cached
     blocks accumulate for the query lifetime.
@@ -1109,14 +1138,22 @@ def incremental_minhash_dedup(
     )
     if persisted_out is not None:
         persisted_out.append(cand)
-    # _spread both verify sides BEFORE the shingle expression: the
-    # shingle transform is the per-row CPU term and otherwise runs on
-    # the scan's 1-2 partitions (r12; duplicate_span_stats fix, same
-    # shape). No-op at real scale.
-    bsh = _spread(new_batch.select(id_col, text_col)).select(
-        F.col(id_col).alias("id_a"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh_a"),
+    # the batch's shingle sets feed the cross-corpus verify AND both
+    # sides of the within-batch verify below — persist them once (r13)
+    # instead of re-running the shingle transform per consumer. Spread
+    # BEFORE the shingle expression: the transform is the per-row CPU
+    # term and otherwise runs on the scan's 1-2 partitions (r12;
+    # duplicate_span_stats fix, same shape). No-op at real scale.
+    bsh = (
+        _spread(new_batch.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(bsh)
     matched = cand.select(F.col("id_b").alias(id_col)).distinct()
     # spread the corpus SCAN (file leaf), not the joined frame: the
     # probe only trusts all-file-leaf plans, and `matched` rides on the
@@ -1131,7 +1168,12 @@ def incremental_minhash_dedup(
             word_shingles(F.col(text_col), shingle_n).alias("sh_b"),
         )
     )
-    joined = cand.join(bsh, "id_a").join(csh, "id_b")
+    joined = (
+        cand.join(
+            bsh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        ).join(csh, "id_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -1143,14 +1185,20 @@ def incremental_minhash_dedup(
     fresh = new_batch.join(F.broadcast(dup_ids), id_col, "left_anti").persist()
     if persisted_out is not None:
         persisted_out.append(fresh)
-    return minhash_dedup(
-        fresh,
-        id_col,
-        text_col,
-        threshold=threshold,
-        max_bucket_size=max_bucket_size,
-        **lshkw,
+    # Within-batch near-dedup of the survivors. Equivalent to
+    # minhash_dedup(fresh, ...) — banded keys and shingle sets are
+    # deterministic per-doc functions, so restricting the PERSISTED
+    # batch frames to surviving ids yields exactly the frames
+    # minhash_dedup would recompute — but pays ZERO additional
+    # signature folds or shingle transforms (r13; was one of each).
+    dup_as_id = dup_ids.select(F.col(id_col).alias("id"))
+    fkeys = bkeys.join(F.broadcast(dup_as_id), "id", "left_anti")
+    fsh = bsh.join(F.broadcast(dup_as_id), "id", "left_anti")
+    verified = _verify_jaccard(
+        fsh, _bucket_pairs(fkeys, max_bucket_size), threshold
     )
+    comp = connected_components_min(verified.select("id_a", "id_b"))
+    return _drop_losers(fresh, comp, id_col)
 
 
 def duplicate_span_stats(

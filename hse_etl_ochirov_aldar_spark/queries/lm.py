@@ -1091,7 +1091,6 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is an already-oracled operator; the oracle is the
     composed CTE chain of their SQL twins. Outputs are BIGINT only."""
     from ..operators.lm_score import perplexity_buckets, unigram_logprob_scores
-    from ..operators.normalize import chunk_documents
     from ..operators.text_dedup import remove_duplicate_spans
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1115,17 +1114,42 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = perplexity_buckets(scored, ["lang"])
     kept = bucketed.where(
         (F.col("n_tokens") > 0) & (F.col("ppl_bucket") != "tail")
-    ).persist()
-    chunks = chunk_documents(
-        kept.select("doc_id", "text"), chunk_tokens=64, stride=48
     )
+    # Chunk statistics computed ARITHMETICALLY from the scoring pass's
+    # n_tokens (r13, guide §1.2 "don't compute things you throw away"):
+    # the report only needs per-doc chunk COUNT and token SUM, both
+    # closed forms of the token count — windows start at 1, 1+48,
+    # 1+96, ... while <= n, each holding least(64, n - start + 1)
+    # tokens. This is literally the oracle's own formulation
+    # (list_transform(range(1, n+1, 48), x -> least(64, n-x+1))); the
+    # previous chunk_documents call re-tokenized every kept document
+    # and materialized chunk TEXT only to count it. Lowercasing never
+    # changes whitespace token COUNTS, so the scoring tokenization's n
+    # equals the chunker's (pinned by
+    # tests/test_r13_optimizations.py::test_v3_chunk_arithmetic).
+    # `kept` now has a single consumer, so its persist() barrier is
+    # gone too.
+    starts = F.sequence(F.lit(1), F.col("n_tokens"), F.lit(48))
     return (
-        chunks.join(kept.select("doc_id", "lang"), "doc_id")
+        kept.select(
+            "lang",
+            F.size(starts).alias("__nc"),
+            F.aggregate(
+                F.transform(
+                    starts,
+                    lambda x: F.least(
+                        F.lit(64), F.col("n_tokens") - x + 1
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("__ct"),
+        )
         .groupBy("lang")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_chunk_tokens").alias("chunk_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nc").alias("n_chunks"),
+            F.sum("__ct").alias("chunk_tokens"),
         )
     )
 
